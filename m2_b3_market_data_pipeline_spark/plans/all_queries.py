@@ -1,0 +1,18 @@
+"""Aggregates every query module into the central registry.
+
+Importing this module populates ``QUERIES`` / ``ORACLES`` with the full
+operator inventory. Split by area to keep modules reviewable:
+
+- reference_queries: SURVEY.md §2 reference-surface operators
+- sql_surface:       Athena-replacement relational surface (joins, windows,
+                     set ops, rollup, top-k) on the TPC-H-ish fixtures
+- expansion_*:       LLM-data-pipeline operators (dedup, similarity, text,
+                     multimodal) per the BASELINE.json north star
+"""
+
+from __future__ import annotations
+
+from . import reference_queries  # noqa: F401
+from .registry import ORACLES, QUERIES
+
+__all__ = ["QUERIES", "ORACLES"]

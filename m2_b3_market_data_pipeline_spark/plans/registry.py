@@ -1,0 +1,57 @@
+"""Query registry: names -> (Spark callable, DuckDB oracle SQL).
+
+Every operator claimed in SURVEY.md §2 registers here; the driver runs the
+Spark side and the oracle side-by-side at sf0.01 and hash-compares
+(row count + schema + order-insensitive value hash).
+
+Determinism contract applied to every registered query (both sides):
+- floating aggregates (avg, sum of double, ratios, cosine) are ROUND(x, 6)
+  so distributed aggregation order cannot cause last-bit drift;
+- DuckDB ``SUM(BIGINT)`` returns HUGEINT -> always CAST to BIGINT to match
+  Spark's LongType;
+- every LIMIT/top-k has a total ordering (unique tiebreak column);
+- column names are identical on both sides (the driver sorts columns by
+  name before hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], SparkQuery]:
+    """Decorator: register a Spark query and (optionally) its oracle SQL.
+
+    ``oracle=None`` marks a genuinely non-SQL-expressible op; the driver
+    then records a weaker rows-only check.
+    """
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events":
+        # On disk ts is TIMESTAMP(NANOS) (read as long nanos via
+        # spark.sql.legacy.parquet.nanosAsLong); all fixture values are
+        # µs-aligned, so the µs conversion is lossless and matches what
+        # DuckDB sees.
+        from pyspark.sql import functions as F
+
+        # Integer division: ns values exceed double's 53-bit mantissa, so
+        # a float path would corrupt timestamps.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
