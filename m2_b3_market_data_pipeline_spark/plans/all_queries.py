@@ -12,7 +12,7 @@ operator inventory. Split by area to keep modules reviewable:
 
 from __future__ import annotations
 
-from . import reference_queries  # noqa: F401
+from . import reference_queries, sql_surface  # noqa: F401
 from .registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]
