@@ -1,0 +1,67 @@
+"""Portable text expressions: tokenization, shingling, hashing.
+
+Every builder here has an exact DuckDB twin (see plans/expansion_*.py
+oracles) so dedup/text operators are hash-checkable end-to-end. All are
+built-in Spark SQL functions — JVM-side, codegen-friendly, no Python
+UDFs — which is what keeps them viable on 100 TB of documents
+(SURVEY.md §2.11).
+
+Portability contract with the oracles:
+- tokens: split on ``\\s+`` of lower(trim(text)), empty strings dropped;
+- shingles: space-joined n-grams of consecutive tokens, DISTINCT;
+- hashes: ``md5('<seed>|' || value)`` hex strings — identical bytes in
+  Spark and DuckDB, so MIN() over them (lexicographic) is a portable
+  min-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokens of lowercased trimmed text, empties removed."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(F.trim(col)), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def shingles(toks: Column, n: int = 3, *, distinct: bool = True) -> Column:
+    """Distinct space-joined word n-grams; empty array when < n tokens."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    out = F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(out) if distinct else out
+
+
+def seeded_md5(value: Column, seed: int) -> Column:
+    """md5('<seed>|' || value) — the portable seeded hash family."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), value))
+
+
+def _seeded_hasher(seed: int):
+    # NOTE: must stay a 1-arg lambda — F.transform treats a 2-arg lambda
+    # (e.g. ``lambda s, i=i``) as an (element, index) function and passes
+    # the ARRAY INDEX as the second argument, silently replacing the seed.
+    return lambda s: seeded_md5(s, seed)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int) -> list[Column]:
+    """k min-hashes of a shingle set: for each seed, the lexicographic min
+    of the seeded md5 over all shingles. Pure projection — computed
+    per-row with zero shuffle; NULL when the shingle set is empty."""
+    return [
+        F.array_min(F.transform(shingle_col, _seeded_hasher(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def normalized_text(text: str | Column) -> Column:
+    """Whitespace-canonical form used for exact-dup fingerprints."""
+    return F.concat_ws(" ", tokens(text))

@@ -1,0 +1,289 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, each shaped for 100 TB (BASELINE.json north star):
+
+- **Exact**: hash-groupBy on content fingerprint; keep the
+  deterministic winner via row_number. One shuffle on the fingerprint.
+- **MinHash + LSH**: per-doc signatures are a pure projection (no
+  shuffle); banding turns near-dup search into an equi-join on
+  (band_id, band_hash) — the classic shingle→minhash→band→bucket-join
+  pipeline. Candidate pairs are then verified with exact Jaccard.
+  Shuffle cost: one exchange on band hash (data volume = docs × bands,
+  NOT docs²).
+- **SimHash**: 32-bit signature via token-hash bit voting; near-dups
+  are pairs within small Hamming distance. Signature is one shuffle
+  (token explode + per-doc bit sums).
+- **n-gram Jaccard**: exact similarity join via shingle inverted index
+  (explode + self-join on shingle, then group per pair) — the exact
+  baseline the approximate methods are judged against.
+
+All hashing uses the portable md5 family (functions/textfns.py) so every
+operator is oracle-checkable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import (  # noqa: F401  (minhash_signature kept as the projection-form alternative)
+    minhash_signature,
+    normalized_text,
+    seeded_md5,
+    shingles,
+    tokens,
+)
+
+NUM_HASHES = 12
+BAND_SIZE = 4  # 3 bands of 4 => LSH threshold ~ (1/3)^(1/4) ≈ 0.76
+SIMHASH_BITS = 32
+
+
+def exact_dedup(
+    df: DataFrame,
+    *,
+    keys: list[str],
+    tiebreak: list[str],
+) -> DataFrame:
+    """Keep exactly one row per ``keys`` — the first under ``tiebreak``
+    ordering. Deterministic (unlike bare dropDuplicates, which keeps an
+    arbitrary row and is therefore un-oracle-able). One shuffle on keys;
+    Catalyst plans row_number + WindowGroupLimit, so per-group state is
+    O(1), safe for any group size."""
+    w = Window.partitionBy(*keys).orderBy(*tiebreak)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def with_shingles(
+    df: DataFrame, *, text_col: str = "text", n: int = 3, out: str = "sh"
+) -> DataFrame:
+    return df.withColumn(out, shingles(tokens(text_col), n))
+
+
+def with_minhash(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Append mh0..mh{k-1} columns via explode + ONE hash aggregate with
+    k min()s (map-side partial min keeps shuffle volume at one row per
+    (doc, k) regardless of shingle count). A pure-projection alternative
+    (minhash_signature) exists but duplicates the shingle computation per
+    hash column under projection collapse; the explode+agg form does the
+    shingling exactly once. Docs with empty shingle sets keep NULL
+    signatures via the left join."""
+    with_sh = with_shingles(df, text_col=text_col, n=n)
+    exploded = with_sh.select(id_col, F.explode("sh").alias("shingle"))
+    sig = exploded.groupBy(id_col).agg(
+        *[
+            F.min(seeded_md5(F.col("shingle"), i)).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return with_sh.join(sig, id_col, "left")
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_id, band_hash):
+    distinct candidate pairs (id_a < id_b). Docs with empty shingle sets
+    (NULL minhash) never collide."""
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("", *cols)).alias("band_hash"))
+        )
+    banded = (
+        signed.filter(F.col("mh0").isNotNull())
+        .select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
+        .select(id_col, "band.band_id", "band.band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    with_sh: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via array intersect/union over the
+    (distinct) shingle sets; keeps pairs >= threshold. The shingle-set
+    side is joined twice — at scale both joins shuffle on doc id once."""
+    sets_a = with_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sets_b = with_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full fuzzy-dedup pipeline: shingle -> minhash -> LSH bands ->
+    candidate join -> exact Jaccard verify."""
+    signed = with_minhash(df.select(id_col, text_col), text_col=text_col)
+    pairs = lsh_candidate_pairs(signed, id_col=id_col)
+    return jaccard_verify(pairs, signed.select(id_col, "sh"), id_col=id_col, threshold=threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """EXACT similarity join: inverted index on shingles (explode +
+    self-equi-join on the shingle string + per-pair count = |A∩B|), then
+    |A∪B| = |A|+|B|-|A∩B|. Only pairs sharing >= 1 shingle are ever
+    materialized — the standard sparse all-pairs strategy. Hot shingles
+    are the skew risk at scale; AQE skew-join handles moderate cases and
+    a stopword-shingle filter is the documented escape hatch."""
+    sh = (
+        with_shingles(df.select(id_col, text_col), text_col=text_col, n=n)
+        .select(id_col, F.explode("sh").alias("shingle"), F.size("sh").alias("set_size"))
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        6,
+    )
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_expr(weighted_tokens_grouped: DataFrame, *, id_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc simhash from (id, token, cnt) rows: for each bit j of the
+    32-bit token hash (first 8 hex chars of md5, parsed as int), vote
+    +cnt/-cnt; bit j of the signature is 1 iff the vote is positive."""
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+    g = weighted_tokens_grouped.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    per_doc = g.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = term if sig is None else sig + term
+    return per_doc.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_signatures(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """doc -> 32-bit simhash. One explode + one shuffle on doc id."""
+    toks = (
+        df.select(id_col, F.explode(tokens(text_col)).alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return simhash_expr(toks, id_col=id_col, bits=bits)
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, *, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within Hamming distance <= max_hamming, using the pigeonhole
+    trick: split the signature into (max_hamming+1) chunks; any pair
+    within distance d must agree exactly on >= 1 chunk -> equi-join per
+    chunk instead of a cross join. bit_count verifies exactly."""
+    chunks = max_hamming + 1
+    chunk_bits = SIMHASH_BITS // chunks
+    mask = (1 << chunk_bits) - 1
+    banded = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,201 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (BASELINE.json north star):
+
+- **Brute-force cosine top-k** (exact baseline): broadcast the (small)
+  query set against the partitioned corpus — embarrassingly parallel,
+  zero corpus shuffle, O(|corpus| × |queries| × dim) flops inside
+  whole-stage codegen via higher-order functions (no Python UDFs).
+- **LSH-bucketed ANN** (scale path): random-hyperplane signatures with
+  deterministic seeds; bucket equi-join turns the quadratic search into
+  |docs| × bands shuffle rows. Approximate — verified by exact cosine on
+  candidates; recall tunable via bands/bits.
+
+Cosine is computed in double precision with left-to-right summation so
+results are reproducible across engines (oracle: DuckDB
+list_inner_product over DOUBLE[]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import NUM_HASHES  # noqa: F401  (shared hashing constants live in dedup)
+
+
+def as_double(vec: str | Column) -> Column:
+    col = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right dot product via zip_with + aggregate (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors per query. The query side is broadcast; the
+    corpus never shuffles for the join — only the final per-query top-k
+    (WindowGroupLimit keeps O(k) state per query)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
+def cosine_pairs_above(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float,
+) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine >= threshold (exact,
+    quadratic — the correctness baseline; use LSH buckets at scale)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def _hyperplane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: components from
+    a fixed LCG so signatures are reproducible with no RNG dependency."""
+    state = (seed * 2654435761 + 12345) & 0xFFFFFFFF
+    comps = []
+    for _ in range(dim):
+        state = (1103515245 * state + 12345) & 0x7FFFFFFF
+        comps.append((state / 0x7FFFFFFF) * 2.0 - 1.0)
+    return comps
+
+
+def lsh_signatures(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    n_bits: int = 16,
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) signature: bit i = sign of
+    <v, h_i>. Pure projection, no shuffle."""
+    v = as_double(vec_col)
+    sig = F.lit(0).cast("bigint")
+    for i in range(n_bits):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, i)])
+        sig = sig + F.when(dot(v, plane) > 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return corpus.withColumn("lsh_sig", sig)
+
+
+def lsh_candidates(
+    signed: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    n_bits: int = 16,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Bucket-join on signature bands -> candidate pairs (id_a < id_b)."""
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    banded = signed.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("band_id"),
+                        F.shiftright(F.col("lsh_sig"), c * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for c in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band_id", "b.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    k: int = 5,
+    n_bits: int = 16,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: LSH-bucket candidates, then exact cosine + per-
+    query top-k on the candidate set only."""
+    signed_c = lsh_signatures(corpus, vec_col=vec_col, dim=dim, n_bits=n_bits).select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec"), "lsh_sig"
+    )
+    signed_q = lsh_signatures(queries, vec_col=vec_col, dim=dim, n_bits=n_bits).select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec"), F.col("lsh_sig").alias("qsig")
+    )
+    n_bands = n_bits // band_bits
+    mask = (1 << band_bits) - 1
+    match_any_band = None
+    for c in range(n_bands):
+        cond = (
+            F.shiftright(F.col("lsh_sig"), c * band_bits).bitwiseAND(F.lit(mask))
+            == F.shiftright(F.col("qsig"), c * band_bits).bitwiseAND(F.lit(mask))
+        )
+        match_any_band = cond if match_any_band is None else (match_any_band | cond)
+    scored = (
+        signed_c.join(F.broadcast(signed_q), match_any_band & (F.col("query_id") != F.col("neighbor_id")))
+        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )

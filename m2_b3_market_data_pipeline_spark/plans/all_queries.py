@@ -12,7 +12,13 @@ operator inventory. Split by area to keep modules reviewable:
 
 from __future__ import annotations
 
-from . import reference_queries, sql_surface  # noqa: F401
+from . import (  # noqa: F401
+    expansion_dedup,
+    expansion_similarity,
+    expansion_text,
+    reference_queries,
+    sql_surface,
+)
 from .registry import ORACLES, QUERIES
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,163 @@
+"""Deduplication expansion queries: exact, MinHash+LSH, n-gram Jaccard,
+SimHash — each with a DuckDB oracle generated from the SAME constants as
+the Spark operators (seeds, band layout, thresholds), so the approximate
+methods are hash-checked end-to-end, not just spot-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    BAND_SIZE,
+    NUM_HASHES,
+    SIMHASH_BITS,
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from .registry import load, register
+
+_TK = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+_SH = (
+    "list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] "
+    "for i in generate_series(1, len(tk)-2)])"
+)
+JACCARD_THRESHOLD = 0.5
+NGRAM_THRESHOLD = 0.4
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) = 1
+""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: deterministic keep-first per key via row_number
+    (operators/dedup.py). Bare dropDuplicates keeps an arbitrary row and
+    is therefore un-oracle-able; this form is the scalable deterministic
+    variant (WindowGroupLimit: O(1) state per group)."""
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, keys=["lang", "source"], tiebreak=["doc_id"]).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _minhash_sig_sql() -> str:
+    mh_exprs = ",\n       ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}" for i in range(NUM_HASHES)
+    )
+    return f"""
+tk AS (SELECT doc_id, {_TK} AS tk FROM documents),
+sh AS (SELECT doc_id, {_SH} AS sh FROM tk),
+sigs AS (SELECT doc_id, sh, {mh_exprs} FROM sh)
+"""
+
+
+def _band_sql() -> str:
+    n_bands = NUM_HASHES // BAND_SIZE
+    selects = []
+    for b in range(n_bands):
+        cols = " || ".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sigs WHERE mh0 IS NOT NULL"
+        )
+    return "bands AS (" + " UNION ALL ".join(selects) + ")"
+
+
+MINHASH_ORACLE = f"""
+WITH {_minhash_sig_sql()},
+{_band_sql()},
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.id_a
+JOIN sigs sb ON sb.doc_id = p.id_b
+WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("minhash_dedup", oracle=MINHASH_ORACLE)
+def minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH fuzzy dedup: shingle -> 12 portable min-hashes (pure
+    projection) -> 3 bands of 4 -> bucket equi-join -> exact Jaccard
+    verify at >= 0.5 (operators/dedup.py). Shuffle volume is docs×bands,
+    never docs²."""
+    docs = load(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, threshold=JACCARD_THRESHOLD)
+
+
+NGRAM_ORACLE = f"""
+WITH tk AS (SELECT doc_id, {_TK} AS tk FROM documents),
+sh AS (SELECT doc_id, {_SH} AS shl FROM tk),
+ex AS (SELECT doc_id, len(shl) AS set_size, unnest(shl) AS shingle FROM sh),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.set_size AS size_a, b.set_size AS size_b,
+           COUNT(*) AS inter
+    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / CAST(size_a + size_b - inter AS DOUBLE), 6) AS jaccard
+FROM inter
+WHERE ROUND(CAST(inter AS DOUBLE) / CAST(size_a + size_b - inter AS DOUBLE), 6) >= {NGRAM_THRESHOLD}
+"""
+
+
+@register("ngram_jaccard", oracle=NGRAM_ORACLE)
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via shingle inverted index —
+    the ground truth the LSH path approximates (operators/dedup.py)."""
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=NGRAM_THRESHOLD)
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(f"CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(SIMHASH_BITS))
+    return f"""
+WITH tk AS (SELECT doc_id, {_TK} AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS token FROM tk),
+wt AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+h AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM wt),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+SELECT doc_id, {sig} AS simhash FROM v
+"""
+
+
+@register("simhash_signatures", oracle=_simhash_oracle())
+def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document via token-hash bit voting
+    (operators/dedup.py); near-dup pair search uses the pigeonhole
+    chunk join (see simhash_near_dups, rows-only)."""
+    docs = load(spark, sf_dir, "documents")
+    return simhash_signatures(docs)
+
+
+@register("simhash_near_dups")  # rows-only: pair search exercises Spark-side pigeonhole join
+def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 6 — pigeonhole
+    chunk equi-join instead of a cross join (operators/dedup.py). The
+    signature step is oracle-checked by ``simhash_signatures``; this
+    entry exercises the join strategy (rows-only check)."""
+    from ..operators.dedup import simhash_near_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
+    return simhash_near_pairs(sigs, max_hamming=6)

@@ -1,0 +1,129 @@
+"""Similarity-search and multimodal expansion queries.
+
+Embedding queries run on the ``embeddings`` fixture (64-dim float
+vectors). Exact paths are oracle-checked against DuckDB
+``list_inner_product`` over DOUBLE[] (both engines sum left-to-right in
+double precision; results rounded to 6dp). Approximate (LSH) and
+mapInPandas paths are rows-only by nature — their exact counterparts are
+the oracle-checked baselines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import attach_binary, extract_features
+from ..operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+    cosine_pairs_above,
+)
+from .registry import load, register
+
+QUERY_MOD = 100  # queries = vec_id % 100 == 0
+TOP_K = 5
+# The fixture vectors have max pairwise cosine ~0.51 (sf0.01) / ~0.60
+# (sf0.1); 0.45 yields a small non-empty pair set at both SFs so the
+# operator's output is actually exercised, not vacuously empty.
+NEAR_DUP_THRESHOLD = 0.45
+EMBED_DIM = 64
+
+_COS = (
+    "ROUND(list_inner_product(q.v, c.v) / "
+    "(sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))), 6)"
+)
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id, v FROM c WHERE vec_id % {QUERY_MOD} = 0)
+SELECT query_id, neighbor_id, cos, rn FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id) AS rn
+    FROM c CROSS JOIN q
+    WHERE q.vec_id <> c.vec_id
+) WHERE rn <= {TOP_K}
+""",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast query set, corpus never
+    shuffles for the join, WindowGroupLimit keeps O(k) state per query
+    (operators/similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return brute_force_topk(emb, queries, k=TOP_K)
+
+
+@register(
+    "embedding_near_dups",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_inner_product(a.v, b.v) /
+             (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS cos
+FROM c a CROSS JOIN c b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(list_inner_product(a.v, b.v) /
+            (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)
+      >= {NEAR_DUP_THRESHOLD}
+""",
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs above the cosine threshold — exact quadratic
+    baseline (the LSH path in ann_topk is the scale route; this is the
+    ground truth it is judged against)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_pairs_above(emb, threshold=NEAR_DUP_THRESHOLD)
+
+
+@register("ann_topk_lsh")  # rows-only: LSH is approximate by design
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH band candidates +
+    exact re-rank (operators/similarity.py). Rows-only check; recall is
+    asserted against the exact ``cosine_topk`` baseline in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return ann_topk(emb, queries, dim=EMBED_DIM, k=TOP_K)
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       CAST(strlen(text) AS INT)  AS byte_len,
+       md5(text)                  AS content_md5,
+       sha256(text)               AS content_sha256,
+       CASE WHEN strlen(text) > 300 THEN 'large' ELSE 'small' END AS size_class
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload as opaque bytes + typed metadata
+    (byte length, content hashes, size class). The fixture payload is
+    utf-8 text; the schema is the one real images/audio would use
+    (operators/multimodal.py)."""
+    docs = load(spark, sf_dir, "documents")
+    wrapped = attach_binary(docs)
+    return wrapped.select(
+        "doc_id",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.content_md5").alias("content_md5"),
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.when(F.col("meta.byte_len") > 300, F.lit("large")).otherwise(F.lit("small")).alias("size_class"),
+    )
+
+
+@register("multimodal_features")  # rows-only: mapInPandas is not SQL-expressible
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched byte-level feature extraction via mapInPandas — the
+    decode/featurize stage shape for real media, with the deterministic
+    byte-histogram standing in for the (stubbed) image decode
+    (operators/multimodal.py)."""
+    docs = load(spark, sf_dir, "documents")
+    wrapped = attach_binary(docs)
+    feats = extract_features(wrapped)
+    return feats.select("doc_id", "byte_len", "content_md5", F.round(F.element_at("feature", 1), 6).alias("f0"), F.size("feature").alias("feature_dim"))
