@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query executes to a ``noop`` sink — full computation, no driver
+collect, and no column-pruning shortcut (a bare count() would let
+Catalyst drop every computed column and time nothing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from m2_b3_market_data_pipeline_spark.plans import all_queries
+from m2_b3_market_data_pipeline_spark.session import get_spark, sf_dir
+
+# Breadth over the operator surface, restricted to queries whose cost
+# scales with sf (lineitem/orders/events/documents/embeddings-driven).
+HEADLINE = [
+    "refined_pipeline",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_customers",
+    "window_rank",
+    "lead_lag",
+    "distinct_agg",
+    "rollup_lineitem",
+    "asof_join_quotes",
+    "resample_ohlc",
+    "tumbling_window",
+    "session_window",
+    "dedup_exact",
+    "minhash_dedup",
+    "ngram_jaccard",
+    "simhash_signatures",
+    "cosine_topk",
+    "text_stats",
+    "quality_score",
+    "doc_fingerprint",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    target = sf_dir()
+    sf = float(target.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in target else None
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM/codegen/file-listing paths
+    spark.read.parquet(f"{target}/lineitem.parquet").count()
+    spark.read.parquet(f"{target}/events.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = all_queries.QUERIES[name]
+        t0 = time.time()
+        fn(spark, target).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -157,8 +157,14 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Full fuzzy-dedup pipeline: shingle -> minhash -> LSH bands ->
-    candidate join -> exact Jaccard verify."""
-    signed = with_minhash(df.select(id_col, text_col), text_col=text_col)
+    candidate join -> exact Jaccard verify.
+
+    The signature frame is persisted: it is consumed by three branches
+    (band explode, and both sides of the Jaccard verify join) and Spark
+    would otherwise re-run the whole shingle+hash pipeline per branch.
+    At 100 TB the same role is played by writing signatures to a table
+    once and joining against it."""
+    signed = with_minhash(df.select(id_col, text_col), text_col=text_col).persist()
     pairs = lsh_candidate_pairs(signed, id_col=id_col)
     return jaccard_verify(pairs, signed.select(id_col, "sh"), id_col=id_col, threshold=threshold)
 

@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     expansion_text,
     reference_queries,
     sql_surface,
+    streaming_queries,
 )
 from .registry import ORACLES, QUERIES
 

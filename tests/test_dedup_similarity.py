@@ -1,0 +1,108 @@
+"""Dedup + similarity operators: known near-dups found, disjoint docs
+not found, approximate methods bounded by the exact baselines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m2_b3_market_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from m2_b3_market_data_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    cosine_pairs_above,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = "the quick brown fox jumps over the lazy dog near the river bank yesterday"
+    far = "completely different words about spark partitions shuffles and catalyst optimizer internals"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_deterministic_winner(spark):
+    out = exact_dedup(_docs(spark), keys=["text"], tiebreak=["doc_id"])
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 2, 3]  # doc 4 (dup of 1) dropped, min doc_id kept
+
+
+def test_minhash_finds_near_dup_and_skips_far(spark):
+    pairs = {(r.id_a, r.id_b) for r in minhash_dedup_pairs(_docs(spark), threshold=0.5).collect()}
+    assert (1, 4) in pairs  # identical
+    assert (1, 2) in pairs  # one-token difference
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_values(spark):
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(_docs(spark), threshold=0.1).collect()}
+    assert out[(1, 4)] == 1.0
+    assert 0.5 < out[(1, 2)] < 1.0
+    assert not any(3 in k for k in out)
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(_docs(spark)).collect()}
+    assert sigs[1] == sigs[4]
+    assert sigs[1] != sigs[3]
+
+
+def test_simhash_pigeonhole_matches_bruteforce(spark):
+    sigs = simhash_signatures(_docs(spark))
+    via_chunks = {
+        (r.id_a, r.id_b) for r in simhash_near_pairs(sigs, max_hamming=3).collect()
+    }
+    rows = sigs.collect()
+    brute = {
+        (a.doc_id, b.doc_id)
+        for a in rows
+        for b in rows
+        if a.doc_id < b.doc_id and bin(a.simhash ^ b.simhash).count("1") <= 3
+    }
+    assert via_chunks == brute
+
+
+def _vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_values(spark):
+    df = _vecs(spark)
+    a = df.filter("vec_id = 1").select(F.col("embedding").alias("a"))
+    pairs = a.crossJoin(df.select(F.col("vec_id"), F.col("embedding").alias("b")))
+    got = {
+        r.vec_id: r.c
+        for r in pairs.select(
+            "vec_id",
+            F.round(cosine(F.transform("a", lambda x: x.cast("double")),
+                           F.transform("b", lambda x: x.cast("double"))), 4).alias("c"),
+        ).collect()
+    }
+    assert got[1] == 1.0 and got[4] == -1.0 and got[3] == 0.0
+    assert 0.99 < got[2] < 1.0
+
+
+def test_brute_force_topk_order_and_exclusion(spark):
+    df = _vecs(spark)
+    out = brute_force_topk(df, df.filter("vec_id = 1"), k=2).collect()
+    assert [r.neighbor_id for r in out] == [2, 3]  # self excluded, ranked by cosine
+    assert [r.rn for r in out] == [1, 2]
+
+
+def test_cosine_pairs_threshold(spark):
+    pairs = {(r.id_a, r.id_b) for r in cosine_pairs_above(_vecs(spark), threshold=0.9).collect()}
+    assert pairs == {(1, 2)}

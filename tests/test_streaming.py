@@ -1,0 +1,137 @@
+"""Structured Streaming: the file-source ETL (availableNow, checkpoint,
+incremental batches) and batch/streaming unification of windowed aggs.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from m2_b3_market_data_pipeline_spark.plans.ohlcv import derive_ohlcv, load_events
+from m2_b3_market_data_pipeline_spark.streaming.file_pipeline import (
+    RAW_OHLCV_SCHEMA,
+    run_etl_stream,
+)
+from m2_b3_market_data_pipeline_spark.streaming.windows import (
+    tumbling_counts,
+    with_watermark,
+)
+
+
+def _write_raw(spark, sf_dir, path, assets=(0, 1, 2, 3)):
+    bars = derive_ohlcv(load_events(spark, sf_dir))
+    bars = bars.filter(F.col("ativo").isin([f"TICK{a}" for a in assets]))
+    bars.select("Date", "Open", "High", "Low", F.col("Close"), "Volume", "ativo").write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_file_stream_etl_end_to_end(spark, sf_dir, tmp_path):
+    raw = str(tmp_path / "raw")
+    refined = str(tmp_path / "refined")
+    ckpt = str(tmp_path / "ckpt")
+    _write_raw(spark, sf_dir, raw)
+
+    q = run_etl_stream(
+        spark,
+        raw_path=raw,
+        refined_path=refined,
+        checkpoint_path=ckpt,
+        run_date="2026-01-01",
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(refined)
+    assert out.count() > 0
+    assert {"mm_7d", "avg_close_price", "total_volume"} <= set(out.columns)
+    assert out.select("ativo").distinct().count() == 4
+
+    # second batch of files: availableNow rerun picks them up through the
+    # same checkpoint and the refined output now covers all 8 assets
+    _write_raw(spark, sf_dir, raw, assets=(4, 5, 6, 7))
+    q2 = run_etl_stream(
+        spark,
+        raw_path=raw,
+        refined_path=refined,
+        checkpoint_path=ckpt,
+        run_date="2026-01-01",
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(refined).select("ativo").distinct().count() == 8
+
+
+def test_tumbling_batch_stream_unification(spark, sf_dir, tmp_path):
+    """The same windowed-agg code over readStream (availableNow + memory
+    sink, complete mode) must equal its batch run — the core Structured
+    Streaming contract."""
+    events = load_events_parquet_dir(spark, sf_dir, tmp_path)
+    batch = {
+        (r.event_type, r.ws, r.n): r.total_value
+        for r in tumbling_counts(events).collect()
+    }
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .parquet(str(tmp_path / "events_dir"))
+    )
+    agg = tumbling_counts(with_watermark(stream, delay="1 day"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.event_type, r.ws, r.n): r.total_value
+        for r in spark.sql("SELECT * FROM tumbling_test").collect()
+    }
+    assert streamed == batch
+
+
+def load_events_parquet_dir(spark, sf_dir, tmp_path):
+    """Stage events into a directory (streaming file source needs a dir)."""
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+
+    events = load(spark, sf_dir, "events")
+    events.write.mode("overwrite").parquet(str(tmp_path / "events_dir"))
+    return spark.read.parquet(str(tmp_path / "events_dir"))
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Feed two files: recent rows, then a very late row. With a short
+    watermark in append mode the late row's window never emits."""
+    d = tmp_path / "late"
+    d.mkdir()
+    on_time = spark.createDataFrame(
+        [("a", "2024-01-01 10:05:00", 1.0), ("a", "2024-01-01 12:00:00", 1.0)],
+        "event_type string, ts string, value double",
+    ).selectExpr("event_type", "cast(ts as timestamp) ts", "value")
+    on_time.write.mode("append").parquet(str(d / "f1"))
+    late = spark.createDataFrame(
+        [("a", "2024-01-01 08:00:00", 99.0)], "event_type string, ts string, value double"
+    ).selectExpr("event_type", "cast(ts as timestamp) ts", "value")
+    late.write.mode("append").parquet(str(d / "f2"))
+
+    stream = (
+        spark.readStream.schema(on_time.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    agg = tumbling_counts(with_watermark(stream, delay="30 minutes"))
+    name = f"wm_{int(time.time())}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    emitted_ws = {str(r.ws) for r in rows}
+    # the 08:00 window is behind the watermark when its row arrives in
+    # batch 2 -> append mode never emits it
+    assert "2024-01-01 08:00:00" not in emitted_ws
