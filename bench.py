@@ -47,6 +47,14 @@ HEADLINE = [
     "quality_score",
     "doc_fingerprint",
     "multimodal_meta",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q14_promo_share",
+    "q18_large_orders",
+    "correlated_subquery",
+    "window_running_total",
+    "tfidf_top_terms",
+    "label_centroids",
 ]
 
 

@@ -16,8 +16,10 @@ from . import (  # noqa: F401
     expansion_dedup,
     expansion_similarity,
     expansion_text,
+    expansion_text2,
     reference_queries,
     sql_surface,
+    sql_surface2,
     streaming_queries,
 )
 from .registry import ORACLES, QUERIES

@@ -1,0 +1,89 @@
+"""Physical-plan assertions: the 100 TB-readiness checks.
+
+Correctness tests say WHAT comes out; these say HOW. Each assertion
+pins a plan property that matters at scale and would silently regress
+otherwise: filters reaching the parquet scan, partition pruning on the
+Hive layout, broadcast joins for dimensions, column pruning in
+ReadSchema, top-k compiling to TakeOrderedAndProject, and single-shuffle
+window pipelines.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from m2_b3_market_data_pipeline_spark.plans import all_queries
+from m2_b3_market_data_pipeline_spark.plans.ohlcv import derive_ohlcv, load_events
+from m2_b3_market_data_pipeline_spark.plans.pipeline import refined, transform
+from m2_b3_market_data_pipeline_spark.sources.parquet_io import write_refined
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = all_queries.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", plan)
+
+
+def test_column_pruning_in_read_schema(spark, sf_dir):
+    df = all_queries.QUERIES["q1_pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # 11-column table; the query needs only 7
+    assert "l_orderkey" not in read_cols and "l_partkey" not in read_cols
+
+
+def test_dimension_joins_are_broadcast(spark, sf_dir):
+    plan = _plan(all_queries.QUERIES["q5_region_revenue"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    plan = _plan(all_queries.QUERIES["filter_sort_limit"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_reference_pipeline_single_exchange(spark, sf_dir):
+    """The whole B->C->A->J transform shares ONE shuffle: rolling window
+    and per-asset aggregates reuse the same exchange on ativo."""
+    out = transform(derive_ohlcv(load_events(spark, sf_dir)))
+    plan = _plan(out)
+    # exactly 2 exchanges total: the bar-derivation groupBy and ONE
+    # window exchange; both Window nodes (rolling mm_7d + unbounded
+    # per-asset aggregates) share a single Sort under it.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2, plan
+    assert len(re.findall(r"\(\d+\) Sort", plan)) == 1, plan
+
+
+def test_partition_pruning_on_refined_layout(spark, sf_dir, tmp_path):
+    """F2: WHERE ativo='TICK1' on the Hive-partitioned refined output is
+    partition-pruning, not a data filter (reference: README.md:288)."""
+    out = refined(derive_ohlcv(load_events(spark, sf_dir)), run_date="2026-01-01")
+    path = str(tmp_path / "refined")
+    write_refined(out, path)
+    df = spark.read.parquet(path).filter(F.col("ativo") == "TICK1")
+    plan = _plan(df)
+    assert re.search(r"PartitionFilters: \[.*ativo.* = TICK1", plan), plan
+    assert df.count() > 0
+
+
+def test_exact_dedup_uses_window_group_limit(spark, sf_dir):
+    plan = _plan(all_queries.QUERIES["dedup_exact"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_brute_force_topk_broadcasts_queries_not_corpus(spark, sf_dir):
+    plan = _plan(all_queries.QUERIES["cosine_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # corpus side must not be exchanged for the join itself
+    assert "WindowGroupLimit" in plan
