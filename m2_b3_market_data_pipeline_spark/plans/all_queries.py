@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     expansion_similarity,
     expansion_text,
     expansion_text2,
+    market_indicators,
     reference_queries,
     sql_surface,
     sql_surface2,

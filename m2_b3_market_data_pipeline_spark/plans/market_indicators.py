@@ -1,0 +1,107 @@
+"""Technical-indicator queries over the derived OHLCV bars, each (except
+the recursive EWMA) oracle-checked with the identical window arithmetic
+in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.indicators import (
+    with_bollinger,
+    with_drawdown,
+    with_ewma,
+    with_returns,
+    with_rsi,
+    with_vwap,
+)
+from ..operators.normalize import rename_columns
+from .ohlcv import OHLCV_SQL, derive_ohlcv, load_events
+from .registry import register
+
+
+def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rename_columns(derive_ohlcv(load_events(spark, sf_dir)))
+
+
+@register(
+    "indicator_returns",
+    oracle=OHLCV_SQL
+    + """
+SELECT ativo, "date", close_price,
+       ROUND((close_price - LAG(close_price) OVER w) / LAG(close_price) OVER w, 6) AS ret
+FROM ohlcv
+WINDOW w AS (PARTITION BY ativo ORDER BY "date")
+""",
+)
+def indicator_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period returns via lag (operators/indicators.py)."""
+    return with_returns(_bars(spark, sf_dir)).select("ativo", "date", "close_price", "ret")
+
+
+@register(
+    "indicator_bollinger",
+    oracle=OHLCV_SQL
+    + """
+SELECT ativo, "date", close_price,
+       ROUND(CASE WHEN COUNT(close_price) OVER w >= 7 THEN AVG(close_price) OVER w END, 6) AS boll_mid,
+       ROUND(CASE WHEN COUNT(close_price) OVER w >= 7
+             THEN AVG(close_price) OVER w + 2.0 * STDDEV_SAMP(close_price) OVER w END, 6)  AS boll_up,
+       ROUND(CASE WHEN COUNT(close_price) OVER w >= 7
+             THEN AVG(close_price) OVER w - 2.0 * STDDEV_SAMP(close_price) OVER w END, 6)  AS boll_dn
+FROM ohlcv
+WINDOW w AS (PARTITION BY ativo ORDER BY "date" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def indicator_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands: rolling mean ± 2σ, min_periods-guarded."""
+    return with_bollinger(_bars(spark, sf_dir)).select(
+        "ativo", "date", "close_price", "boll_mid", "boll_up", "boll_dn"
+    )
+
+
+@register(
+    "indicator_vwap_drawdown",
+    oracle=OHLCV_SQL
+    + """
+SELECT ativo, "date", close_price,
+       ROUND(SUM(close_price * trade_volume) OVER cum / SUM(trade_volume) OVER cum, 6) AS vwap,
+       ROUND(close_price / MAX(close_price) OVER cum - 1.0, 6)                         AS drawdown
+FROM ohlcv
+WINDOW cum AS (PARTITION BY ativo ORDER BY "date" ROWS UNBOUNDED PRECEDING)
+""",
+)
+def indicator_vwap_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative VWAP + drawdown from running peak."""
+    out = with_drawdown(with_vwap(_bars(spark, sf_dir)))
+    return out.select("ativo", "date", "close_price", "vwap", "drawdown")
+
+
+@register(
+    "indicator_rsi",
+    oracle=OHLCV_SQL
+    + """
+, gl AS (
+    SELECT ativo, "date", close_price,
+           greatest(close_price - LAG(close_price) OVER (PARTITION BY ativo ORDER BY "date"), 0.0)  AS g,
+           greatest(LAG(close_price) OVER (PARTITION BY ativo ORDER BY "date") - close_price, 0.0)  AS l
+    FROM ohlcv
+)
+SELECT ativo, "date", close_price,
+       ROUND(CASE WHEN COUNT(g) OVER w < 7 THEN NULL
+                  WHEN AVG(l) OVER w = 0.0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + AVG(g) OVER w / AVG(l) OVER w) END, 6) AS rsi
+FROM gl
+WINDOW w AS (PARTITION BY ativo ORDER BY "date" ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def indicator_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSI (Cutler's simple-average form), min_periods-guarded."""
+    return with_rsi(_bars(spark, sf_dir)).select("ativo", "date", "close_price", "rsi")
+
+
+@register("indicator_ewma")  # rows-only: recursive smoothing, not SQL-window-expressible
+def indicator_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive EWMA via Arrow-batched applyInPandas grouped map —
+    per-asset sequential state; asserted against pandas ewm in tests."""
+    return with_ewma(_bars(spark, sf_dir)).select("ativo", "date", "close_price", "ewma")
