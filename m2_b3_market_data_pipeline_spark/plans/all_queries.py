@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     reference_queries,
     sql_surface,
     sql_surface2,
+    sql_surface3,
     streaming_queries,
 )
 from .registry import ORACLES, QUERIES

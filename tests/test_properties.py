@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) on the trickiest semantics
+(SURVEY.md §5 strategy item 3): rolling-mean min_periods against the
+pandas engine the reference itself uses, and the coalesce invariant.
+
+Spark actions are slow, so examples are few but adversarial: random
+group sizes straddling the window width, NULL patterns, duplicate-heavy
+columns.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from m2_b3_market_data_pipeline_spark.operators.normalize import coalesce_duplicate_columns
+from m2_b3_market_data_pipeline_spark.operators.rolling import with_rolling_mean
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+prices = st.one_of(st.none(), st.floats(min_value=-1e6, max_value=1e6, allow_nan=False))
+
+
+@_slow
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from(["A", "B", "C"]), prices), min_size=1, max_size=40
+    )
+)
+def test_rolling_mean_matches_pandas_property(spark, data):
+    rows = [(a, i, v, 1) for i, (a, v) in enumerate(data)]
+    df = spark.createDataFrame(
+        rows, "ativo string, date int, close_price double, trade_volume long"
+    )
+    got = (
+        with_rolling_mean(df, window_rows=4)
+        .orderBy("ativo", "date")
+        .toPandas()
+    )
+    for _, grp in got.groupby("ativo"):
+        golden = grp["close_price"].rolling(window=4).mean()
+        for g, e in zip(grp["mm_7d"], golden):
+            if pd.isna(e):
+                assert g is None or (isinstance(g, float) and math.isnan(g))
+            else:
+                assert g is not None and abs(g - e) < 1e-9
+
+
+@_slow
+@given(
+    cols=st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z"]), st.one_of(st.none(), st.integers(-99, 99))),
+        min_size=1,
+        max_size=6,
+    ),
+    n_rows=st.integers(1, 5),
+)
+def test_coalesce_duplicates_property(spark, cols, n_rows):
+    """Output equals: for each distinct name (first-seen order), the
+    first non-null value scanning its occurrences left-to-right."""
+    names = [name for name, _ in cols]
+    rows = [tuple(v for _, v in cols) for _ in range(n_rows)]
+    df = spark.createDataFrame(rows, ", ".join(f"c{i} int" for i in range(len(cols)))).toDF(*names)
+    out = coalesce_duplicate_columns(df)
+
+    first_seen = list(dict.fromkeys(names))
+    assert out.columns == first_seen
+    expected_row = []
+    for name in first_seen:
+        vals = [v for n, v in cols if n == name]
+        expected_row.append(next((v for v in vals if v is not None), None))
+    for row in out.collect():
+        assert tuple(row) == tuple(expected_row)
