@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     sql_surface,
     sql_surface2,
     sql_surface3,
+    sql_surface4,
     streaming_queries,
 )
 from .registry import ORACLES, QUERIES
