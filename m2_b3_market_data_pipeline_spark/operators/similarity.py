@@ -91,6 +91,73 @@ def cosine_pairs_above(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine
+    (IVF coarse quantization). The centroid list is broadcast — the
+    corpus never shuffles; cost is |corpus| × |centroids| dot products
+    inside codegen. Cosine is rounded to 6dp before ranking (with the
+    centroid id as tiebreak) so the argmax is reproducible across
+    engines."""
+    cent = centroids.select(
+        F.col(id_col).alias("cid"), as_double(vec_col).alias("cvec")
+    )
+    scored = corpus.withColumn("__v", as_double(vec_col)).crossJoin(
+        F.broadcast(cent)
+    ).withColumn("__ccos", F.round(cosine(F.col("__v"), F.col("cvec")), 6))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__ccos"), F.asc("cid"))
+    return (
+        scored.withColumn("__crn", F.row_number().over(w))
+        .filter(F.col("__crn") <= nprobe)
+        .drop("__ccos", "__crn", "cvec", "__v")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into centroid
+    cells (one probe each), probe the ``nprobe`` nearest cells per
+    query, exact-cosine re-rank inside the probed cells only.
+
+    Scale shape: the corpus partitions by cell id once (the inverted
+    file); each query touches |corpus| × nprobe/|cells| candidates
+    instead of the full corpus. Centroids stay broadcast at both steps.
+    Deterministic given fixed centroids — unlike trained k-means — so
+    the whole path is oracle-checkable."""
+    cells = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec"), "cid"
+    )
+    probes = ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec"), "cid"
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: components from
     a fixed LCG so signatures are reproducible with no RNG dependency."""

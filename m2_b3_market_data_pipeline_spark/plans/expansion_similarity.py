@@ -18,6 +18,7 @@ from ..operators.similarity import (
     ann_topk,
     brute_force_topk,
     cosine_pairs_above,
+    ivf_topk,
 )
 from .registry import load, register
 
@@ -88,6 +89,63 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     return ann_topk(emb, queries, dim=EMBED_DIM, k=TOP_K)
+
+
+CENTROID_MOD = 50  # centroids = vec_id % 50 == 0 (deterministic coarse codebook)
+NPROBE = 2
+
+_CCOS_C = (
+    "ROUND(list_inner_product(c.v, cent.cv) / "
+    "(sqrt(list_inner_product(c.v, c.v)) * sqrt(list_inner_product(cent.cv, cent.cv))), 6)"
+)
+_CCOS_Q = (
+    "ROUND(list_inner_product(q.qv, cent.cv) / "
+    "(sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(cent.cv, cent.cv))), 6)"
+)
+_RCOS = (
+    "ROUND(list_inner_product(qv, v) / "
+    "(sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6)"
+)
+
+
+@register(
+    "ivf_ann_topk",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % {CENTROID_MOD} = 0),
+asg AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT c.vec_id, c.v, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_CCOS_C} DESC, cent.cid) AS rn
+        FROM c CROSS JOIN cent) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % {QUERY_MOD} = 0),
+probe AS (
+    SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_CCOS_Q} DESC, cent.cid) AS rn
+        FROM q CROSS JOIN cent) WHERE rn <= {NPROBE})
+SELECT query_id, neighbor_id, cos, rn FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id, {_RCOS} AS cos,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                              ORDER BY {_RCOS} DESC, a.vec_id) AS rn
+    FROM probe p JOIN asg a ON a.cid = p.cid
+    WHERE a.vec_id <> p.query_id
+) WHERE rn <= {TOP_K}
+""",
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: deterministic coarse codebook (every
+    ``CENTROID_MOD``-th vector), corpus inverted into cells, queries
+    probe their NPROBE nearest cells, exact re-rank inside cells only
+    (operators/similarity.py::ivf_topk). Unlike the hyperplane-LSH
+    path this one is fully deterministic, hence oracle-checked; recall
+    vs the exact baseline is asserted in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return ivf_topk(emb, queries, centroids, k=TOP_K, nprobe=NPROBE)
 
 
 @register(

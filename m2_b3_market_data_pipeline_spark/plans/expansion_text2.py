@@ -108,6 +108,50 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single
+# non-alphanumeric marks — the coarse split real BPE tokenizers apply
+# before merges. Pure character classes, so Java regex (Spark) and RE2
+# (DuckDB) agree.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@register(
+    "token_count_bpe",
+    oracle=f"""
+WITH t AS (SELECT doc_id, text,
+                  regexp_extract_all(text, '{BPE_PATTERN}') AS bpe,
+                  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                              x -> x <> '') AS ws
+           FROM documents)
+SELECT doc_id,
+       CAST(len(bpe) AS INT)            AS n_bpe_tokens,
+       CAST(len(ws) AS INT)             AS n_ws_tokens,
+       CASE WHEN len(bpe) > 0 THEN
+         ROUND(CAST(length(text) AS DOUBLE) / CAST(len(bpe) AS DOUBLE), 6)
+       END                              AS chars_per_bpe_token
+FROM t
+""",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for LLM-pipeline budgeting: whitespace tokens AND a
+    BPE-ish regex pre-tokenization (letter/digit runs + punctuation
+    marks), plus the chars-per-token compression ratio. One codegen'd
+    projection, no shuffle, no UDF."""
+    from ..functions.textfns import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+    n_bpe = F.size(bpe)
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        F.size(tokens("text")).alias("n_ws_tokens"),
+        F.when(
+            n_bpe > 0, F.round(F.length("text").cast("double") / n_bpe.cast("double"), 6)
+        ).alias("chars_per_bpe_token"),
+    )
+
+
 @register(
     "normalized_vectors",
     oracle="""

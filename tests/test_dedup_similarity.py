@@ -17,6 +17,7 @@ from m2_b3_market_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     cosine,
     cosine_pairs_above,
+    ivf_topk,
 )
 
 
@@ -106,3 +107,24 @@ def test_brute_force_topk_order_and_exclusion(spark):
 def test_cosine_pairs_threshold(spark):
     pairs = {(r.id_a, r.id_b) for r in cosine_pairs_above(_vecs(spark), threshold=0.9).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_ivf_recall_against_exact(spark, sf_dir):
+    """IVF probe of 2 cells must recover most of the exact top-5 — and
+    every IVF hit must carry the same cosine the exact path computes."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in ivf_topk(emb, queries, centroids, k=5, nprobe=2).collect()
+    }
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+    for key in hits:
+        assert exact[key] == approx[key]
