@@ -82,6 +82,38 @@ def test_exact_dedup_uses_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_q9_five_way_join_all_broadcast_single_fact_scan(spark, sf_dir):
+    """TPC-H Q9: every dimension join is broadcast-hash (the fact table
+    never shuffles for a join) and lineitem is scanned exactly once."""
+    plan = _plan(all_queries.QUERIES["q9_product_profit"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_q17_window_rewrite_scans_fact_once(spark, sf_dir):
+    """Q17's correlated per-part AVG is a partitioned window over ONE
+    lineitem scan — the self-join formulation would scan it twice."""
+    plan = _plan(all_queries.QUERIES["q17_small_quantity_revenue"](spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scalar_subqueries_stay_broadcast_no_cartesian(spark, sf_dir):
+    """Q11/Q15 attach scalar thresholds via crossJoin(broadcast(agg));
+    the plan must never degrade to a CartesianProduct."""
+    for name in ("q11_important_value", "q15_top_supplier", "q2_min_cost_supplier"):
+        plan = _plan(all_queries.QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_dedup_fan_out_parallelizes_hash_pipeline(spark, sf_dir):
+    """The minhash pipeline must include the round-robin rebalance so
+    per-shingle hashing never runs on a single input split."""
+    plan = _plan(all_queries.QUERIES["minhash_dedup"](spark, sf_dir))
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, plan
+
+
 def test_brute_force_topk_broadcasts_queries_not_corpus(spark, sf_dir):
     plan = _plan(all_queries.QUERIES["cosine_topk"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
