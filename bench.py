@@ -55,6 +55,14 @@ HEADLINE = [
     "window_running_total",
     "tfidf_top_terms",
     "label_centroids",
+    # added with round-1 coverage growth (TPC-H wave 4, streaming joins,
+    # IVF ANN) — totals before/after are not comparable 1:1; compare
+    # per-query against BASELINE.md
+    "q9_product_profit",
+    "q21_sole_returned_supplier",
+    "stream_stream_join",
+    "ivf_ann_topk",
+    "token_count_bpe",
 ]
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..streaming.joins import dedup_events, view_click_attribution
 from ..streaming.windows import session_counts, sliding_counts, tumbling_counts
 from .registry import load, register
 
@@ -85,3 +86,44 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-minute-gap session windows per user — Spark's session_window
     against a gaps-and-islands SQL oracle (streaming/windows.py)."""
     return session_counts(load(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       v.ts       AS view_ts,
+       c.ts       AS click_ts
+FROM events v
+JOIN events c
+  ON c.user_id = v.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View->click attribution: stream-stream inner join on user_id with
+    a 30-minute event-time bound (streaming/joins.py; in streaming mode
+    the same builder runs with watermarks on both sides so join state is
+    evicted — exercised in tests/test_streaming.py)."""
+    return view_click_attribution(load(spark, sf_dir, "events"))
+
+
+@register(
+    "streaming_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type, ts
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) = 1
+""",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based stream deduplication (streaming/joins.py::dedup_events).
+    event_id is unique in the fixture so the batch path is deterministic;
+    the streaming path (state inside the watermark horizon) is exercised
+    in tests/test_streaming.py."""
+    return dedup_events(load(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "event_type", "ts"
+    )

@@ -99,6 +99,76 @@ def load_events_parquet_dir(spark, sf_dir, tmp_path):
     return spark.read.parquet(str(tmp_path / "events_dir"))
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """view->click attribution as a REAL stream-stream join (watermarks
+    on both sides bound join state) must equal the batch run of the same
+    builder — batch/streaming unification for joins."""
+    from m2_b3_market_data_pipeline_spark.streaming.joins import view_click_attribution
+
+    events = load_events_parquet_dir(spark, sf_dir, tmp_path)
+    batch = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in view_click_attribution(events).collect()
+    }
+    assert batch, "fixture must produce at least one attribution pair"
+
+    stream = spark.readStream.schema(events.schema).parquet(str(tmp_path / "events_dir"))
+    joined = view_click_attribution(stream.withWatermark("ts", "1 day"))
+    name = f"ssj_{int(time.time())}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert streamed == batch
+
+
+def test_streaming_dedup_drops_replayed_keys(spark, tmp_path):
+    """dropDuplicates on a stream: a key replayed in a later file must
+    be emitted exactly once."""
+    from m2_b3_market_data_pipeline_spark.streaming.joins import dedup_events
+
+    d = tmp_path / "dup"
+    d.mkdir()
+    first = spark.createDataFrame(
+        [(1, "u1", "click", "2024-01-01 10:00:00"), (2, "u2", "view", "2024-01-01 10:01:00")],
+        "event_id long, user_id string, event_type string, ts string",
+    ).selectExpr("event_id", "user_id", "event_type", "cast(ts as timestamp) ts")
+    first.write.mode("append").parquet(str(d / "f1"))
+    replay = spark.createDataFrame(
+        [(1, "u1", "click", "2024-01-01 10:00:00"), (3, "u3", "view", "2024-01-01 10:02:00")],
+        "event_id long, user_id string, event_type string, ts string",
+    ).selectExpr("event_id", "user_id", "event_type", "cast(ts as timestamp) ts")
+    replay.write.mode("append").parquet(str(d / "f2"))
+
+    stream = (
+        spark.readStream.schema(first.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    name = f"dedup_{int(time.time())}"
+    q = (
+        dedup_events(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(f"SELECT event_id FROM {name}").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3], ids
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Feed two files: recent rows, then a very late row. With a short
     watermark in append mode the late row's window never emits."""
