@@ -96,15 +96,21 @@ GROUP BY c.c_nationkey
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar subquery threshold + anti join (rich
     customers with no RECENT orders - the recency filter keeps the
-    result non-empty on the fixtures), grouped."""
+    result non-empty on the fixtures), grouped. The threshold attaches
+    via crossJoin(broadcast(agg)) — lazy and collect-free, same pattern
+    as q11/q15."""
     c = load(spark, sf_dir, "customer")
     o = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
         .select("o_custkey")
     )
-    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal")).collect()[0][0]
-    rich = c.filter(F.col("c_acctbal") > avg_bal)
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("__avg_bal"))
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .drop("__avg_bal")
+    )
     idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return idle.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
         F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 6).alias("totacctbal")
