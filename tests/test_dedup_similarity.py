@@ -109,6 +109,26 @@ def test_cosine_pairs_threshold(spark):
     assert pairs == {(1, 2)}
 
 
+def test_ivf_probing_all_cells_equals_exact(spark, sf_dir):
+    """Equivalence: with nprobe = |cells| the IVF path degenerates to
+    brute force — same pairs, same cosines, same ranks. Pins that the
+    cell routing only *restricts* the candidate set, never corrupts
+    scoring."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    n_cells = centroids.count()
+    exact = {
+        (r.query_id, r.rn): (r.neighbor_id, r.cos)
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    full_probe = {
+        (r.query_id, r.rn): (r.neighbor_id, r.cos)
+        for r in ivf_topk(emb, queries, centroids, k=3, nprobe=n_cells).collect()
+    }
+    assert full_probe == exact
+
+
 def test_ivf_recall_against_exact(spark, sf_dir):
     """IVF probe of 2 cells must recover most of the exact top-5 — and
     every IVF hit must carry the same cosine the exact path computes."""
