@@ -84,8 +84,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(l.l_orderkey.alias("orderkey"), o.o_orderdate.alias("orderdate"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
@@ -117,8 +117,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
@@ -149,7 +149,7 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 6).alias("total_spend")
     )
     return (
-        spend.join(F.broadcast(c), spend.o_custkey == c.c_custkey)
+        spend.join(c, spend.o_custkey == c.c_custkey)
         .select(
             F.col("c_custkey").alias("custkey"),
             F.col("c_name").alias("name"),

@@ -87,7 +87,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -122,7 +122,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("raw_qty") > 150)
     )
     return (
-        qty.join(F.broadcast(o), qty.l_orderkey == o.o_orderkey)
+        qty.join(o, qty.l_orderkey == o.o_orderkey)
         .select(
             F.col("o_orderkey").alias("orderkey"),
             F.col("o_totalprice").alias("totalprice"),

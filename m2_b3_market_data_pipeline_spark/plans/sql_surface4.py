@@ -9,12 +9,16 @@ distinct-count over an excluded join (Q16), semi join against an
 aggregated threshold (Q20), and the exists / not-exists double
 correlation (Q21).
 
-Scale notes (100 TB posture): in every query below the dimension side
-(part 2k rows, supplier 100, customer 1.5k, nation 25, region 5 at
-sf0.01; still tiny relative to lineitem at any sf) is explicitly
-``F.broadcast``-ed so the fact table never shuffles for a join; scalar
-thresholds are attached with ``crossJoin(broadcast(agg))`` instead of a
-driver-side ``collect`` so plans stay fully distributed and lazy.
+Scale notes (100 TB posture): only relations whose size is BOUNDED by
+schema — nation (25 rows), region (5), and 1-row scalar aggregates —
+carry an explicit ``F.broadcast``; forcing a broadcast is an OOM at
+scale for anything that grows with the data. The scaling tables
+(orders/customer/supplier/part) are left to Catalyst + AQE, which
+broadcasts them while they fit under the threshold and switches to a
+shuffled join when they don't — the same query text serves both
+regimes. Scalar thresholds attach with ``crossJoin(broadcast(agg))``
+instead of a driver-side ``collect`` so plans stay distributed and
+lazy.
 
 Reference parity: the reference engine exposes arbitrary SQL through
 Athena/Presto (README.md:270-296); these shapes pin the relational
@@ -77,8 +81,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     return (
-        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        best.join(p, best.l_partkey == p.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
@@ -115,8 +119,8 @@ GROUP BY sn.n_name, cn.n_name, l_year
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7: bilateral shipping volume between two nations by year.
 
-    Disjunctive cross-nation predicate over a 5-way join; all dimension
-    sides broadcast, so the only shuffle is the final groupBy."""
+    Disjunctive cross-nation predicate over a 5-way join; the bounded
+    nation maps are force-broadcast, the scaling sides are AQE's call."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
@@ -128,9 +132,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .filter(
@@ -179,11 +183,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     rev = _revenue()
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -214,17 +218,19 @@ GROUP BY nation, o_year
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit on 'widget' parts by supplier nation and
     year (no partsupp in the fixtures, so profit omits supply cost —
-    the join/LIKE/group shape is what's under test)."""
+    the join/LIKE/group shape is what's under test). At test scale every
+    join side fits the broadcast threshold, so lineitem never shuffles
+    for a join (pinned in test_plan_quality)."""
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select("p_partkey")
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf_dir, "nation")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("o_year"),
@@ -259,7 +265,7 @@ def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
     vals = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(_revenue()).alias("value"))
@@ -299,7 +305,7 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(F.col("l_linestatus").alias("linestatus"))
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -343,7 +349,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load(spark, sf_dir, "supplier")
     return (
-        top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey)
+        top.join(s, top.l_suppkey == s.s_suppkey)
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("name"),
@@ -374,7 +380,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#2") & F.col("p_size").between(1, 8)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("p_type").alias("type"),
@@ -410,7 +416,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#15").select("p_partkey")
     return (
         li.withColumn("half_avg_qty", 0.5 * F.avg("l_quantity").over(w))
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
     )
@@ -442,7 +448,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 50) & q.between(20, 40))
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(F.round(F.sum(_revenue()), 6).alias("revenue"))
     )
@@ -476,7 +482,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select("p_partkey")
     shipped = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 400)
@@ -586,7 +592,7 @@ def q21_sole_returned_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             per_order.filter((F.col("n_supps") > 1) & (F.col("n_r_supps") == 1)),
             "l_orderkey",
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy(F.col("s_name").alias("name"))
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.desc("numwait"), "name")
