@@ -23,6 +23,7 @@ from . import (  # noqa: F401
     sql_surface2,
     sql_surface3,
     sql_surface4,
+    sql_surface5,
     streaming_queries,
 )
 from .registry import ORACLES, QUERIES

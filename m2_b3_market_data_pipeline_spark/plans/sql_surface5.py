@@ -1,0 +1,132 @@
+"""Fifth wave: time-range windows, non-equi band joins, and sketches.
+
+Fills the remaining window/join frame variants SURVEY.md calls out:
+
+- SURVEY.md §2.6 W1 notes the reference's ``mm_7d`` is ROW-based
+  (`/root/reference/etl/etl_job.py:126-130`) and that "a time-based
+  variant would use ``rangeBetween`` over a unix-ts column" — that
+  variant lands here as ``rolling_mean_time_range``.
+- SURVEY.md §2.4 notes the reference has no range joins but the Athena
+  SQL surface (`/root/reference/README.md:270-296`) admits arbitrary
+  theta joins — ``band_join_revenue`` pins a canonical interval/band
+  join shape.
+- ``approx_distinct_users`` adds the HLL sketch path (approximate
+  distinct at 100 TB is a sketch, never an exact shuffle-distinct).
+
+Scale notes (100 TB posture): the time-range window shuffles once on
+its partition key, identical cost profile to the row-frame form. The
+band dim is schema-bounded (a handful of rows) so the non-equi join is
+an explicit ``F.broadcast`` nested-loop — each probe row scans ≤|bands|
+entries, no shuffle, no cartesian blow-up. HLL aggregation carries a
+fixed-size sketch through partial aggregation instead of shuffling
+every distinct key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+_WEEK_MICROS = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "rolling_mean_time_range",
+    oracle="""
+SELECT event_id, user_id, ts, value,
+       ROUND(AVG(value) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+       ), 6) AS avg_7d
+FROM events
+""",
+)
+def rolling_mean_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based trailing mean: RANGE frame over microsecond event time.
+
+    The calendar-time sibling of the reference's row-based ``mm_7d``
+    (SURVEY.md §2.6 W1): the frame is [t - 7 days, t] regardless of how
+    many rows fall inside it. ``rangeBetween`` needs a numeric ordering
+    key, so we order by ``unix_micros(ts)`` — exact integer µs, no
+    double truncation — and bound the frame in µs. One shuffle on
+    user_id; the frame is evaluated streamingly within each sorted
+    partition.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_WEEK_MICROS, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(F.avg("value").over(w), 6).alias("avg_7d"),
+    )
+
+
+_BANDS = [
+    (0.0, 20_000.0),
+    (20_000.0, 40_000.0),
+    (40_000.0, 60_000.0),
+    (60_000.0, 1.0e12),
+]
+
+
+@register(
+    "band_join_revenue",
+    oracle="""
+WITH bands(band_lo, band_hi) AS (VALUES
+    (0.0, 20000.0), (20000.0, 40000.0), (40000.0, 60000.0),
+    (60000.0, 1e12))
+SELECT band_lo,
+       CAST(COUNT(*) AS BIGINT)                                  AS n,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)         AS revenue
+FROM lineitem
+JOIN bands
+  ON l_extendedprice >= band_lo AND l_extendedprice < band_hi
+GROUP BY band_lo
+""",
+)
+def band_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band/interval join: price rows matched to their band.
+
+    The band dim is bounded by schema (4 rows here), so the right
+    strategy at any scale is a broadcast nested-loop join — each fact
+    row tests a handful of intervals locally, no shuffle. A shuffled
+    theta join here would be a cross-product disaster at 100 TB; the
+    explicit ``F.broadcast`` pins the safe plan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_BANDS, "band_lo double, band_hi double")
+    joined = li.join(
+        F.broadcast(bands),
+        (F.col("l_extendedprice") >= F.col("band_lo"))
+        & (F.col("l_extendedprice") < F.col("band_hi")),
+    )
+    return joined.groupBy("band_lo").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("revenue"),
+    )
+
+
+@register("approx_distinct_users")  # rows-only: HLL sketch, engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count per event_type.
+
+    At 100 TB an exact COUNT(DISTINCT) shuffles every distinct key;
+    the HLL sketch carries a fixed ~KB state through map-side partial
+    aggregation instead. Engines' sketches differ bit-for-bit, so this
+    is rows-only; `tests/test_sql_surface5.py` bounds the estimate
+    against the exact count (rsd=0.01 → well within 5 %).
+    """
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )

@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+from m2_b3_market_data_pipeline_spark.plans.sql_surface5 import (
+    approx_distinct_users,
+    band_join_revenue,
+    rolling_mean_time_range,
+)
+from m2_b3_market_data_pipeline_spark.plans.registry import load
+
+
+def test_band_join_broadcasts_the_band_dim(spark, sf_dir):
+    plan = band_join_revenue(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_band_join_partitions_every_row_exactly_once(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    out = band_join_revenue(spark, sf_dir)
+    rows = out.collect()
+    assert sum(r["n"] for r in rows) == li.count()
+    assert len({r["band_lo"] for r in rows}) == len(rows)
+
+
+def test_rolling_time_range_uses_range_frame(spark, sf_dir):
+    plan = (
+        rolling_mean_time_range(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "RangeFrame" in plan and str(-7 * 24 * 3600 * 1_000_000) in plan
+
+
+def test_rolling_time_range_manual_spot_check(spark, sf_dir):
+    out = rolling_mean_time_range(spark, sf_dir)
+    row = out.orderBy("user_id", "ts").limit(1).collect()[0]
+    # first event of the first user has only itself in its 7-day frame
+    assert row["avg_7d"] == round(row["value"], 6)
+
+
+def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for r in approx_distinct_users(spark, sf_dir).collect():
+        assert abs(r["approx_users"] - exact[r["event_type"]]) <= 0.05 * exact[r["event_type"]]
