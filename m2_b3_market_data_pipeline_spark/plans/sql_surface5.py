@@ -116,6 +116,105 @@ def band_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gap_fill_locf",
+    oracle="""
+WITH daily AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           MAX(value) AS day_value
+    FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+spine AS (
+    SELECT user_id,
+           CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                       CAST(d1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+)
+SELECT s.user_id, s.day,
+       ROUND(LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.day), 6) AS value_ff
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+""",
+)
+def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + LOCF forward fill (hypertable-rollup staple).
+
+    Builds a continuous daily spine per user with ``sequence`` +
+    ``explode`` (distributed — each user's spine is generated on its own
+    executor, no driver-side date loop), left-joins the observed daily
+    value, and carries the last observation forward with
+    ``last(ignorenulls=True)`` over an unbounded-preceding row frame.
+    Two shuffles (daily agg, spine join on the same key); the LOCF
+    window reuses the join's user_id partitioning. Day values use
+    ``MAX`` so duplicate timestamps stay deterministic.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.max("value").alias("day_value"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            # DATE comes back from DuckDB's pandas bridge as a midnight
+            # timestamp; emit the same type so the driver's isoformat
+            # hash agrees.
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            F.round(F.last("day_value", ignorenulls=True).over(w), 6).alias(
+                "value_ff"
+            ),
+        )
+    )
+
+
+@register(
+    "regex_functions",
+    oracle="""
+SELECT doc_id,
+       COALESCE(regexp_extract(text, '([A-Za-z]+)', 1), '')        AS first_word,
+       CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
+                                                                   AS len_no_digits,
+       regexp_matches(text, '[.!?]$')                              AS ends_sentence
+FROM documents
+""",
+)
+def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: extract / replace / match predicate.
+
+    The reference's Athena layer implies the full Presto regex library
+    (SURVEY.md §2.9); this pins Spark's ``regexp_extract`` /
+    ``regexp_replace`` / ``rlike`` against DuckDB on patterns restricted
+    to the Java-regex ∩ RE2 common subset (char classes + anchors —
+    no lookaround, no engine-specific escapes). Pure projection: no
+    shuffle, whole-stage codegen, pushdown-friendly.
+    """
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"([A-Za-z]+)", 1).alias("first_word"),
+        F.length(F.regexp_replace(F.col("text"), r"[0-9]", "")).cast("long").alias(
+            "len_no_digits"
+        ),
+        F.col("text").rlike(r"[.!?]$").alias("ends_sentence"),
+    )
+
+
 @register("approx_distinct_users")  # rows-only: HLL sketch, engine-specific
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count per event_type.

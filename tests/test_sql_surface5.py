@@ -39,6 +39,27 @@ def test_rolling_time_range_manual_spot_check(spark, sf_dir):
     assert row["avg_7d"] == round(row["value"], 6)
 
 
+def test_gap_fill_spine_is_continuous_per_user(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from m2_b3_market_data_pipeline_spark.plans.sql_surface5 import gap_fill_locf
+
+    out = gap_fill_locf(spark, sf_dir)
+    per_user = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("span_days"),
+    )
+    assert per_user.filter(F.col("n") != F.col("span_days")).count() == 0
+    # LOCF: once a user has any observation, no later day is null
+    assert out.filter(F.col("value_ff").isNull()).count() == 0
+
+
+def test_regex_functions_is_shuffle_free(spark, sf_dir):
+    from m2_b3_market_data_pipeline_spark.plans.sql_surface5 import regex_functions
+
+    plan = regex_functions(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
     from pyspark.sql import functions as F
 
