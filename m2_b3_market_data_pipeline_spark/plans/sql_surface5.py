@@ -215,6 +215,89 @@ def regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "train_test_split",
+    oracle="""
+WITH assigned AS (
+    SELECT doc_id, lang,
+           CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END                       AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT)                   AS n_docs
+FROM assigned
+GROUP BY 1, 2
+""",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split (training-data staple).
+
+    Assignment is a pure function of the row key — ``md5('split|'||id)``
+    bucketed mod 100 — so the split is reproducible across runs, engines,
+    and cluster sizes (unlike ``df.randomSplit``, whose outcome depends
+    on partitioning). No shuffle for the assignment itself; one hash
+    aggregation for the per-split counts. At 100 TB the same expression
+    is a partition-local projection.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "sample_per_group",
+    oracle="""
+WITH ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('sample|' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= 10
+""",
+)
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform sample of k=10 docs per group.
+
+    Orders each group by a keyed md5 — a reproducible stand-in for a
+    random shuffle — and keeps the first k by row_number. The
+    hash-order + unique-key tiebreak makes the sample stable across
+    engines and partitionings (a seeded ``sampleBy`` is engine-specific
+    and only approximates the per-group fraction). One shuffle on the
+    group key; with heavy group skew the rank prune still caps output
+    at k rows per group.
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lang")
+    )
+
+
 @register("approx_distinct_users")  # rows-only: HLL sketch, engine-specific
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count per event_type.

@@ -60,6 +60,32 @@ def test_regex_functions_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_train_test_split_fractions_and_stability(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from m2_b3_market_data_pipeline_spark.plans.sql_surface5 import train_test_split
+
+    out = train_test_split(spark, sf_dir)
+    totals = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.sum("n_docs").alias("n")).collect()}
+    n = sum(totals.values())
+    assert 0.70 <= totals["train"] / n <= 0.90
+    assert totals["valid"] / n <= 0.20 and totals["test"] / n <= 0.20
+    # deterministic: two runs agree exactly
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, train_test_split(spark, sf_dir).collect())
+    )
+
+
+def test_sample_per_group_caps_at_k_and_is_stable(spark, sf_dir):
+    from m2_b3_market_data_pipeline_spark.plans.sql_surface5 import sample_per_group
+
+    out = sample_per_group(spark, sf_dir)
+    counts = out.groupBy("lang").count().collect()
+    assert all(r["count"] <= 10 for r in counts)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, sample_per_group(spark, sf_dir).collect())
+    )
+
+
 def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
     from pyspark.sql import functions as F
 
