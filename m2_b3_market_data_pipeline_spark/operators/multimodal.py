@@ -95,3 +95,54 @@ def extract_features(df: DataFrame, *, id_col: str = "doc_id", binary_col: str =
             )
 
     return df.select(id_col, binary_col).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hash string"
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    binary_col: str = "content",
+    n_frames: int = 4,
+    frame_bytes: int = 16,
+) -> DataFrame:
+    """Evenly-spaced frame sampling over an opaque binary payload.
+
+    The video-pipeline shape: one input row fans out to ``n_frames``
+    rows, each a fixed-size window taken at evenly spaced offsets
+    (first frame at 0, last frame ending flush with the payload). A
+    real deployment decodes container formats here (stubbed — no codec
+    libs in this container); the deterministic stand-in slices the raw
+    bytes, which keeps the exact same Spark plumbing: Arrow-batched
+    ``mapInPandas``, a 1→N row multiplier, partitioning preserved (no
+    shuffle), output hashed so frames dedup downstream by content.
+    Payloads shorter than ``n_frames * frame_bytes`` are skipped (a
+    real decoder's too-short-to-sample case).
+    """
+    import hashlib
+
+    id_name, bin_name = id_col, binary_col
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            hashes: list[str] = []
+            for i, raw in zip(pdf[id_name], pdf[bin_name]):
+                b = bytes(raw)
+                if len(b) < n_frames * frame_bytes:
+                    continue
+                stride = (len(b) - frame_bytes) // (n_frames - 1)
+                for k in range(n_frames):
+                    frame = b[k * stride : k * stride + frame_bytes]
+                    ids.append(int(i))
+                    idxs.append(k)
+                    hashes.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"),
+                 "frame_hash": hashes}
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(batches, FRAME_SCHEMA)

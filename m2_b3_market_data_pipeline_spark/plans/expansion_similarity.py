@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import attach_binary, extract_features
+from ..operators.dedup import fan_out
+from ..operators.multimodal import attach_binary, extract_features, sample_frames
 from ..operators.similarity import (
     ann_topk,
     brute_force_topk,
@@ -185,3 +186,29 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrapped = attach_binary(docs)
     feats = extract_features(wrapped)
     return feats.select("doc_id", "byte_len", "content_md5", F.round(F.element_at("feature", 1), 6).alias("f0"), F.size("feature").alias("feature_dim"))
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+WITH sized AS (
+    SELECT doc_id, text, length(text) AS len
+    FROM documents WHERE length(text) >= 64
+),
+f AS (SELECT doc_id, len, text, unnest([0, 1, 2, 3]) AS frame_idx FROM sized)
+SELECT doc_id, frame_idx,
+       md5(substring(text, frame_idx * ((len - 16) // 3) + 1, 16)) AS frame_hash
+FROM f
+""",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: 1 row → 4 evenly-spaced
+    fixed-size frames via Arrow-batched mapInPandas, the video
+    frame-extraction pipeline shape (operators/multimodal.py::
+    sample_frames; the codec decode is stubbed, the byte-window slice is
+    the deterministic stand-in). fan_out spreads the narrow scan before
+    the per-row Python work. Oracle caveat: DuckDB has no BLOB
+    substring, so the oracle slices VARCHAR — byte-exact because the
+    document fixture is pure ASCII (asserted in tests)."""
+    docs = load(spark, sf_dir, "documents")
+    return sample_frames(fan_out(attach_binary(docs)), n_frames=4, frame_bytes=16)

@@ -76,3 +76,41 @@ def test_extract_features_arrow_batch_shape(spark):
     # mapInPandas output agrees with the local reference implementation
     text = _docs(spark).filter("doc_id = 1").collect()[0].text
     assert row.feature == deterministic_features(text.encode())
+
+
+def test_sample_frames_shape_and_hashes(spark):
+    import hashlib
+
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import sample_frames
+
+    payload = "x" * 10 + "abcdefghijklmnop" * 5  # 90 bytes, >= 4*16
+    df = spark.createDataFrame([(1, payload), (2, "tiny")], "doc_id long, text string")
+    out = sample_frames(attach_binary(df), n_frames=4, frame_bytes=16)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.frame_idx))
+    # short payload skipped; eligible payload yields exactly n_frames rows
+    assert [r.doc_id for r in rows] == [1, 1, 1, 1]
+    b = payload.encode()
+    stride = (len(b) - 16) // 3
+    for r in rows:
+        expect = hashlib.md5(b[r.frame_idx * stride : r.frame_idx * stride + 16]).hexdigest()
+        assert r.frame_hash == expect
+    # last frame ends flush with the payload only when stride divides evenly;
+    # first frame always starts at byte 0
+    assert rows[0].frame_hash == hashlib.md5(b[:16]).hexdigest()
+
+
+def test_sample_frames_partitioning_invariant(spark, sf_dir):
+    from m2_b3_market_data_pipeline_spark.plans.expansion_similarity import (
+        multimodal_frames,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+
+    # oracle relies on the fixture being pure ASCII (VARCHAR slice == byte slice)
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    assert docs.filter(F.length(F.encode(F.col("text"), "utf-8")) != F.length("text")).count() == 0
+
+    a = sorted(map(tuple, multimodal_frames(spark, sf_dir).collect()))
+    b = sorted(map(tuple, multimodal_frames(spark, sf_dir).repartition(7).collect()))
+    assert a == b
