@@ -298,6 +298,48 @@ def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_skew_agg",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(SUM(l_quantity), 6)            AS sum_qty,
+       CAST(COUNT(l_quantity) AS BIGINT)    AS n,
+       ROUND(AVG(l_extendedprice), 6)       AS avg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation on a maximally skewed key.
+
+    ``l_returnflag`` has 3 values over the whole table — a plain
+    groupBy funnels everything through 3 reducer tasks, the classic
+    hot-key stall at 100 TB. ``operators/skew.py::salted_agg`` spreads
+    each key over 16 salts in phase 1 (partial sums/counts) and merges
+    in phase 2, so the widest task is ~1/16th of the hot key. The
+    result is algebraically identical to the unsalted GROUP BY, which
+    is exactly what the oracle checks.
+    """
+    from ..operators.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        key="l_returnflag",
+        aggs={
+            "sum_qty": ("sum", "l_quantity"),
+            "n": ("count", "l_quantity"),
+            "avg_price": ("avg", "l_extendedprice"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 6).alias("sum_qty"),
+        "n",
+        F.round("avg_price", 6).alias("avg_price"),
+    )
+
+
 @register("approx_distinct_users")  # rows-only: HLL sketch, engine-specific
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count per event_type.

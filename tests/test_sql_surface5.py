@@ -86,6 +86,14 @@ def test_sample_per_group_caps_at_k_and_is_stable(spark, sf_dir):
     )
 
 
+def test_salted_agg_has_two_aggregate_exchanges(spark, sf_dir):
+    from m2_b3_market_data_pipeline_spark.plans.sql_surface5 import salted_skew_agg
+
+    plan = salted_skew_agg(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # phase 1 shuffles on (key, salt), phase 2 on key — both present
+    assert plan.count("Exchange hashpartitioning") >= 2
+
+
 def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
     from pyspark.sql import functions as F
 
