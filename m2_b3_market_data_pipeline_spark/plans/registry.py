@@ -43,6 +43,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # The caller may hand us ANY SparkSession (the driver builds a bare one
+    # with none of session.py's confs). events.parquet is TIMESTAMP(NANOS),
+    # which a stock reader rejects with PARQUET_TYPE_ILLEGAL — so set the
+    # legacy-nanos conf here, at runtime, where every query path funnels
+    # through. It is a runtime-settable SQL conf and idempotent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
         # On disk ts is TIMESTAMP(NANOS) (read as long nanos via
