@@ -91,6 +91,41 @@ def cosine_pairs_above(
     )
 
 
+def lsh_near_dup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float,
+    n_bits: int = 16,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Embedding near-dup at scale: hyperplane-LSH band candidates, then
+    exact cosine verification on the candidate set only.
+
+    This is the production registration (cosine_pairs_above is the
+    quadratic ground-truth baseline, test-only): shuffle volume is
+    |corpus| × bands candidate rows, never |corpus|² — the equi-join on
+    (band_id, band_val) replaces the cross join. Candidates outside the
+    threshold are discarded by the exact verify, so precision is 1.0;
+    recall is governed by the band layout and is asserted against the
+    exact baseline in tests. Deterministic end-to-end (LCG hyperplanes),
+    hence oracle-checkable by reproducing the same planes as SQL
+    literals."""
+    signed = lsh_signatures(corpus, vec_col=vec_col, dim=dim, n_bits=n_bits)
+    cands = lsh_candidates(signed, id_col=id_col, n_bits=n_bits, band_bits=band_bits)
+    a = corpus.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -148,3 +148,27 @@ def test_ivf_recall_against_exact(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
     for key in hits:
         assert exact[key] == approx[key]
+
+
+def test_lsh_near_dups_subset_of_exact_with_recall(spark, sf_dir):
+    """The registered embedding_near_dups path (LSH candidates + exact
+    verify) must be a SUBSET of the quadratic ground truth with identical
+    cosines (precision 1.0 — the verify step guarantees it), and recall
+    above a floor at the registered band layout."""
+    from m2_b3_market_data_pipeline_spark.operators.similarity import lsh_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cos
+        for r in cosine_pairs_above(emb, threshold=0.45).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cos
+        for r in lsh_near_dup_pairs(emb, dim=64, threshold=0.45).collect()
+    }
+    assert set(approx) <= set(exact)
+    for key, cos in approx.items():
+        assert exact[key] == cos
+    assert exact, "vacuous fixture: no exact pairs at threshold"
+    recall = len(approx) / len(exact)
+    assert recall >= 0.4, f"LSH recall {recall:.2f} below floor"

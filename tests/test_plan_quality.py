@@ -119,3 +119,12 @@ def test_brute_force_topk_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # corpus side must not be exchanged for the join itself
     assert "WindowGroupLimit" in plan
+
+
+def test_embedding_near_dups_has_no_cartesian(spark, sf_dir):
+    """The registered near-dup query must be the LSH candidate join, not
+    the quadratic baseline: no cartesian / nested-loop join anywhere in
+    the physical plan."""
+    plan = _plan(all_queries.QUERIES["embedding_near_dups"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
