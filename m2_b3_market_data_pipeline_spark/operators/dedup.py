@@ -10,9 +10,13 @@ Four families, each shaped for 100 TB (BASELINE.json north star):
   pipeline. Candidate pairs are then verified with exact Jaccard.
   Shuffle cost: one exchange on band hash (data volume = docs × bands,
   NOT docs²).
-- **SimHash**: 32-bit signature via token-hash bit voting; near-dups
-  are pairs within small Hamming distance. Signature is one shuffle
-  (token explode + per-doc bit sums).
+- **SimHash**: 64-bit signature via token-hash bit voting (carried as
+  two 32-bit bigint halves so neither engine touches the sign bit);
+  near-dups are pairs within small Hamming distance. Signature is one
+  shuffle (token explode + per-doc bit sums). 64 bits matter at scale:
+  the pigeonhole join buckets on 16-bit chunks (65k values each), not
+  the 256-value buckets a 32-bit signature would give — bucket
+  population stays ~|corpus|/65k instead of degenerating quadratic.
 - **n-gram Jaccard**: exact similarity join via shingle inverted index
   (explode + self-join on shingle, then group per pair) — the exact
   baseline the approximate methods are judged against.
@@ -36,7 +40,8 @@ from ..functions.textfns import (  # noqa: F401  (minhash_signature kept as the 
 
 NUM_HASHES = 12
 BAND_SIZE = 4  # 3 bands of 4 => LSH threshold ~ (1/3)^(1/4) ≈ 0.76
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64  # as two 32-bit halves (simhash_lo, simhash_hi)
+SIMHASH_HALF = SIMHASH_BITS // 2
 
 
 def fan_out(df: DataFrame) -> DataFrame:
@@ -230,70 +235,116 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_expr(weighted_tokens_grouped: DataFrame, *, id_col: str, bits: int = SIMHASH_BITS) -> DataFrame:
-    """Per-doc simhash from (id, token, cnt) rows: for each bit j of the
-    32-bit token hash (first 8 hex chars of md5, parsed as int), vote
-    +cnt/-cnt; bit j of the signature is 1 iff the vote is positive."""
-    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
-    g = weighted_tokens_grouped.withColumn("h", h)
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
-        ).alias(f"v{j}")
-        for j in range(bits)
-    ]
-    per_doc = g.groupBy(id_col).agg(*votes)
+def _half_sig(prefix: str) -> Column:
     sig = None
-    for j in range(bits):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    for j in range(SIMHASH_HALF):
+        term = F.when(F.col(f"{prefix}{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
         sig = term if sig is None else sig + term
-    return per_doc.select(F.col(id_col), sig.alias("simhash"))
+    return sig
+
+
+def simhash_expr(weighted_tokens_grouped: DataFrame, *, id_col: str) -> DataFrame:
+    """Per-doc 64-bit simhash from (id, token, cnt) rows, carried as two
+    32-bit halves: the low half votes on bits of md5 hex chars 1-8, the
+    high half on chars 9-16. For each bit j, vote +cnt/-cnt; bit j of
+    the signature is 1 iff the vote is positive. Two bigint halves keep
+    every shift/mask in non-negative territory in both Spark and DuckDB
+    (a single 64-bit value would put bit 63 in the sign bit)."""
+    h_lo = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+    h_hi = F.conv(F.substring(F.md5(F.col("token")), 9, 8), 16, 10).cast("bigint")
+    g = weighted_tokens_grouped.withColumn("h_lo", h_lo).withColumn("h_hi", h_hi)
+
+    def votes(src: str, prefix: str) -> list[Column]:
+        return [
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(src), j).bitwiseAND(F.lit(1)) == 1, F.col("cnt")
+                ).otherwise(-F.col("cnt"))
+            ).alias(f"{prefix}{j}")
+            for j in range(SIMHASH_HALF)
+        ]
+
+    per_doc = g.groupBy(id_col).agg(*votes("h_lo", "vl"), *votes("h_hi", "vh"))
+    return per_doc.select(
+        F.col(id_col),
+        _half_sig("vl").alias("simhash_lo"),
+        _half_sig("vh").alias("simhash_hi"),
+    )
 
 
 def simhash_signatures(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = SIMHASH_BITS
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """doc -> 32-bit simhash. One explode + one shuffle on doc id."""
+    """doc -> 64-bit simhash (simhash_lo, simhash_hi). One explode + one
+    shuffle on doc id."""
     toks = (
         fan_out(df.select(id_col, text_col))
         .select(id_col, F.explode(tokens(text_col)).alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("cnt"))
     )
-    return simhash_expr(toks, id_col=id_col, bits=bits)
+    return simhash_expr(toks, id_col=id_col)
+
+
+def simhash_chunks(chunks: int) -> list[tuple[str, int, int]]:
+    """Chunk layout for the pigeonhole join: (half_column, shift, mask)
+    per chunk. Chunk width must divide the 32-bit half so no chunk
+    straddles the lo/hi boundary."""
+    chunk_bits = SIMHASH_BITS // chunks
+    if SIMHASH_HALF % chunk_bits:
+        raise ValueError(
+            f"chunk width {chunk_bits} must divide {SIMHASH_HALF}; "
+            f"use max_hamming in {{1, 3, 7, 15, 31}}"
+        )
+    per_half = SIMHASH_HALF // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    return [
+        (
+            "simhash_lo" if c < per_half else "simhash_hi",
+            (c % per_half) * chunk_bits,
+            mask,
+        )
+        for c in range(chunks)
+    ]
 
 
 def simhash_near_pairs(
     sigs: DataFrame, *, id_col: str = "doc_id", max_hamming: int = 3
 ) -> DataFrame:
     """Pairs within Hamming distance <= max_hamming, using the pigeonhole
-    trick: split the signature into (max_hamming+1) chunks; any pair
-    within distance d must agree exactly on >= 1 chunk -> equi-join per
-    chunk instead of a cross join. bit_count verifies exactly."""
+    trick: split the 64-bit signature into (max_hamming+1) chunks; any
+    pair within distance d must agree exactly on >= 1 chunk -> equi-join
+    per chunk instead of a cross join. bit_count over both halves
+    verifies exactly. At the default max_hamming=3 the chunks are 16
+    bits wide (the Manku et al. WWW'07 layout): 65k bucket values per
+    chunk keeps bucket population ~|corpus|/65k."""
     chunks = max_hamming + 1
-    chunk_bits = SIMHASH_BITS // chunks
-    mask = (1 << chunk_bits) - 1
+    layout = simhash_chunks(chunks)
     banded = sigs.select(
         id_col,
-        "simhash",
+        "simhash_lo",
+        "simhash_hi",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        F.shiftright(F.col(half), shift)
                         .bitwiseAND(F.lit(mask))
                         .alias("chunk_val"),
                     )
-                    for c in range(chunks)
+                    for c, (half, shift, mask) in enumerate(layout)
                 ]
             )
         ).alias("ch"),
-    ).select(id_col, "simhash", "ch.chunk_id", "ch.chunk_val")
+    ).select(id_col, "simhash_lo", "simhash_hi", "ch.chunk_id", "ch.chunk_val")
     a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = (
+        F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
+        + F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
+    ).cast("bigint")
     return (
         a.join(
             b,

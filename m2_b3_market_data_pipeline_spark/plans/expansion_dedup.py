@@ -125,39 +125,81 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, threshold=NGRAM_THRESHOLD)
 
 
-def _simhash_oracle() -> str:
+_HALF = SIMHASH_BITS // 2
+
+
+def _simhash_sig_cte() -> str:
+    """CTEs computing the SAME two-halves 64-bit simhash as
+    ``operators/dedup.py::simhash_expr``: lo half votes on md5 hex chars
+    1-8, hi half on chars 9-16."""
     votes = ",\n           ".join(
-        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS v{j}"
-        for j in range(SIMHASH_BITS)
+        f"SUM(CASE WHEN (h_lo >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS vl{j},\n"
+        f"           SUM(CASE WHEN (h_hi >> {j}) & 1 = 1 THEN cnt ELSE -cnt END) AS vh{j}"
+        for j in range(_HALF)
     )
-    sig = " + ".join(f"CASE WHEN v{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(SIMHASH_BITS))
+    sig_lo = " + ".join(
+        f"CASE WHEN vl{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(_HALF)
+    )
+    sig_hi = " + ".join(
+        f"CASE WHEN vh{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END" for j in range(_HALF)
+    )
     return f"""
-WITH tk AS (SELECT doc_id, {_TK} AS tk FROM documents),
+tk AS (SELECT doc_id, {_TK} AS tk FROM documents),
 tok AS (SELECT doc_id, unnest(tk) AS token FROM tk),
 wt AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
-h AS (SELECT doc_id, cnt, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h FROM wt),
-v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
-SELECT doc_id, {sig} AS simhash FROM v
+h AS (SELECT doc_id, cnt,
+             CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS h_lo,
+             CAST(('0x' || substr(md5(token), 9, 8)) AS BIGINT) AS h_hi
+      FROM wt),
+v AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+sigs AS (SELECT doc_id, {sig_lo} AS simhash_lo, {sig_hi} AS simhash_hi FROM v)
 """
 
 
-@register("simhash_signatures", oracle=_simhash_oracle())
+@register("simhash_signatures", oracle=f"WITH {_simhash_sig_cte()} SELECT * FROM sigs")
 def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document via token-hash bit voting
-    (operators/dedup.py); near-dup pair search uses the pigeonhole
-    chunk join (see simhash_near_dups, rows-only)."""
+    """64-bit SimHash per document via token-hash bit voting, carried as
+    two 32-bit bigint halves (operators/dedup.py); near-dup pair search
+    uses the 16-bit pigeonhole chunk join (see simhash_near_dups)."""
     docs = load(spark, sf_dir, "documents")
     return simhash_signatures(docs)
 
 
-@register("simhash_near_dups")  # rows-only: pair search exercises Spark-side pigeonhole join
+SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_pairs_oracle() -> str:
+    from ..operators.dedup import simhash_chunks
+
+    layout = simhash_chunks(SIMHASH_MAX_HAMMING + 1)
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash_lo, simhash_hi, {c} AS chunk_id,"
+        f" ({half} >> {shift}) & {mask} AS chunk_val FROM sigs"
+        for c, (half, shift, mask) in enumerate(layout)
+    )
+    ham = (
+        "CAST(bit_count(xor(a.simhash_lo, b.simhash_lo))"
+        " + bit_count(xor(a.simhash_hi, b.simhash_hi)) AS BIGINT)"
+    )
+    return f"""
+WITH {_simhash_sig_cte()},
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, {ham} AS hamming
+FROM bands a JOIN bands b
+  ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+WHERE {ham} <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@register("simhash_near_dups", oracle=_simhash_pairs_oracle())
 def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 6 — pigeonhole
-    chunk equi-join instead of a cross join (operators/dedup.py). The
-    signature step is oracle-checked by ``simhash_signatures``; this
-    entry exercises the join strategy (rows-only check)."""
+    """SimHash near-dup pairs within Hamming distance 3 over the 64-bit
+    signature — the Manku et al. WWW'07 layout: pigeonhole equi-join on
+    four 16-bit chunks instead of a cross join (operators/dedup.py).
+    Hash-checked end-to-end: the oracle reproduces signatures, chunk
+    join and bit_count verify in DuckDB."""
     from ..operators.dedup import simhash_near_pairs
 
     docs = load(spark, sf_dir, "documents")
     sigs = simhash_signatures(docs)
-    return simhash_near_pairs(sigs, max_hamming=6)
+    return simhash_near_pairs(sigs, max_hamming=SIMHASH_MAX_HAMMING)

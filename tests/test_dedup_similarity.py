@@ -51,24 +51,39 @@ def test_ngram_jaccard_exact_values(spark):
 
 
 def test_simhash_identical_docs_same_signature(spark):
-    sigs = {r.doc_id: r.simhash for r in simhash_signatures(_docs(spark)).collect()}
+    sigs = {
+        r.doc_id: (r.simhash_lo, r.simhash_hi)
+        for r in simhash_signatures(_docs(spark)).collect()
+    }
     assert sigs[1] == sigs[4]
     assert sigs[1] != sigs[3]
+    # both halves carry information and stay inside 32 unsigned bits
+    for lo, hi in sigs.values():
+        assert 0 <= lo < 2**32 and 0 <= hi < 2**32
 
 
 def test_simhash_pigeonhole_matches_bruteforce(spark):
     sigs = simhash_signatures(_docs(spark))
-    via_chunks = {
-        (r.id_a, r.id_b) for r in simhash_near_pairs(sigs, max_hamming=3).collect()
-    }
     rows = sigs.collect()
-    brute = {
-        (a.doc_id, b.doc_id)
-        for a in rows
-        for b in rows
-        if a.doc_id < b.doc_id and bin(a.simhash ^ b.simhash).count("1") <= 3
-    }
-    assert via_chunks == brute
+
+    def ham(a, b):
+        return (
+            bin(a.simhash_lo ^ b.simhash_lo).count("1")
+            + bin(a.simhash_hi ^ b.simhash_hi).count("1")
+        )
+
+    for max_hamming in (3, 7):  # 16-bit and 8-bit chunk layouts
+        via_chunks = {
+            (r.id_a, r.id_b)
+            for r in simhash_near_pairs(sigs, max_hamming=max_hamming).collect()
+        }
+        brute = {
+            (a.doc_id, b.doc_id)
+            for a in rows
+            for b in rows
+            if a.doc_id < b.doc_id and ham(a, b) <= max_hamming
+        }
+        assert via_chunks == brute
 
 
 def _vecs(spark):
