@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
 from m2_b3_market_data_pipeline_spark.plans import all_queries
 from m2_b3_market_data_pipeline_spark.session import get_spark, sf_dir
 
@@ -85,11 +86,14 @@ def main() -> None:
     for name in HEADLINE:
         fn = all_queries.QUERIES[name]
         best = float("inf")
+        df = None
         for _ in range(2):
             t0 = time.time()
-            fn(spark, target).write.format("noop").mode("overwrite").save()
+            df = fn(spark, target)
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        release_cached(df)  # drop any plan-scoped caches (e.g. minhash signatures)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -88,15 +88,17 @@ CHECK_PRIORITY: list[str] = [
     "rolling_mean_time_range",
     "band_join_revenue",
     "gap_fill_locf",
-    "regex_functions",
     "train_test_split",
-    "sample_per_group",
     "salted_skew_agg",
-    "approx_distinct_users",
-    # Streaming-window representatives (oracle-checked via batch-mode
+    # Queries whose round-2 rework graduated them from rows-only (or
+    # from a quadratic plan) to hash-checked — fresh evidence needed.
+    "embedding_near_dups",
+    "ann_topk_lsh",
+    "simhash_near_dups",
+    "multimodal_features",
+    # Streaming-window representative (oracle-checked via batch-mode
     # equivalence).
     "tumbling_window",
-    "stream_stream_join",
 ]
 
 _missing = [n for n in CHECK_PRIORITY if n not in QUERIES]

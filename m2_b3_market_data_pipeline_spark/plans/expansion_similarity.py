@@ -250,16 +250,49 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features")  # rows-only: mapInPandas is not SQL-expressible
+def _bin_frac_sql(bin_idx: int) -> str:
+    """Fraction of bytes in histogram bin ``bin_idx`` (16 bins over
+    0-255), as a regex char-class count — byte-exact on the pure-ASCII
+    fixture where chars == bytes (asserted in tests)."""
+    lo, hi = bin_idx * 16, bin_idx * 16 + 15
+    return (
+        rf"ROUND(CAST(length(regexp_replace(text, '[^\x{lo:02x}-\x{hi:02x}]', '', 'g')) AS DOUBLE)"
+        " / CAST(strlen(text) AS DOUBLE), 6)"
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS byte_len,
+       md5(text)                 AS content_md5,
+       {_bin_frac_sql(2)}        AS f2,
+       {_bin_frac_sql(6)}        AS f6,
+       {_bin_frac_sql(7)}        AS f7,
+       16                        AS feature_dim
+FROM documents
+""",
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched byte-level feature extraction via mapInPandas — the
     decode/featurize stage shape for real media, with the deterministic
     byte-histogram standing in for the (stubbed) image decode
-    (operators/multimodal.py)."""
+    (operators/multimodal.py). Hash-checked: the oracle reproduces the
+    histogram bins as regex char-class counts over the ASCII fixture
+    (bins 2/6/7 are the populated ones — space/punct and letters)."""
     docs = load(spark, sf_dir, "documents")
     wrapped = attach_binary(docs)
     feats = extract_features(wrapped)
-    return feats.select("doc_id", "byte_len", "content_md5", F.round(F.element_at("feature", 1), 6).alias("f0"), F.size("feature").alias("feature_dim"))
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "content_md5",
+        F.round(F.element_at("feature", 3), 6).alias("f2"),
+        F.round(F.element_at("feature", 7), 6).alias("f6"),
+        F.round(F.element_at("feature", 8), 6).alias("f7"),
+        F.size("feature").alias("feature_dim"),
+    )
 
 
 @register(

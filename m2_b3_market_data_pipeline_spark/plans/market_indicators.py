@@ -100,8 +100,30 @@ def indicator_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_rsi(_bars(spark, sf_dir)).select("ativo", "date", "close_price", "rsi")
 
 
-@register("indicator_ewma")  # rows-only: recursive smoothing, not SQL-window-expressible
+@register(
+    "indicator_ewma",
+    oracle=OHLCV_SQL
+    + """
+, arr AS (
+    SELECT ativo,
+           list(close_price ORDER BY "date") AS px,
+           list("date" ORDER BY "date") AS ds
+    FROM ohlcv GROUP BY ativo
+),
+idx AS (SELECT ativo, px, ds, unnest(generate_series(1, len(px))) AS t FROM arr)
+SELECT ativo, ds[t] AS "date", px[t] AS close_price,
+       ROUND(pow(0.7, t - 1) * px[1] +
+             0.3 * coalesce(list_sum([px[s] * pow(0.7, t - s) for s in generate_series(2, t)]), 0.0),
+             6) AS ewma
+FROM idx
+""",
+)
 def indicator_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive EWMA via Arrow-batched applyInPandas grouped map —
-    per-asset sequential state; asserted against pandas ewm in tests."""
+    per-asset sequential state (``y_t = a*x_t + (1-a)*y_{t-1}``, pandas
+    ``ewm(adjust=False)``). Hash-checked: the recursion has the closed
+    form ``y_t = (1-a)^(t-1) x_1 + a * sum_s (1-a)^(t-s) x_s``, which
+    the oracle evaluates per (asset, t) over the collected price list —
+    O(n^2) per asset is fine oracle-side (n = bars per asset), while the
+    Spark path stays the O(n) streaming recursion."""
     return with_ewma(_bars(spark, sf_dir)).select("ativo", "date", "close_price", "ewma")

@@ -187,3 +187,16 @@ def test_lsh_near_dups_subset_of_exact_with_recall(spark, sf_dir):
     assert exact, "vacuous fixture: no exact pairs at threshold"
     recall = len(approx) / len(exact)
     assert recall >= 0.4, f"LSH recall {recall:.2f} below floor"
+
+
+def test_minhash_cache_released(spark):
+    """The persisted signature frame is scoped to the result: after the
+    consuming action + release_cached, no cached RDDs linger."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+
+    spark.catalog.clearCache()  # drop caches leaked by earlier tests' plans
+    result = minhash_dedup_pairs(_docs(spark), threshold=0.5)
+    result.count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) >= 1
+    release_cached(result)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0

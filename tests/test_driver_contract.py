@@ -67,8 +67,8 @@ def test_first_fifty_registered_queries_are_the_priority_window():
 
     assert len(CHECK_PRIORITY) == 50
     assert list(QUERIES)[:50] == CHECK_PRIORITY
-    # Every priority slot should produce driver evidence: hash-checked
-    # when an oracle exists, rows-only otherwise (only approx/stateful
-    # ops are allowed to be rows-only).
+    # Every priority slot must be hash-checked — since round 2, every
+    # query in the window has a DuckDB oracle (EWMA via its closed
+    # form, LSH/SimHash via deterministic signature reproduction).
     rows_only = [n for n in CHECK_PRIORITY if n not in ORACLES]
-    assert set(rows_only) <= {"indicator_ewma", "approx_distinct_users"}, rows_only
+    assert rows_only == [], rows_only
