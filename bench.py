@@ -64,6 +64,11 @@ HEADLINE = [
     "stream_stream_join",
     "ivf_ann_topk",
     "token_count_bpe",
+    # round-2 corpus-preparation wave
+    "corpus_pipeline",
+    "token_pack",
+    "repetition_stats",
+    "embedding_near_dups",
 ]
 
 

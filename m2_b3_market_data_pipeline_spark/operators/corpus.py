@@ -1,0 +1,188 @@
+"""Training-corpus preparation operators for LLM data pipelines.
+
+The operations that sit between "raw crawl" and "tokenizer input" at
+100 TB (BASELINE.json north star): repetition-based quality signals
+(Gopher-style), PII scrubbing, token-budget sequence packing, and the
+composed filter -> dedup -> near-dedup pipeline. Everything is built-in
+Spark SQL expressions — codegen'd projections and ordinary shuffles, no
+Python in the hot path — and every operator has a DuckDB oracle twin in
+plans/expansion_corpus.py.
+
+Scale notes per operator:
+- repetition stats: the distinct-ratio signals are pure projections
+  (array ops per row, no shuffle); the top-bigram signal is the
+  standard explode + two-level aggregation — shuffle volume is
+  docs x bigrams rows, partial-aggregated map-side.
+- PII scrub: one regexp_replace chain per row, zero shuffle.
+- sequence packing: one window per pack key. Packing is per-key by
+  construction (a global greedy pack would serialize the cluster);
+  choose the key so one key's documents fit one executor's window —
+  at 100 TB that is a (source, date-bucket) style key.
+- corpus pipeline: composition of already-audited stages; the minhash
+  near-dup join runs on the filtered survivor set, so its docs x bands
+  shuffle shrinks with the quality gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import token_count, tokens
+from .dedup import fan_out, minhash_dedup_pairs
+from .text import quality_score
+
+# Conservative patterns valid in both Java regex (Spark) and RE2 (DuckDB).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}"
+
+
+def _bigrams(toks: Column) -> Column:
+    """Adjacent token pairs as 'a b' strings (non-distinct — repetition
+    signals need multiplicity). Empty for docs with < 2 tokens."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def with_repetition_stats(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals as pure projections: the fraction
+    of duplicate tokens and duplicate bigrams per document (1 - distinct
+    ratio). High values flag boilerplate/keyword-stuffed documents."""
+    toks = tokens(text_col)
+    bg = _bigrams(toks)
+    n_tok = F.size(toks).cast("double")
+    n_bg = F.size(bg).cast("double")
+    return (
+        df.withColumn("n_tokens", F.size(toks).cast("bigint"))
+        .withColumn(
+            "dup_token_frac",
+            F.when(
+                n_tok > 0,
+                F.round(1.0 - F.size(F.array_distinct(toks)).cast("double") / n_tok, 6),
+            ),
+        )
+        .withColumn(
+            "dup_bigram_frac",
+            F.when(
+                n_bg > 0,
+                F.round(1.0 - F.size(F.array_distinct(bg)).cast("double") / n_bg, 6),
+            ),
+        )
+    )
+
+
+def top_bigram_fraction(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fraction of all bigram occurrences taken by the single most
+    frequent bigram (the Gopher top-2-gram filter signal). Explode +
+    two-level aggregation: per-(doc,bigram) counts partial-aggregate
+    map-side, then one row per doc. Docs with < 2 tokens drop out (no
+    bigrams), matching the oracle."""
+    ex = fan_out(df.select(id_col, text_col)).select(
+        id_col, F.explode(_bigrams(tokens(text_col))).alias("bg")
+    )
+    per_bg = ex.groupBy(id_col, "bg").agg(F.count("*").alias("cnt"))
+    return per_bg.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.round(F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+def scrub_pii(
+    df: DataFrame, *, text_col: str, out_col: str = "scrubbed"
+) -> DataFrame:
+    """Redact email addresses and phone numbers with typed placeholders.
+    One codegen'd regexp_replace chain per row — no shuffle, no UDF."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.withColumn(out_col, scrubbed)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    key_col: str = "source",
+    text_col: str = "text",
+    budget: int = 512,
+) -> DataFrame:
+    """Token-budget sequence packing: within each pack key, documents
+    are laid end-to-end in deterministic ``id_col`` order and assigned
+    the training shard their first token lands in (GPT-style contiguous
+    packing — a document may straddle a shard boundary).
+
+    One window per key; integer arithmetic only, so the assignment is
+    bit-stable across engines. The pack key bounds window state — pick
+    it so a single key fits one executor (see module docstring)."""
+    n_tok = token_count(F.col(text_col)).cast("bigint")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_tok = df.select(id_col, key_col, n_tok.alias("n_tokens"))
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    return with_tok.select(
+        id_col,
+        key_col,
+        "n_tokens",
+        F.floor(cum_before / budget).cast("bigint").alias("shard_id"),
+        (cum_before % budget).alias("shard_offset"),
+    )
+
+
+def prepare_corpus(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.55,
+    near_dup_threshold: float = 0.5,
+) -> DataFrame:
+    """The composed training-corpus preparation pipeline:
+
+    1. quality gate   — keep documents scoring >= ``min_quality``;
+    2. exact dedup    — keep the lowest ``id_col`` per normalized-text
+                        fingerprint (row_number + WindowGroupLimit);
+    3. near dedup     — MinHash+LSH pairs at >= ``near_dup_threshold``
+                        among the survivors; every pair's higher id is
+                        dropped (left-anti join), keeping the canonical
+                        lower id.
+
+    Each stage is an already-audited operator; the near-dup join runs on
+    the filtered survivor set only. Returns the kept documents with
+    their token counts and quality scores."""
+    from .text import with_fingerprint
+
+    scored = quality_score(df.select(id_col, "source", text_col))
+    kept = scored.filter(F.col("quality_score") >= min_quality)
+    fp = with_fingerprint(kept, text_col=text_col)
+    w = Window.partitionBy("fp_md5").orderBy(id_col)
+    deduped = (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "fp_md5", "fp_sha256")
+    )
+    pairs = minhash_dedup_pairs(
+        deduped, id_col=id_col, text_col=text_col, threshold=near_dup_threshold
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    out = deduped.join(losers, id_col, "left_anti").select(
+        id_col,
+        "source",
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        "quality_score",
+    )
+    out._cached_frames = getattr(pairs, "_cached_frames", [])  # type: ignore[attr-defined]
+    return out

@@ -48,12 +48,15 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(source: str = "documents") -> str:
+    """CTEs computing shingle sets + minhash signatures over ``source``
+    (any relation with doc_id + text — parameterized so composed
+    pipelines can run the same dedup over a filtered survivor set)."""
     mh_exprs = ",\n       ".join(
         f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}" for i in range(NUM_HASHES)
     )
     return f"""
-tk AS (SELECT doc_id, {_TK} AS tk FROM documents),
+tk AS (SELECT doc_id, {_TK} AS tk FROM {source}),
 sh AS (SELECT doc_id, {_SH} AS sh FROM tk),
 sigs AS (SELECT doc_id, sh, {mh_exprs} FROM sh)
 """
@@ -70,22 +73,35 @@ def _band_sql() -> str:
     return "bands AS (" + " UNION ALL ".join(selects) + ")"
 
 
-MINHASH_ORACLE = f"""
-WITH {_minhash_sig_sql()},
+_JACC = (
+    "ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+    " / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6)"
+)
+
+
+def minhash_pairs_sql(source: str = "documents", threshold: float = JACCARD_THRESHOLD) -> str:
+    """CTE chain (no leading WITH) ending in ``mh_pairs``: verified
+    MinHash+LSH near-dup pairs (id_a < id_b, jaccard >= threshold)
+    over ``source``."""
+    return f"""{_minhash_sig_sql(source)},
 {_band_sql()},
 pairs AS (
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-)
-SELECT p.id_a, p.id_b,
-       ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6) AS jaccard
-FROM pairs p
-JOIN sigs sa ON sa.doc_id = p.id_a
-JOIN sigs sb ON sb.doc_id = p.id_b
-WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+),
+mh_pairs AS (
+    SELECT p.id_a, p.id_b, {_JACC} AS jaccard
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+    WHERE {_JACC} >= {threshold}
+)"""
+
+
+MINHASH_ORACLE = f"""
+WITH {minhash_pairs_sql()}
+SELECT id_a, id_b, jaccard FROM mh_pairs
 """
 
 
