@@ -69,6 +69,9 @@ HEADLINE = [
     "token_pack",
     "repetition_stats",
     "embedding_near_dups",
+    "dedup_clusters",
+    "decontaminate",
+    "centroid_assign",
 ]
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.textfns import token_count, tokens
+from ..functions.textfns import shingles, token_count, tokens
 from .dedup import fan_out, minhash_dedup_pairs
 from .text import quality_score
 
@@ -186,3 +186,106 @@ def prepare_corpus(
     )
     out._cached_frames = getattr(pairs, "_cached_frames", [])  # type: ignore[attr-defined]
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token windows (context-window
+    sharding for training/retrieval). Chunk c covers tokens
+    [1 + c*stride, 1 + c*stride + chunk_tokens); the last chunk may be
+    short; chunks whose start falls past the end are not emitted.
+
+    One generate-and-explode projection per document — the 1->N row
+    multiplier happens inside codegen, no shuffle, no Python."""
+    toks = tokens(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    ex = df.select(
+        id_col,
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_id", "start"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("start"), F.lit(chunk_tokens))
+    return ex.select(
+        id_col,
+        "chunk_id",
+        F.col("start").cast("bigint").alias("start_token"),
+        F.size(piece).cast("bigint").alias("chunk_len"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_md5"),
+    )
+
+
+def with_char_entropy(
+    df: DataFrame, *, text_col: str = "text", out_col: str = "char_entropy"
+) -> DataFrame:
+    """Shannon entropy (bits) of the character distribution per document
+    — a cheap gibberish/compressibility signal (low entropy = repeated
+    boilerplate, very high = random noise). Computed entirely with
+    array higher-order functions as one projection per row: distinct
+    chars x count-within-array, no explode, no shuffle."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != F.lit(""))
+    n = F.size(chars).cast("double")
+    per_char = F.transform(
+        F.array_distinct(chars),
+        lambda d: F.size(F.filter(chars, lambda c: c == d)).cast("double") / n,
+    )
+    ent = -F.aggregate(
+        per_char,
+        F.lit(0.0),
+        lambda acc, p: acc + p * F.log2(p),
+    )
+    return df.withColumn(
+        out_col, F.when(n > 0, F.round(ent, 6)).otherwise(F.lit(None).cast("double"))
+    )
+
+
+def contamination_overlap(
+    train: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+) -> DataFrame:
+    """Train/eval decontamination: flag training documents sharing at
+    least one ``ngram``-gram with any benchmark document (the GPT-3 /
+    Llama decontamination rule). Returns every train doc with its count
+    of distinct overlapping n-grams and the matched benchmark doc count.
+
+    Plan shape: explode distinct n-grams on both sides, equi-join on the
+    n-gram. Eval suites are tiny relative to the corpus, so the
+    benchmark side is broadcast — the 100 TB train side never shuffles
+    and unmatched n-grams are dropped at the hash probe. Output grain is
+    one row per train doc (left join keeps clean docs with zero
+    counts)."""
+    def grams(frame: DataFrame, out: str) -> DataFrame:
+        return fan_out(frame.select(id_col, text_col)).select(
+            F.col(id_col).alias(out),
+            F.explode(shingles(tokens(text_col), ngram)).alias("gram"),
+        )
+
+    train_grams = grams(train, "train_id")
+    bench_grams = grams(benchmark, "bench_id")
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("train_id")
+        .agg(
+            F.countDistinct("gram").alias("n_overlap_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+    return (
+        train.select(F.col(id_col).alias("train_id"))
+        .join(hits, "train_id", "left")
+        .select(
+            F.col("train_id").alias(id_col),
+            F.coalesce("n_overlap_grams", F.lit(0)).alias("n_overlap_grams"),
+            F.coalesce("n_bench_docs", F.lit(0)).alias("n_bench_docs"),
+            (F.coalesce("n_overlap_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

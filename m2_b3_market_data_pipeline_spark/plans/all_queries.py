@@ -14,7 +14,9 @@ from __future__ import annotations
 
 from . import (  # noqa: F401
     expansion_corpus,
+    expansion_corpus2,
     expansion_dedup,
+    expansion_embeddings,
     expansion_similarity,
     expansion_text,
     expansion_text2,

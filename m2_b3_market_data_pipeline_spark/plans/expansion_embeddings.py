@@ -1,0 +1,119 @@
+"""Embedding-hygiene queries: L2 normalization, int8 quantization,
+nearest-centroid assignment (operators/embeddings.py). All hash-checked:
+float vectors are verified bit-meaningfully by hashing micro-unit
+integer codes (ROUND(x * 1e6) AS BIGINT) — integer strings are identical
+across engines, unlike double-to-string formatting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.embeddings import assign_centroids, l2_normalize, quantize_int8
+from .registry import load, register
+
+N_CENTROIDS = 8
+
+
+def _micro_md5(col: Column) -> Column:
+    """md5 over comma-joined micro-unit integer codes of a double array
+    — the cross-engine-stable way to value-check a float vector."""
+    return F.md5(
+        F.array_join(
+            F.transform(col, lambda x: F.round(x * 1e6).cast("bigint").cast("string")),
+            ",",
+        )
+    )
+
+
+_MICRO_SQL = "array_to_string(list_transform({v}, x -> CAST(ROUND(x * 1000000) AS BIGINT)), ',')"
+
+
+@register(
+    "embed_normalize",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
+SELECT vec_id,
+       ROUND(nrm, 6) AS l2_norm,
+       CASE WHEN nrm > 0 THEN
+         md5({_MICRO_SQL.format(v="list_transform(v, x -> x / nrm)")})
+       END AS unit_md5
+FROM n
+""",
+)
+def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization as a pure projection — norm plus an md5 over the
+    micro-unit codes of the full unit vector, so all 64 components are
+    value-checked (operators/embeddings.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = l2_normalize(emb)
+    return out.select(
+        "vec_id",
+        F.round("l2_norm", 6).alias("l2_norm"),
+        _micro_md5(F.col("unit")).alias("unit_md5"),
+    )
+
+
+@register(
+    "embed_quantize",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+q AS (SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(ROUND(x / scale) AS INT)) AS qv
+      FROM s WHERE scale > 0)
+SELECT vec_id,
+       ROUND(scale, 9) AS q_scale,
+       md5(array_to_string(qv, ',')) AS q_md5,
+       ROUND(list_sum(list_transform(generate_series(1, len(v)),
+                                     i -> pow(v[i] - qv[i] * scale, 2)))
+             / len(v), 9) AS q_mse
+FROM q
+""",
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization: integer codes hashed exactly, scale
+    and reconstruction MSE rounded (operators/embeddings.py). Codes are
+    bit-stable across engines, so this checks the quantizer itself, not
+    a float shadow of it."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = quantize_int8(emb).filter(F.col("q_scale") > 0)
+    return out.select(
+        "vec_id",
+        F.round("q_scale", 9).alias("q_scale"),
+        F.md5(
+            F.array_join(F.transform("q_vec", lambda q: q.cast("string")), ",")
+        ).alias("q_md5"),
+        F.round("q_mse", 9).alias("q_mse"),
+    )
+
+
+@register(
+    "centroid_assign",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+d AS (
+    SELECT e.vec_id, c.centroid_id,
+           list_inner_product(e.v, e.v) - 2 * list_inner_product(e.v, c.cv)
+             + list_inner_product(c.cv, c.cv) AS dist
+    FROM e CROSS JOIN c
+)
+SELECT vec_id, centroid_id, ROUND(dist, 6) AS sq_dist
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn
+      FROM d)
+WHERE rn = 1
+""",
+)
+def centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the k-means / IVF-training inner
+    step): broadcast K centroids, argmin of K codegen'd distances per
+    row, deterministic tiebreak (operators/embeddings.py). The corpus
+    side never shuffles for the join."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    return assign_centroids(emb, centroids)

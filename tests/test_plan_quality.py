@@ -128,3 +128,40 @@ def test_embedding_near_dups_has_no_cartesian(spark, sf_dir):
     plan = _plan(all_queries.QUERIES["embedding_near_dups"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_centroid_assign_broadcasts_centroids(spark, sf_dir):
+    """K centroids join as a broadcast; the corpus side must not be
+    exchanged for the join (only the per-vector window partitions)."""
+    plan = _plan(all_queries.QUERIES["centroid_assign"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The n-gram probe against the (small) eval set must be a broadcast
+    hash join — the 100 TB train side never shuffles for it."""
+    plan = _plan(all_queries.QUERIES["decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunking_and_entropy_have_no_shuffle(spark, sf_dir):
+    """Chunking (generate+explode) and char entropy (higher-order
+    functions) are pure projections: zero exchanges beyond the fan-out
+    rebalance, no Python (BatchEvalPython/ArrowEvalPython) anywhere."""
+    for name in ("doc_chunks", "char_entropy"):
+        plan = _plan(all_queries.QUERIES[name](spark, sf_dir))
+        assert "EvalPython" not in plan, name
+        exchanges = re.findall(r"Exchange (\w+)", plan)
+        assert all(e == "RoundRobinPartitioning" for e in exchanges), (name, exchanges)
+
+
+def test_normalize_quantize_prune_to_embedding_columns(spark, sf_dir):
+    """The per-vector projections must read only the columns they use
+    (vec_id + embedding), not the full table."""
+    for name in ("embed_normalize", "embed_quantize"):
+        plan = _plan(all_queries.QUERIES[name](spark, sf_dir))
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, plan
+        read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+        assert "label" not in read_cols, name
