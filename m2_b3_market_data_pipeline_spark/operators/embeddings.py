@@ -81,6 +81,72 @@ def sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def _argmin_assign(
+    vectors: DataFrame, centroids: DataFrame, *, id_col: str
+) -> DataFrame:
+    """(id, __v) x broadcast (centroid_id, __c) -> (id, __v, centroid_id,
+    __dist) keeping only the nearest centroid (deterministic tiebreak)."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__dist").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        vectors.join(F.broadcast(centroids))
+        .withColumn("__dist", sq_dist(F.col("__v"), F.col("__c")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__c")
+    )
+
+
+def kmeans_iterate(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means, deterministically: seed centroids are the ``k``
+    lowest-id vectors; each iteration assigns (broadcast argmin, as in
+    ``assign_centroids``) then recomputes centroids as the per-dimension
+    mean ROUNDED to 6 decimals — the rounding makes the iterate itself
+    bit-stable across engines (unrounded distributed means differ in the
+    last ulp with aggregation order, which could flip borderline
+    assignments). Returns the final assignment (id, centroid_id,
+    sq_dist).
+
+    Scale shape per iteration: one broadcast join + argmin window
+    (corpus never shuffles for the join), one explode-by-dimension
+    aggregation for the update (rows x dim, map-side partial). Clusters
+    that lose all members drop out, identically on both engines. The
+    driver loop carries only the (tiny) centroid frame between rounds —
+    k x dim values — never corpus data."""
+    vectors = df.select(F.col(id_col).alias("__id"), as_double(vec_col).alias("__v"))
+    centroids = (
+        vectors.filter(F.col("__id") < k)
+        .select(F.col("__id").cast("int").alias("centroid_id"), F.col("__v").alias("__c"))
+    )
+    for _ in range(iters):
+        assigned = _argmin_assign(vectors, centroids, id_col="__id")
+        dims = assigned.select(
+            "centroid_id", F.posexplode("__v").alias("dim", "val")
+        )
+        means = dims.groupBy("centroid_id", "dim").agg(
+            F.round(F.avg("val"), 6).alias("m")
+        )
+        centroids = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+            ).alias("__c")
+        )
+    final = _argmin_assign(vectors, centroids, id_col="__id")
+    return final.select(
+        F.col("__id").alias(id_col),
+        "centroid_id",
+        F.round(F.col("__dist"), 6).alias("sq_dist"),
+    )
+
+
 def assign_centroids(
     df: DataFrame,
     centroids: DataFrame,

@@ -115,12 +115,28 @@ def lsh_near_dup_pairs(
     literals."""
     signed = lsh_signatures(corpus, vec_col=vec_col, dim=dim, n_bits=n_bits)
     cands = lsh_candidates(signed, id_col=id_col, n_bits=n_bits, band_bits=band_bits)
-    a = corpus.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    # Precompute each vector's norm ONCE (below the join, one fold per
+    # corpus row) and carry it through as a column, so the per-candidate
+    # verify is a single dot fold plus a scalar divide instead of three
+    # array folds — the verify join dominates when the band layout is
+    # permissive. dot/(na*nb) keeps the exact FP shape of the oracle.
+    v = as_double(vec_col)
+    sides = corpus.select(
+        F.col(id_col).alias("__uid"), v.alias("__v"), norm(v).alias("__n")
+    )
+    a = sides.select(
+        F.col("__uid").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na")
+    )
+    b = sides.select(
+        F.col("__uid").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
+    )
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

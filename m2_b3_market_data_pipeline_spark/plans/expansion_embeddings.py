@@ -10,10 +10,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.embeddings import assign_centroids, l2_normalize, quantize_int8
+from ..operators.embeddings import (
+    assign_centroids,
+    kmeans_iterate,
+    l2_normalize,
+    quantize_int8,
+)
 from .registry import load, register
 
 N_CENTROIDS = 8
+KMEANS_ITERS = 2
+EMBED_DIM = 64
 
 
 def _micro_md5(col: Column) -> Column:
@@ -88,6 +95,59 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q_md5"),
         F.round("q_mse", 9).alias("q_mse"),
     )
+
+
+def _km_dist(a: str, b: str) -> str:
+    return (
+        f"list_inner_product({a}, {a}) - 2 * list_inner_product({a}, {b})"
+        f" + list_inner_product({b}, {b})"
+    )
+
+
+def _km_assign_cte(cents: str, out: str) -> str:
+    d = _km_dist("e.v", "c.cv")
+    return f"""{out} AS (
+    SELECT vec_id, v, centroid_id, dist FROM (
+        SELECT e.vec_id, e.v, c.centroid_id, {d} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d}, c.centroid_id) AS rn
+        FROM e CROSS JOIN {cents} c) WHERE rn = 1)"""
+
+
+def _km_update_cte(assigned: str, out: str) -> str:
+    return f"""{out} AS (
+    SELECT centroid_id, list(m ORDER BY dim) AS cv FROM (
+        SELECT centroid_id, dim, ROUND(AVG(v[dim]), 6) AS m
+        FROM {assigned}, unnest(generate_series(1, {EMBED_DIM})) AS t(dim)
+        GROUP BY centroid_id, dim) GROUP BY centroid_id)"""
+
+
+def _kmeans_oracle(iters: int) -> str:
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS centroid_id, v AS cv FROM e "
+        f"WHERE vec_id < {N_CENTROIDS})",
+    ]
+    for i in range(iters):
+        ctes.append(_km_assign_cte(f"c{i}", f"a{i}"))
+        ctes.append(_km_update_cte(f"a{i}", f"c{i + 1}"))
+    ctes.append(_km_assign_cte(f"c{iters}", "af"))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, centroid_id, ROUND(dist, 6) AS sq_dist FROM af"
+    )
+
+
+@register("kmeans_clusters", oracle=_kmeans_oracle(KMEANS_ITERS))
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (deterministic seeding, 6dp-rounded centroid
+    updates so the iterate is bit-stable) — the iterative-algorithm
+    pattern on Spark: broadcast argmin assign + explode-by-dimension
+    mean per round, only the k x dim centroid frame crosses rounds
+    (operators/embeddings.py::kmeans_iterate). Oracle: the same
+    iterations unrolled as chained CTEs."""
+    emb = load(spark, sf_dir, "embeddings")
+    return kmeans_iterate(emb, k=N_CENTROIDS, iters=KMEANS_ITERS)
 
 
 @register(

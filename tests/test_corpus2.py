@@ -127,3 +127,33 @@ def test_assign_centroids_argmin_and_tiebreak(spark):
         ),
     ).collect()[0]
     assert out2.centroid_id == 1
+
+
+def test_kmeans_iterate_converges_on_separated_clusters(spark):
+    """Two well-separated blobs, k=2, seeds both in blob A (ids 0,1):
+    after one Lloyd iteration the centroid update must pull one cluster
+    onto blob B and the final assignment must split the blobs exactly."""
+    from m2_b3_market_data_pipeline_spark.operators.embeddings import kmeans_iterate
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.4, 0.0]),
+        (2, [0.0, 0.4]),
+        (3, [10.0, 10.0]),
+        (4, [10.4, 10.0]),
+        (5, [10.0, 10.4]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in kmeans_iterate(df, k=2, iters=2).collect()}
+    assert len(out) == len(rows)  # every vector assigned exactly once
+    blob_a = {out[i].centroid_id for i in (0, 1, 2)}
+    blob_b = {out[i].centroid_id for i in (3, 4, 5)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    # converged centroid for blob A is its mean (0.4/3, 0.4/3) -> the
+    # squared distance for vec 0 is 2 * (0.4/3)^2
+    assert abs(out[0].sq_dist - 2 * (0.4 / 3) ** 2) < 1e-4
+    # determinism: a second run yields identical assignments and distances
+    again = {r.vec_id: r for r in kmeans_iterate(df, k=2, iters=2).collect()}
+    assert {k: (v.centroid_id, v.sq_dist) for k, v in out.items()} == {
+        k: (v.centroid_id, v.sq_dist) for k, v in again.items()
+    }

@@ -194,9 +194,14 @@ def test_minhash_cache_released(spark):
     consuming action + release_cached, no cached RDDs linger."""
     from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
 
-    spark.catalog.clearCache()  # drop caches leaked by earlier tests' plans
+    # Check the scoped frame's own storage level rather than counting
+    # session-wide persistent RDDs: other operators legitimately hold
+    # session-lifetime entries (connected_components' localCheckpoint)
+    # and the ContextCleaner drops them asynchronously, so global counts
+    # are racy.
     result = minhash_dedup_pairs(_docs(spark), threshold=0.5)
     result.count()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) >= 1
+    (signed,) = result._cached_frames
+    assert signed.storageLevel.useMemory or signed.storageLevel.useDisk
     release_cached(result)
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert not (signed.storageLevel.useMemory or signed.storageLevel.useDisk)
