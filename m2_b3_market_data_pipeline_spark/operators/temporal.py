@@ -119,3 +119,56 @@ def resample_bars(
         )
         .select(key, F.col("win.start").alias("bucket_start"), "open", "high", "low", "close", "n")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to the
+    previous event of the same user exceeds ``gap_minutes``. Adds a
+    ``session_seq`` column (1-based per user, deterministic ordering by
+    ``(ts, tiebreak)``).
+
+    The classic web/event-log operator the reference's Athena surface
+    leaves to hand-written SQL. Physical shape: ONE shuffle on the user
+    key, then two streaming window passes in the same sorted partition
+    (lag to flag boundaries, running sum to number them) — Spark fuses
+    both into a single WindowExec sort. Gap arithmetic is exact integer
+    microseconds (no double truncation).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    boundary = (
+        F.when(us - F.lag(us).over(w) > gap_us, F.lit(1))
+        .otherwise(F.lit(0))
+        + F.when(F.lag(us).over(w).isNull(), F.lit(1)).otherwise(F.lit(0))
+    )
+    return df.withColumn(
+        "session_seq",
+        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def session_stats(
+    sessions: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Collapse sessionized events to one row per (user, session): start,
+    end, event count, summed value. Single hash aggregation — partial
+    (map-side) combine does most of the work because sessionize already
+    co-located each user's rows."""
+    return sessions.groupBy(user_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum(value_col), 6).alias("total_value"),
+    )

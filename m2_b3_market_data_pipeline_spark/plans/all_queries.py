@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     expansion_similarity,
     expansion_text,
     expansion_text2,
+    events_analytics,
     market_indicators,
     reference_queries,
     sql_surface,

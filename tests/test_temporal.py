@@ -52,3 +52,50 @@ def test_resample_open_close_picks(spark):
     ).selectExpr("user_id", "cast(ts as timestamp) ts", "value")
     row = resample_bars(df, ts="ts", key="user_id", value="value").collect()[0]
     assert (row.open, row.high, row.low, row.close, row.n) == (5.0, 9.0, 2.0, 2.0, 3)
+
+
+def test_sessionize_gap_boundaries(spark):
+    from m2_b3_market_data_pipeline_spark.operators.temporal import session_stats, sessionize
+
+    # user 1: events at 0, 10, 50 min (gap 40 > 30 -> new session);
+    # user 2: single event.
+    df = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:00", 1.0),
+            (2, 1, "2024-01-01 00:10:00", 2.0),
+            (3, 1, "2024-01-01 00:50:00", 4.0),
+            (4, 2, "2024-01-01 00:00:00", 8.0),
+        ],
+        "event_id int, user_id int, ts string, value double",
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) ts", "value")
+    seqs = {r.event_id: r.session_seq for r in sessionize(df).collect()}
+    assert seqs == {1: 1, 2: 1, 3: 2, 4: 1}
+    stats = {
+        (r.user_id, r.session_seq): (r.n_events, r.total_value)
+        for r in session_stats(sessionize(df)).collect()
+    }
+    assert stats == {(1, 1): (2, 3.0), (1, 2): (1, 4.0), (2, 1): (1, 8.0)}
+
+
+def test_sessionize_exact_30min_gap_same_session(spark):
+    from m2_b3_market_data_pipeline_spark.operators.temporal import sessionize
+
+    # gap == threshold is NOT a boundary (strictly-greater semantics)
+    df = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", 0.0), (2, 1, "2024-01-01 00:30:00", 0.0)],
+        "event_id int, user_id int, ts string, value double",
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) ts", "value")
+    assert {r.session_seq for r in sessionize(df).collect()} == {1}
+
+
+def test_sessionize_single_exchange_plan(spark):
+    """sessionize + session_stats must reuse one user_id partitioning:
+    exactly ONE shuffle in the whole physical plan."""
+    from m2_b3_market_data_pipeline_spark.operators.temporal import session_stats, sessionize
+
+    df = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", 1.0)],
+        "event_id int, user_id int, ts string, value double",
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) ts", "value")
+    plan = session_stats(sessionize(df))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
