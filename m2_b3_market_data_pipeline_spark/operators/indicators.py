@@ -125,3 +125,49 @@ def with_ewma(
         return pdf[out_cols]
 
     return df.groupBy(key).applyInPandas(per_asset, schema)
+
+
+def with_macd(
+    df: DataFrame,
+    *,
+    key: str = "ativo",
+    order: str = "date",
+    price: str = "close_price",
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+) -> DataFrame:
+    """MACD (12/26/9): macd = EMA_fast - EMA_slow, signal = EMA of the
+    macd line, histogram = macd - signal.
+
+    Three chained recursions -> one Arrow-batched grouped map computes
+    all of them in a single pass per asset (same one-shuffle property as
+    ``with_ewma``; spans = {fast,slow,signal} periods, alpha = 2/(n+1),
+    ``adjust=False`` streaming form). Columns are rounded to 6dp at the
+    boundary per the repo determinism contract.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("macd", T.DoubleType()),
+            T.StructField("macd_signal", T.DoubleType()),
+            T.StructField("macd_hist", T.DoubleType()),
+        ]
+    )
+    out_cols = [f.name for f in schema.fields]
+    a_fast, a_slow, a_sig = 2.0 / (fast + 1), 2.0 / (slow + 1), 2.0 / (signal + 1)
+
+    def per_asset(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order)
+        ema_f = pdf[price].ewm(alpha=a_fast, adjust=False).mean()
+        ema_s = pdf[price].ewm(alpha=a_slow, adjust=False).mean()
+        macd = ema_f - ema_s
+        sig = macd.ewm(alpha=a_sig, adjust=False).mean()
+        pdf["macd"] = macd.round(6)
+        pdf["macd_signal"] = sig.round(6)
+        pdf["macd_hist"] = (macd - sig).round(6)
+        return pdf[out_cols]
+
+    return df.groupBy(key).applyInPandas(per_asset, schema)

@@ -13,6 +13,7 @@ operator inventory. Split by area to keep modules reviewable:
 from __future__ import annotations
 
 from . import (  # noqa: F401
+    cdc_merge,
     expansion_corpus,
     expansion_corpus2,
     expansion_dedup,

@@ -127,3 +127,47 @@ def indicator_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n^2) per asset is fine oracle-side (n = bars per asset), while the
     Spark path stays the O(n) streaming recursion."""
     return with_ewma(_bars(spark, sf_dir)).select("ativo", "date", "close_price", "ewma")
+
+
+@register(
+    "indicator_macd",
+    oracle=OHLCV_SQL
+    + """
+, arr AS (
+    SELECT ativo,
+           list(close_price ORDER BY "date") AS px,
+           list("date" ORDER BY "date") AS ds
+    FROM ohlcv GROUP BY ativo
+),
+m AS (
+    SELECT ativo, ds, px,
+           [pow(1.0 - 2.0/13.0, t - 1) * px[1]
+              + (2.0/13.0) * coalesce(list_sum([px[s] * pow(1.0 - 2.0/13.0, t - s) for s in generate_series(2, t)]), 0.0)
+            - pow(1.0 - 2.0/27.0, t - 1) * px[1]
+              - (2.0/27.0) * coalesce(list_sum([px[s] * pow(1.0 - 2.0/27.0, t - s) for s in generate_series(2, t)]), 0.0)
+            for t in generate_series(1, len(px))] AS macd
+    FROM arr
+),
+idx AS (SELECT ativo, ds, px, macd, unnest(generate_series(1, len(macd))) AS t FROM m)
+SELECT ativo, ds[t] AS "date", px[t] AS close_price,
+       ROUND(macd[t], 6) AS macd,
+       ROUND(pow(0.8, t - 1) * macd[1]
+             + 0.2 * coalesce(list_sum([macd[s] * pow(0.8, t - s) for s in generate_series(2, t)]), 0.0), 6) AS macd_signal,
+       ROUND(macd[t] - (pow(0.8, t - 1) * macd[1]
+             + 0.2 * coalesce(list_sum([macd[s] * pow(0.8, t - s) for s in generate_series(2, t)]), 0.0)), 6) AS macd_hist
+FROM idx
+""",
+)
+def indicator_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD 12/26/9 via one Arrow-batched grouped map (three chained
+    EMA recursions in a single per-asset pass — operators/indicators.py
+    ``with_macd``). Hash-checked: each adjust=False EMA has the closed
+    form ``y_t = (1-a)^(t-1) x_1 + a * sum_s (1-a)^(t-s) x_s``; the
+    oracle evaluates the fast/slow forms over the price list and the
+    signal form over the resulting macd list — O(n^2) per asset
+    oracle-side, while the Spark path stays the O(n) recursion."""
+    from ..operators.indicators import with_macd
+
+    return with_macd(_bars(spark, sf_dir)).select(
+        "ativo", "date", "close_price", "macd", "macd_signal", "macd_hist"
+    )
