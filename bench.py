@@ -72,6 +72,10 @@ HEADLINE = [
     "dedup_clusters",
     "decontaminate",
     "centroid_assign",
+    # round-2 event-log analytics + CDC wave
+    "sessionize_stats",
+    "retention_cohorts",
+    "cdc_merge_upsert",
 ]
 
 

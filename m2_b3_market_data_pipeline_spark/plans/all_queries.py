@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from . import (  # noqa: F401
     cdc_merge,
+    data_quality,
     expansion_corpus,
     expansion_corpus2,
     expansion_dedup,
