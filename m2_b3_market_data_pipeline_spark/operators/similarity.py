@@ -317,3 +317,62 @@ def ann_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos", "rn")
     )
+
+
+def pq_codes(
+    corpus: DataFrame,
+    codebook_source: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_sub: int,
+) -> DataFrame:
+    """Product quantization: split each vector into ``n_sub`` subspaces
+    and code each slice as its nearest sub-centroid (L2). Output one row
+    per (vector, subspace): ``(id, subspace, code, dist)``.
+
+    This is the 100 TB embedding-compression path (a 64-dim float vector
+    becomes n_sub bytes; IVF+PQ is the standard billion-scale ANN
+    layout). The sub-codebooks are broadcast — the corpus never
+    shuffles; the explode to (row × n_sub) is a zero-shuffle projection,
+    assignment cost is |corpus| × n_sub × n_centroids slice-distances
+    inside codegen, and the argmin is a WindowGroupLimit over the tiny
+    (id, subspace) groups. Distances are rounded to 6dp before ranking
+    (centroid id tiebreak) so the argmin reproduces across engines.
+    """
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub_len = dim // n_sub
+
+    def slices(df: DataFrame, out_vec: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col),
+                as_double(vec_col).alias("__v"),
+                F.explode(F.array(*[F.lit(m) for m in range(1, n_sub + 1)])).alias("subspace"),
+            )
+            .withColumn(out_vec, F.expr(f"slice(__v, (subspace - 1) * {sub_len} + 1, {sub_len})"))
+            .drop("__v")
+        )
+
+    cent = slices(codebook_source, "cvec").withColumnRenamed(id_col, "code")
+    corp = slices(corpus, "svec")
+    l2 = F.aggregate(
+        F.zip_with(F.col("svec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = corp.join(F.broadcast(cent), "subspace").withColumn("dist", F.round(l2, 6))
+    # argmin via min(struct(dist, code)): lexicographic struct ordering
+    # gives the (dist asc, code asc) tiebreak AND map-side partial
+    # aggregation — each task collapses its n_centroids candidates per
+    # (id, subspace) before the exchange, so shuffle volume is
+    # |corpus| × n_sub singleton rows, not × n_centroids (a row_number
+    # window would shuffle the full scored set).
+    best = F.min(F.struct("dist", "code")).alias("__best")
+    return (
+        scored.groupBy(id_col, F.col("subspace").cast("long").alias("subspace"))
+        .agg(best)
+        .select(id_col, "subspace", F.col("__best.code").alias("code"), F.col("__best.dist").alias("dist"))
+    )

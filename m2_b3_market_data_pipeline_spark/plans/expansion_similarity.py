@@ -21,6 +21,7 @@ from ..operators.similarity import (
     brute_force_topk,
     ivf_topk,
     lsh_near_dup_pairs,
+    pq_codes,
 )
 from .registry import load, register
 
@@ -319,3 +320,42 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     document fixture is pure ASCII (asserted in tests)."""
     docs = load(spark, sf_dir, "documents")
     return sample_frames(fan_out(attach_binary(docs)), n_frames=4, frame_bytes=16)
+
+
+PQ_SUB = 4  # subspaces; 64-dim -> 4 slices of 16 dims
+_PQ_LEN = EMBED_DIM // PQ_SUB
+_PQ_DIST = (
+    "ROUND(list_sum([ (s.sv[i] - cent.cv[i]) * (s.sv[i] - cent.cv[i]) "
+    f"for i in generate_series(1, {_PQ_LEN}) ]), 6)"
+)
+
+
+@register(
+    "pq_codes",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT unnest(generate_series(1, {PQ_SUB})) AS m),
+sub AS (
+    SELECT vec_id, m, list_slice(v, (m - 1) * {_PQ_LEN} + 1, m * {_PQ_LEN}) AS sv
+    FROM c, m
+),
+cent AS (
+    SELECT vec_id AS code, m, list_slice(v, (m - 1) * {_PQ_LEN} + 1, m * {_PQ_LEN}) AS cv
+    FROM c, m WHERE vec_id % {CENTROID_MOD} = 0
+)
+SELECT vec_id, CAST(subspace AS BIGINT) AS subspace, code, dist FROM (
+    SELECT s.vec_id, s.m AS subspace, cent.code, {_PQ_DIST} AS dist,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_PQ_DIST} ASC, cent.code) AS rn
+    FROM sub s JOIN cent ON s.m = cent.m
+) WHERE rn = 1
+""",
+)
+def pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes: every vector compressed to PQ_SUB
+    nearest-sub-centroid ids (operators/similarity.py::pq_codes;
+    deterministic codebook = every CENTROID_MOD-th vector, as IVF).
+    Hash-checked end-to-end including the per-slice L2 distances."""
+    emb = load(spark, sf_dir, "embeddings")
+    codebook = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    return pq_codes(emb, codebook, dim=EMBED_DIM, n_sub=PQ_SUB)

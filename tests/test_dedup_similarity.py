@@ -205,3 +205,32 @@ def test_minhash_cache_released(spark):
     assert signed.storageLevel.useMemory or signed.storageLevel.useDisk
     release_cached(result)
     assert not (signed.storageLevel.useMemory or signed.storageLevel.useDisk)
+
+
+def test_pq_codes_centroids_self_code(spark, sf_dir):
+    """A vector that IS a codebook entry quantizes to itself at dist 0
+    in every subspace."""
+    from pyspark.sql import functions as F
+
+    from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
+    from m2_b3_market_data_pipeline_spark.plans.expansion_similarity import CENTROID_MOD, PQ_SUB
+
+    out = QUERIES["pq_codes"](spark, sf_dir)
+    cent_rows = out.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    assert cent_rows.filter(F.col("dist") != 0.0).count() == 0
+    # every vector gets exactly PQ_SUB codes
+    bad = out.groupBy("vec_id").count().filter(F.col("count") != PQ_SUB)
+    assert bad.count() == 0
+
+
+def test_pq_codes_single_exchange_plan(spark, sf_dir):
+    """Broadcast codebook + map-side argmin combine: exactly one
+    exchange (the final groupBy), and no SortMergeJoin anywhere."""
+    from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
+
+    plan = QUERIES["pq_codes"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # one shuffle exchange (the final argmin agg); the codebook's
+    # BroadcastExchange is the cheap intended one
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_min" in plan, plan  # map-side combine before the shuffle
