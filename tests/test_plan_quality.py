@@ -165,3 +165,44 @@ def test_normalize_quantize_prune_to_embedding_columns(spark, sf_dir):
         assert m, plan
         read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
         assert "label" not in read_cols, name
+
+
+def test_zscore_fact_table_never_shuffles(spark, sf_dir):
+    """zscore_anomalies: the per-type stats frame broadcasts; the events
+    fact table is scored map-side (no SortMergeJoin, no events-side
+    hash exchange feeding the join)."""
+    plan = _plan(all_queries.QUERIES["zscore_anomalies"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_cdc_merge_compiles_to_group_limit(spark, sf_dir):
+    """cdc_merge_upsert: rank-1 winner prune must run as WindowGroupLimit
+    (map-side partial prune before the key shuffle), and there is only
+    that one shuffle."""
+    plan = _plan(all_queries.QUERIES["cdc_merge_upsert"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+    # formatted explain lists each node once in the detail section as
+    # "(n) Exchange" — count those, not raw substrings (tree + detail
+    # would double-count)
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_funnel_no_cartesian(spark, sf_dir):
+    """funnel_stages: stage joins are keyed; the only cross joins are the
+    three single-row scalar aggregates at the top."""
+    plan = _plan(all_queries.QUERIES["funnel_stages"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_retention_type_filterless_scan_pruned(spark, sf_dir):
+    """retention_cohorts reads only (user_id, ts) from events."""
+    import re as _re
+
+    plan = _plan(all_queries.QUERIES["retention_cohorts"](spark, sf_dir))
+    m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert "props" not in read_cols and "event_type" not in read_cols, read_cols
