@@ -319,6 +319,31 @@ def ann_topk(
     )
 
 
+def _pq_slices(
+    df: DataFrame, id_col: str, vec_col: str, out_vec: str, n_sub: int, sub_len: int
+) -> DataFrame:
+    """Explode each vector row into (id, subspace, slice) rows — a
+    zero-shuffle projection."""
+    return (
+        df.select(
+            F.col(id_col),
+            as_double(vec_col).alias("__v"),
+            F.explode(F.array(*[F.lit(m) for m in range(1, n_sub + 1)])).alias("subspace"),
+        )
+        .withColumn(out_vec, F.expr(f"slice(__v, (subspace - 1) * {sub_len} + 1, {sub_len})"))
+        .drop("__v")
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Left-to-right squared L2 distance between two slices."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_codes(
     corpus: DataFrame,
     codebook_source: DataFrame,
@@ -344,25 +369,11 @@ def pq_codes(
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sub_len = dim // n_sub
-
-    def slices(df: DataFrame, out_vec: str) -> DataFrame:
-        return (
-            df.select(
-                F.col(id_col),
-                as_double(vec_col).alias("__v"),
-                F.explode(F.array(*[F.lit(m) for m in range(1, n_sub + 1)])).alias("subspace"),
-            )
-            .withColumn(out_vec, F.expr(f"slice(__v, (subspace - 1) * {sub_len} + 1, {sub_len})"))
-            .drop("__v")
-        )
-
-    cent = slices(codebook_source, "cvec").withColumnRenamed(id_col, "code")
-    corp = slices(corpus, "svec")
-    l2 = F.aggregate(
-        F.zip_with(F.col("svec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    cent = _pq_slices(codebook_source, id_col, vec_col, "cvec", n_sub, sub_len).withColumnRenamed(
+        id_col, "code"
     )
+    corp = _pq_slices(corpus, id_col, vec_col, "svec", n_sub, sub_len)
+    l2 = _l2sq(F.col("svec"), F.col("cvec"))
     scored = corp.join(F.broadcast(cent), "subspace").withColumn("dist", F.round(l2, 6))
     # argmin via min(struct(dist, code)): lexicographic struct ordering
     # gives the (dist asc, code asc) tiebreak AND map-side partial
@@ -375,4 +386,61 @@ def pq_codes(
         scored.groupBy(id_col, F.col("subspace").cast("long").alias("subspace"))
         .agg(best)
         .select(id_col, "subspace", F.col("__best.code").alias("code"), F.col("__best.dist").alias("dist"))
+    )
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook_source: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_sub: int,
+    k: int = 5,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: approximate nearest neighbors
+    scored entirely from compressed codes.
+
+    ``adist(q, x) = sum_m ||q_m - centroid[code_m(x)]||²`` — the query
+    stays full-precision, the corpus exists only as its PQ codes. The
+    per-query distance TABLE (|queries| × n_sub × n_centroids rows) is
+    broadcast; the codes frame joins it on (subspace, code) map-side, so
+    the only shuffle is the per-(query, vector) partial-distance sum —
+    with map-side combine that is |corpus| × |queries| singleton rows,
+    and the final per-query top-k is a WindowGroupLimit. This is exactly
+    the billion-scale ADC scan layout: full vectors are read once to
+    build codes; searches never touch them again.
+
+    Distances are rounded to 6dp after the cross-subspace sum
+    (neighbor-id tiebreak) so the ranking reproduces across engines.
+    """
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub_len = dim // n_sub
+    codes = pq_codes(corpus, codebook_source, id_col=id_col, vec_col=vec_col, dim=dim, n_sub=n_sub)
+    cent = _pq_slices(codebook_source, id_col, vec_col, "cvec", n_sub, sub_len).withColumnRenamed(
+        id_col, "code"
+    )
+    q = _pq_slices(queries, id_col, vec_col, "qvec", n_sub, sub_len).withColumnRenamed(
+        id_col, "query_id"
+    )
+    table = q.join(cent, "subspace").select(
+        "query_id",
+        F.col("subspace").cast("long").alias("subspace"),
+        "code",
+        _l2sq(F.col("qvec"), F.col("cvec")).alias("part"),
+    )
+    summed = (
+        codes.join(F.broadcast(table), ["subspace", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.round(F.sum("part"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        summed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adist", "rn")
     )

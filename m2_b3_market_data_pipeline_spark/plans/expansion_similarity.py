@@ -21,6 +21,7 @@ from ..operators.similarity import (
     brute_force_topk,
     ivf_topk,
     lsh_near_dup_pairs,
+    pq_ann_topk,
     pq_codes,
 )
 from .registry import load, register
@@ -359,3 +360,61 @@ def pq_codes_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     codebook = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
     return pq_codes(emb, codebook, dim=EMBED_DIM, n_sub=PQ_SUB)
+
+
+_PQ_QPART = (
+    "list_sum([ (q.qv[i] - cent.cv[i]) * (q.qv[i] - cent.cv[i]) "
+    f"for i in generate_series(1, {_PQ_LEN}) ])"
+)
+
+
+@register(
+    "pq_ann_topk",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT unnest(generate_series(1, {PQ_SUB})) AS m),
+sub AS (
+    SELECT vec_id, m, list_slice(v, (m - 1) * {_PQ_LEN} + 1, m * {_PQ_LEN}) AS sv
+    FROM c, m
+),
+cent AS (
+    SELECT vec_id AS code, m, list_slice(v, (m - 1) * {_PQ_LEN} + 1, m * {_PQ_LEN}) AS cv
+    FROM c, m WHERE vec_id % {CENTROID_MOD} = 0
+),
+codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, cent.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_PQ_DIST} ASC, cent.code) AS rn
+        FROM sub s JOIN cent ON s.m = cent.m
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, m, sv AS qv FROM sub WHERE vec_id % {QUERY_MOD} = 0),
+tbl AS (
+    SELECT q.query_id, q.m, cent.code, {_PQ_QPART} AS part
+    FROM q JOIN cent ON q.m = cent.m
+),
+summed AS (
+    SELECT t.query_id, k.vec_id AS neighbor_id, ROUND(SUM(t.part), 6) AS adist
+    FROM codes k JOIN tbl t ON k.m = t.m AND k.code = t.code
+    WHERE k.vec_id <> t.query_id
+    GROUP BY t.query_id, k.vec_id
+)
+SELECT query_id, neighbor_id, adist, rn FROM (
+    SELECT query_id, neighbor_id, adist,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist ASC, neighbor_id) AS rn
+    FROM summed
+) WHERE rn <= {TOP_K}
+""",
+)
+def pq_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (operators/similarity.py::
+    pq_ann_topk): queries stay full-precision, the corpus is searched
+    purely through its PQ codes via a broadcast distance table — the
+    billion-scale ADC scan. Deterministic codebook -> fully
+    hash-checked, like ivf_ann_topk."""
+    emb = load(spark, sf_dir, "embeddings")
+    codebook = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return pq_ann_topk(emb, queries, codebook, dim=EMBED_DIM, n_sub=PQ_SUB, k=TOP_K)

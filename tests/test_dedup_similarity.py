@@ -234,3 +234,28 @@ def test_pq_codes_single_exchange_plan(spark, sf_dir):
     assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert "partial_min" in plan, plan  # map-side combine before the shuffle
+
+
+def test_pq_ann_topk_invariants(spark, sf_dir):
+    """ADC search: exactly k neighbors per query, non-negative distances,
+    ranks total-ordered, and no self-matches."""
+    from pyspark.sql import functions as F
+
+    from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
+    from m2_b3_market_data_pipeline_spark.plans.expansion_similarity import TOP_K
+
+    out = QUERIES["pq_ann_topk"](spark, sf_dir).cache()
+    try:
+        per_q = out.groupBy("query_id").agg(
+            F.count("*").alias("n"), F.collect_set("rn").alias("rns")
+        )
+        assert per_q.filter(F.col("n") != TOP_K).count() == 0
+        assert out.filter(F.col("adist") < 0).count() == 0
+        assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+        # adist is non-decreasing in rank within each query
+        from pyspark.sql import Window as W
+
+        prev = F.lag("adist").over(W.partitionBy("query_id").orderBy("rn"))
+        assert out.withColumn("p", prev).filter(F.col("p") > F.col("adist")).count() == 0
+    finally:
+        out.unpersist()
