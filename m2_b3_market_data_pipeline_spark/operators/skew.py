@@ -81,3 +81,30 @@ def compact(df: DataFrame, *, target_partitions: int) -> DataFrame:
     shuffle); use ``repartition`` upstream instead when output skew
     matters more than the shuffle cost."""
     return df.coalesce(target_partitions)
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    *,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the (skewed) fact side, replicate the
+    dim side across all salts, join on (key, salt).
+
+    The manual form of AQE's skew-join split, for when the dim side is
+    too big to broadcast but small enough to replicate ``n_salts``× —
+    a hot fact key's rows land in ``n_salts`` different shuffle
+    partitions instead of one straggler task. Replication is an
+    ``explode`` of a literal salt array (zero-shuffle projection on the
+    dim side). Result equals the plain join exactly; only the physical
+    distribution changes.
+    """
+    salted_facts = facts.withColumn(SALT, (F.rand(seed=42) * n_salts).cast("int"))
+    replicated = dim.withColumn(
+        SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = salted_facts.join(replicated, on=[key, SALT], how=how)
+    return out.drop(SALT)

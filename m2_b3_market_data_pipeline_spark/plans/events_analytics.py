@@ -224,3 +224,35 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.floor(F.col("value") / 5.0).cast("long").alias("bucket"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
     )
+
+
+@register(
+    "trending_daily",
+    oracle="""
+WITH d AS (
+    SELECT date_trunc('day', ts) AS day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, n, rn FROM (
+    SELECT day, event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rn
+    FROM d
+) WHERE rn <= 3
+""",
+)
+def trending_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily trending items: count per (day, type), top-3 per day.
+    Two tiny-key shuffles; the per-day rank is a WindowGroupLimit over
+    <=|event types| rows per day. At scale the count agg does the
+    heavy lifting map-side; the rank never sees raw events.
+    """
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("day").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("day", "event_type", "n", "rn")
+    )

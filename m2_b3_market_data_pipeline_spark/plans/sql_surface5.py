@@ -354,3 +354,39 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
     )
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+WITH dim AS (
+    SELECT o_orderpriority, ROUND(AVG(o_totalprice), 6) AS prio_avg
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT)                      AS n,
+       ROUND(MIN(o.o_totalprice - d.prio_avg), 6)    AS min_dev,
+       ROUND(MAX(o.o_totalprice - d.prio_avg), 6)    AS max_dev
+FROM orders o JOIN dim d ON o.o_orderpriority = d.o_orderpriority
+GROUP BY o.o_orderpriority
+""",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof equi-join on a 5-value key (operators/skew.py::
+    salted_join): the fact side is salted 16 ways and the per-priority
+    dim is replicated across salts, so a hot key's rows spread over 16
+    shuffle partitions instead of one straggler. For when the dim is too
+    big to broadcast but fine to replicate; result is algebraically
+    identical to the plain join, which is what the oracle checks
+    (deviations from the per-priority mean, min/max = exact picks).
+    """
+    from ..operators.skew import salted_join
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    dim = o.groupBy("o_orderpriority").agg(F.round(F.avg("o_totalprice"), 6).alias("prio_avg"))
+    joined = salted_join(o, dim, key="o_orderpriority", n_salts=16)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min(F.col("o_totalprice") - F.col("prio_avg")), 6).alias("min_dev"),
+        F.round(F.max(F.col("o_totalprice") - F.col("prio_avg")), 6).alias("max_dev"),
+    )

@@ -79,3 +79,18 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_salted_join_equals_plain_join(spark):
+    from m2_b3_market_data_pipeline_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(200)],
+        "id int, k string, v double",
+    )
+    dim = spark.createDataFrame([("hot", 1.0), ("cold", 2.0)], "k string, w double")
+    got = sorted(
+        (r.id, r.k, r.v, r.w) for r in salted_join(facts, dim, key="k", n_salts=8).collect()
+    )
+    want = sorted((r.id, r.k, r.v, r.w) for r in facts.join(dim, "k").select("id", "k", "v", "w").collect())
+    assert got == want
