@@ -205,3 +205,50 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 08:00 window is behind the watermark when its row arrives in
     # batch 2 -> append mode never emits it
     assert "2024-01-01 08:00:00" not in emitted_ws
+
+
+def test_streaming_cdc_merge_snapshot(spark, tmp_path):
+    """Streaming upsert/tombstone batches maintain a latest-wins
+    snapshot across separate availableNow runs of one checkpoint."""
+    from pyspark.sql import types as T
+
+    from m2_b3_market_data_pipeline_spark.streaming.cdc_sink import run_cdc_merge_stream
+
+    updates = str(tmp_path / "updates")
+    snapshot = str(tmp_path / "snap")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("version", T.LongType()),
+            T.StructField("is_del", T.BooleanType()),
+        ]
+    )
+
+    def run():
+        q = run_cdc_merge_stream(
+            spark,
+            updates_path=updates,
+            snapshot_path=snapshot,
+            checkpoint_path=ckpt,
+            schema=schema,
+            keys=["k"],
+            version_col="version",
+            tombstone_col="is_del",
+        )
+        q.awaitTermination(120)
+
+    batch1 = [(1, "a", 1, False), (2, "b", 1, False), (3, "c", 1, False)]
+    spark.createDataFrame(batch1, schema).write.parquet(f"{updates}/b1")
+    run()
+    snap = {(r.k, r.v, r.version) for r in spark.read.parquet(snapshot).collect()}
+    assert snap == {(1, "a", 1), (2, "b", 1), (3, "c", 1)}
+
+    # second run: update 1, delete 2, insert 4 — only the new file is
+    # processed through the same checkpoint
+    batch2 = [(1, "a2", 2, False), (2, "b", 2, True), (4, "d", 2, False)]
+    spark.createDataFrame(batch2, schema).write.parquet(f"{updates}/b2")
+    run()
+    snap = {(r.k, r.v, r.version) for r in spark.read.parquet(snapshot).collect()}
+    assert snap == {(1, "a2", 2), (3, "c", 1), (4, "d", 2)}
