@@ -30,6 +30,7 @@ from . import (  # noqa: F401
     sql_surface3,
     sql_surface4,
     sql_surface5,
+    stats_analytics,
     streaming_queries,
 )
 from .registry import ORACLES, QUERIES

@@ -106,3 +106,33 @@ def test_approx_distinct_within_5pct_of_exact(spark, sf_dir):
     }
     for r in approx_distinct_users(spark, sf_dir).collect():
         assert abs(r["approx_users"] - exact[r["event_type"]]) <= 0.05 * exact[r["event_type"]]
+
+
+def test_weighted_sample_deterministic_across_runs(spark, sf_dir):
+    from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
+
+    q = QUERIES["weighted_sample"]
+    a = [(r.doc_id, r.key_) for r in q(spark, sf_dir).collect()]
+    b = [(r.doc_id, r.key_) for r in q(spark, sf_dir).collect()]
+    assert a == b and len(a) == 50
+
+
+def test_groupwise_regression_r_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
+
+    out = QUERIES["groupwise_regression"](spark, sf_dir)
+    assert out.filter((F.col("r") < -1.0) | (F.col("r") > 1.0)).count() == 0
+    assert out.count() == 5  # one fit per event type
+
+
+def test_quantile_binning_equal_frequency(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
+
+    out = QUERIES["quantile_binning"](spark, sf_dir)
+    counts = [r.n for r in out.orderBy("bin").collect()]
+    assert len(counts) == 10
+    assert max(counts) - min(counts) <= 1  # ntile balance property
