@@ -194,3 +194,95 @@ def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "percentile_binning",
+    oracle="""
+WITH cuts AS (
+    SELECT quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs
+    FROM events
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+FROM (
+    SELECT value, CAST(1 + len(list_filter(cs, c -> value > c)) AS BIGINT) AS bin
+    FROM events, cuts
+)
+GROUP BY bin
+""",
+)
+def percentile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile binning WITHOUT a global sort: exact percentile cut points
+    (one agg) broadcast back over the scan; bin = 1 + #cuts below the
+    value (ties stick to the lower bin, unlike ntile's row-split).
+
+    This is the 100 TB form of ``quantile_binning``: the single-partition
+    ntile sort becomes a 9-element array comparison inside codegen —
+    two scans, zero wide shuffle. Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition, so even
+    the cut points agree.
+    """
+    ev = load(spark, sf_dir, "events")
+    qs = ",".join(str(q / 10.0) for q in range(1, 10))
+    cuts = ev.agg(F.expr(f"percentile(value, array({qs}))").alias("cs"))
+    binned = ev.crossJoin(F.broadcast(cuts)).select(
+        "value",
+        (
+            F.lit(1)
+            + F.size(F.filter(F.col("cs"), lambda c: F.col("value") > c))
+        ).cast("long").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+@register(
+    "mad_outliers",
+    oracle="""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_id, e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+    FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, ROUND(d.value, 6) AS value,
+       ROUND((d.value - d.med) / (1.4826 * m.mad), 6) AS robust_z
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE ROUND(ABS((d.value - d.med) / (1.4826 * m.mad)), 6) > 3.5
+""",
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers via median absolute deviation: |x - med| /
+    (1.4826·MAD) > 3.5 — the outlier gate that, unlike z-scores, is not
+    itself dragged by the outliers.
+
+    Plan: two percentile aggs over (type)-keyed frames, each result
+    broadcast back onto the scan; the fact table never shuffles. The
+    membership filter compares the 6dp-rounded score on both engines,
+    same convention as zscore_anomalies.
+    """
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    rz = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.round(F.abs(rz), 6) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value"), 6).alias("value"),
+            F.round(rz, 6).alias("robust_z"),
+        )
+    )
