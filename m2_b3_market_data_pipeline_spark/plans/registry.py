@@ -44,20 +44,31 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # The caller may hand us ANY SparkSession (the driver builds a bare one
-    # with none of session.py's confs). events.parquet is TIMESTAMP(NANOS),
-    # which a stock reader rejects with PARQUET_TYPE_ILLEGAL — so set the
-    # legacy-nanos conf here, at runtime, where every query path funnels
-    # through. It is a runtime-settable SQL conf and idempotent.
+    # with none of session.py's confs), so every conf a query depends on must
+    # be set here at runtime, where all query paths funnel through. Both are
+    # runtime-settable SQL confs and idempotent.
+    #
+    # - nanosAsLong: some testdata generations write events.ts as
+    #   TIMESTAMP(NANOS), which a stock reader rejects (PARQUET_TYPE_ILLEGAL).
+    # - UTC session tz: timestamp<->string/date arithmetic must agree with
+    #   the (timezone-naive) DuckDB oracle regardless of host tz.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if table == "events":
-        # On disk ts is TIMESTAMP(NANOS) (read as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong); all fixture values are
-        # µs-aligned, so the µs conversion is lossless and matches what
-        # DuckDB sees.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        # Integer division: ns values exceed double's 53-bit mantissa, so
-        # a float path would corrupt timestamps.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # TIMESTAMP(NANOS) layout, surfaced as long nanos by the conf
+            # above. Fixture values are µs-aligned, so the µs conversion is
+            # lossless. Integer division: ns values exceed double's 53-bit
+            # mantissa, so a float path would corrupt timestamps.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) layout. Interpret the
+            # naive values as UTC instants (session tz pinned above), giving
+            # the same column the nanos path produces.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
