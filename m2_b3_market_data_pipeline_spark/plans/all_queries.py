@@ -37,76 +37,84 @@ from .registry import ORACLES, QUERIES
 
 # The correctness driver hash-checks only the FIRST 50 registered queries,
 # in insertion order. Import order alone is too coarse (order within a
-# module is fixed), so re-order QUERIES explicitly: the reference surface
-# and every query family that still lacks a green driver row go first;
-# queries that already earned a hash-checked PASS in round 1
-# (CORRECTNESS_r01.json: the expansion dedup/similarity/text families,
-# q1/q3/q5, top_customers, window_rank, rollup, semi_anti_join, ...)
-# rotate past slot 50 — their evidence is already on record.
+# module is fixed), so re-order QUERIES explicitly, rotating per round so
+# every registered query accumulates a hash-checked driver row:
+#
+# - round 1 (original order) evidenced 26 queries (CORRECTNESS_r01.json);
+# - rounds 2-3 front-loaded the reference surface + indicators + TPC-H
+#   q2..q22 + wave 5 — all 50 PASS (CORRECTNESS_r02/r03.json);
+# - round 4 (this order) front-loads the 55 queries with no driver row in
+#   any prior round: CDC/SCD2, data quality, corpus prep, embedding
+#   hygiene/clustering/PQ, events analytics, stats analytics, the
+#   remaining relational surface (subqueries, pivot, cube/grouping sets,
+#   percentiles, regex/array/null scalars), and the streaming windows.
+#
+# Queries already green in r02/r03 rotate past slot 50 — their evidence
+# is on record in those files.
 CHECK_PRIORITY: list[str] = [
-    # Reference pipeline surface (SURVEY §2) — errored in r1 on the
-    # events.parquet nanos read, fixed in registry.load(); these rows
-    # prove the fix.
+    # CDC / merge (streaming sink semantics, batch-checkable).
+    "cdc_merge_upsert",
+    "scd2_user_values",
+    # Data-quality gates.
+    "profile_events",
+    "expectation_checks",
+    "fk_orphans_audit",
+    # Corpus preparation (LLM-training data path).
+    "repetition_stats",
+    "pii_scrub",
+    "token_pack",
+    "corpus_pipeline",
+    "dedup_clusters",
+    "doc_chunks",
+    "char_entropy",
+    "decontaminate",
+    # Embedding hygiene / clustering / PQ.
+    "embed_normalize",
+    "embed_quantize",
+    "kmeans_clusters",
+    "centroid_assign",
+    "pq_codes",
+    "pq_ann_topk",
+    # Events analytics.
+    "sessionize_stats",
+    "funnel_stages",
+    "retention_cohorts",
+    "zscore_anomalies",
+    "value_histogram",
+    "trending_daily",
+    "indicator_macd",
+    # Relational surface without a prior driver row.
+    "scalar_subquery",
+    "correlated_subquery",
+    "pivot_segments",
+    "exact_percentiles",
+    "disjunctive_predicates",
+    "full_outer_join",
+    "predicate_surface",
+    "array_functions",
+    "grouping_sets",
+    "window_running_total",
+    "cube_lineitem",
+    "window_distribution",
+    "regex_functions",
+    "sample_per_group",
+    "salted_skew_join",
+    # Stats analytics.
+    "groupwise_regression",
+    "quantile_binning",
+    "event_cooccurrence",
+    "mad_outliers",
+    # Streaming windows (batch-mode equivalence oracles).
+    "sliding_window",
+    "session_window",
+    "stream_stream_join",
+    "streaming_dedup",
+    # One re-proof anchor: the flagship reference pipeline stays in the
+    # window every round (its row also re-validates the events loader
+    # against whatever ts layout the current testdata carries).
     "refined_pipeline",
-    "rolling_mean_7",
-    "asset_aggregates",
-    "enrich_join",
-    "filter_sort_limit",
-    "select_limit",
-    "union_all",
-    "coalesce_duplicates",
-    "json_extract",
-    "date_functions",
-    # (string_functions already hash-passed in r1; rotated past slot 50.)
-    # Market indicators (same nanos root cause in r1).
-    "indicator_returns",
-    "indicator_bollinger",
-    "indicator_vwap_drawdown",
-    "indicator_rsi",
-    "indicator_ewma",
-    # events-reading relational ops (same root cause in r1).
-    "lead_lag",
-    "distinct_agg",
-    "set_ops",
-    "except_op",
-    "asof_join_quotes",
-    "resample_ohlc",
-    # TPC-H shapes with no driver row yet (q1/q3/q5 passed in r1).
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q11_important_value",
-    "q12_priority_by_status",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "q21_sole_returned_supplier",
-    "q22_idle_customers",
-    # Wave 5 (skew/sampling/gap-fill) — registered after slot 50 in r1.
-    "rolling_mean_time_range",
-    "band_join_revenue",
-    "gap_fill_locf",
-    "train_test_split",
-    "salted_skew_agg",
-    # Queries whose round-2 rework graduated them from rows-only (or
-    # from a quadratic plan) to hash-checked — fresh evidence needed.
-    "embedding_near_dups",
-    "ann_topk_lsh",
-    "simhash_near_dups",
-    "multimodal_features",
-    # Streaming-window representative (oracle-checked via batch-mode
-    # equivalence).
-    "tumbling_window",
 ]
+
 
 _missing = [n for n in CHECK_PRIORITY if n not in QUERIES]
 if _missing:  # pragma: no cover - registration bug tripwire
