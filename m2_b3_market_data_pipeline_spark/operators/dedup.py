@@ -379,3 +379,47 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT asymmetric containment join: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+
+    Jaccard misses the quote/subset case — a short doc fully embedded in
+    a long one has low Jaccard but containment 1.0; this is the operator
+    that catches boilerplate reuse and quotation in corpus curation.
+    Same sparse inverted-index strategy as ``ngram_jaccard_pairs`` (only
+    shingle-sharing pairs materialize), but DIRECTED: (id_a contained-in
+    id_b) and its reverse are distinct rows, each normalized by the left
+    side's shingle-set size."""
+    sh = (
+        with_shingles(fan_out(df.select(id_col, text_col)), text_col=text_col, n=n)
+        .select(id_col, F.explode("sh").alias("shingle"), F.size("sh").alias("set_size"))
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.set_size").alias("size_a"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    contain = F.round(F.col("inter").cast("double") / F.col("size_a").cast("double"), 6)
+    return (
+        inter.withColumn("containment", contain)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

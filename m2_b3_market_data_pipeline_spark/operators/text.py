@@ -106,3 +106,68 @@ def with_fingerprint(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     text. The exact-dedup / provenance primitive."""
     norm = normalized_text(text_col)
     return df.withColumn("fp_md5", F.md5(norm)).withColumn("fp_sha256", F.sha2(norm, 256))
+
+
+def char_trigrams(text: str | Column) -> Column:
+    """All overlapping character trigrams of the lowercased/trimmed text
+    (duplicates kept — they are separate LM observations). Pure
+    higher-order-function projection, no explode yet."""
+    col = F.col(text) if isinstance(text, str) else text
+    s = F.lower(F.trim(col))
+    n = F.length(s) - F.lit(2)
+    # sequence(1, n) DESCENDS for n < 1 (it never returns empty), so
+    # short texts need an explicit empty-array branch.
+    return F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(s, i, F.lit(3))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def trigram_lm_scores(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-trigram language-model scoring — the classic cheap
+    perplexity proxy for corpus quality filtering (a KenLM stand-in that
+    needs no external model artifact).
+
+    Two-pass, both distributed:
+    1. TRAIN: explode trigrams once, aggregate conditional counts
+       P(c3 | c1c2) = count(trigram) / count(prefix-bigram). The model is
+       bounded by |charset|^3 rows regardless of corpus size, so it
+       BROADCASTS — the defining scale property.
+    2. SCORE: re-join the exploded trigrams to the broadcast model and
+       average log2 P per document. The 100 TB side never shuffles on
+       model keys; the only wide ops are the two bounded-size count
+       aggregations.
+
+    Output: (id, n_trigrams, avg_logp) — higher avg_logp = more typical
+    text; gibberish scores low. Documents shorter than 3 chars drop out
+    (they have no observations).
+    """
+    grams = df.select(
+        F.col(id_col), F.explode(char_trigrams(text_col)).alias("gram")
+    )
+    tri_counts = grams.groupBy("gram").agg(F.count("*").alias("n3"))
+    prefix_counts = (
+        grams.select(F.substring("gram", 1, 2).alias("pre"))
+        .groupBy("pre")
+        .agg(F.count("*").alias("n2"))
+    )
+    model = (
+        tri_counts.withColumn("pre", F.substring("gram", 1, 2))
+        .join(prefix_counts, "pre")
+        .select(
+            "gram",
+            F.log2(F.col("n3").cast("double") / F.col("n2").cast("double")).alias(
+                "logp"
+            ),
+        )
+    )
+    return (
+        grams.join(F.broadcast(model), "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.avg("logp"), 6).alias("avg_logp"),
+        )
+    )

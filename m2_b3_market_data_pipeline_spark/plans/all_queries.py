@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     expansion_similarity,
     expansion_text,
     expansion_text2,
+    expansion_wave6,
     events_analytics,
     market_indicators,
     reference_queries,

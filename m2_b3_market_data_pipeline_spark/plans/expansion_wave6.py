@@ -1,0 +1,188 @@
+"""Wave 6: corpus LM-scoring, containment dedup, Z-order layout keys,
+single-pass correlation, and wide->long unpivot.
+
+Five capability gaps closed, each with a DuckDB hash oracle:
+
+- trigram_lm_score: char-trigram LM quality scoring (perplexity proxy)
+  with a broadcast-bounded model (operators/text.py).
+- containment_pairs: directed shingle containment — the quote/subset
+  near-dup case Jaccard misses (operators/dedup.py).
+- zorder_keys: Morton-code clustering keys for two-column data skipping
+  (operators/layout.py; the write path is pytest-verified).
+- correlation_matrix: all pairwise Pearson correlations of the lineitem
+  measures in ONE aggregation pass (no per-pair rescans).
+- unpivot_metrics: wide->long melt of a grouped aggregate (Spark
+  DataFrame.unpivot; the relational dual of pivot_segments).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import containment_pairs
+from ..operators.layout import zorder_key, zorder_key_sql
+from ..operators.text import trigram_lm_scores
+from .registry import load, register
+
+CONTAIN_NGRAM = 5
+CONTAIN_THRESHOLD = 0.6
+ZBITS = 16
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "trigram_lm_score",
+    oracle="""
+WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+g AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(length(s) - 2, 0)),
+                                 i -> substr(s, i, 3))) AS gram
+    FROM t
+),
+c3 AS (SELECT gram, COUNT(*) AS n3 FROM g GROUP BY gram),
+c2 AS (SELECT substr(gram, 1, 2) AS pre, COUNT(*) AS n2 FROM g GROUP BY 1),
+model AS (
+    SELECT gram, log2(CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS logp
+    FROM c3 JOIN c2 ON substr(c3.gram, 1, 2) = c2.pre
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       ROUND(AVG(logp), 6) AS avg_logp
+FROM g JOIN model ON g.gram = model.gram
+GROUP BY g.doc_id
+""",
+)
+def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained char-trigram LM scoring (operators/text.py). The
+    model is bounded by |charset|^3 so it broadcasts; the corpus side
+    never shuffles on model keys — the KenLM-style quality filter at
+    100 TB."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return trigram_lm_scores(docs)
+
+
+@register(
+    "containment_pairs",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(tk[i:i+{CONTAIN_NGRAM - 1}], ' ')
+                          for i in generate_series(1, len(tk) - {CONTAIN_NGRAM - 1})]) AS s
+    FROM t
+),
+e AS (SELECT doc_id, len(s) AS set_size, unnest(s) AS shingle FROM sh),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.set_size AS size_a,
+           COUNT(*) AS n_inter
+    FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / CAST(size_a AS DOUBLE), 6) AS containment
+FROM inter
+WHERE CAST(n_inter AS DOUBLE) / CAST(size_a AS DOUBLE) >= {CONTAIN_THRESHOLD}
+""",
+)
+def containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment join (operators/dedup.py): catches
+    short-doc-inside-long-doc reuse that Jaccard under-scores."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return containment_pairs(docs, n=CONTAIN_NGRAM, threshold=CONTAIN_THRESHOLD)
+
+
+@register(
+    "zorder_keys",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST({zorder_key_sql('l_partkey', 'l_suppkey', bits=ZBITS)} AS BIGINT) AS zval
+FROM lineitem
+""",
+)
+def zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-code clustering key over (l_partkey, l_suppkey)
+    (operators/layout.py): pure bit arithmetic in codegen; the write
+    path range-partitions + sorts on it so parquet min/max stats prune
+    scans filtered on EITHER column."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        zorder_key("l_partkey", "l_suppkey", bits=ZBITS).alias("zval"),
+    )
+
+
+def _corr_oracle() -> str:
+    pairs = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, ROUND(corr({a}, {b}), 6) AS pearson FROM lineitem"
+        for a, b in combinations(CORR_COLS, 2)
+    ]
+    return "\nUNION ALL\n".join(pairs)
+
+
+@register("correlation_matrix", oracle=_corr_oracle())
+def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairwise Pearson correlations of the lineitem measures in a
+    SINGLE aggregation pass: every F.corr lands in one partial+final
+    hash aggregate, so the 100 TB table is scanned once for the whole
+    matrix (vs once per pair). Long-form output via unpivot-style
+    literal rows."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = list(combinations(CORR_COLS, 2))
+    wide = li.agg(
+        *[
+            F.round(F.corr(a, b), 6).alias(f"{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    long = wide.unpivot([], [f"{a}__{b}" for a, b in pairs], "pair", "pearson")
+    return long.select(
+        F.split("pair", "__")[0].alias("col_a"),
+        F.split("pair", "__")[1].alias("col_b"),
+        "pearson",
+    )
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+WITH g AS (
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 6) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 6) AS sum_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM g
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM g
+UNION ALL
+SELECT l_returnflag, 'sum_disc_price' AS metric, sum_disc_price AS value FROM g
+""",
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt (DataFrame.unpivot, the relational dual of
+    pivot_segments): grouped aggregate first (3 rows x 3 measures), then
+    unpivot — the melt runs on the tiny aggregate, never on the fact
+    table."""
+    li = load(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+            "sum_disc_price"
+        ),
+    )
+    return g.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc_price"], "metric", "value"
+    )
