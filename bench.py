@@ -76,6 +76,12 @@ HEADLINE = [
     "sessionize_stats",
     "retention_cohorts",
     "cdc_merge_upsert",
+    # round-4 wave 6
+    "trigram_lm_score",
+    "containment_pairs",
+    "zorder_keys",
+    "correlation_matrix",
+    "phash_near_dups",
 ]
 
 

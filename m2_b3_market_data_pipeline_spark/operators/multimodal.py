@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_BINS = 16
@@ -146,3 +146,71 @@ def sample_frames(
             )
 
     return df.select(id_col, binary_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+PHASH_SAMPLES = 64
+
+
+def perceptual_hash(
+    df: DataFrame, *, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """aHash-style 64-bit perceptual signature over an opaque binary
+    payload: split the payload into 64 equal segments (the byte-domain
+    analog of the aHash 8x8 downscale), set bit j iff segment j's mean
+    byte value exceeds the whole-payload mean. All comparisons are
+    cross-multiplied integers — no float ties. Packed as two 32-bit
+    halves named ``simhash_lo`` / ``simhash_hi`` so
+    ``dedup.simhash_near_pairs`` consumes the output as-is for the
+    Hamming pigeonhole join (signature family composition, not code
+    duplication).
+
+    Shape: parse each byte EXACTLY once (one hex transform + one
+    posexplode), then a single partial+final aggregate with 64
+    conditional segment sums — the simhash_expr pattern. (A first cut
+    computed segment sums as 64 slice-aggregates over a shared array
+    column; Catalyst inlines the shared projection into every consumer,
+    re-parsing all bytes 64x per row in the interpreted HOF evaluator —
+    ~100x slower. Explode-once-then-aggregate keeps every byte parse
+    single and the arithmetic in codegen.) Payloads shorter than 64
+    bytes are skipped (too short to sample — same contract as frame
+    sampling). For real images this runs on decoded pixel luma; the
+    byte-domain stand-in keeps identical signature/join plumbing.
+    """
+    per_byte = (
+        df.select(id_col, binary_col)
+        .withColumn("__hx", F.hex(F.col(binary_col)))
+        .withColumn("__len", F.length(F.col(binary_col)).cast("bigint"))
+        .filter(F.col("__len") >= PHASH_SAMPLES)
+        .select(
+            id_col,
+            "__len",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, cast(__len as int)), "
+                    "i -> cast(conv(substr(__hx, (i - 1) * 2 + 1, 2), 16, 10) as bigint))"
+                )
+            ).alias("__pos", "__v"),
+        )
+        .withColumn("__seg", F.expr("cast((64 * __pos) div __len as int)"))
+    )
+    aggs = [F.sum("__v").alias("__tot"), F.count("*").alias("__n")]
+    for k in range(PHASH_SAMPLES):
+        seg_match = F.col("__seg") == k
+        aggs.append(F.sum(F.when(seg_match, F.col("__v"))).alias(f"__s{k}"))
+        aggs.append(F.sum(F.when(seg_match, 1).otherwise(0)).alias(f"__c{k}"))
+    per_doc = per_byte.groupBy(id_col).agg(*aggs)
+
+    def half(start: int) -> Column:
+        sig = None
+        for j in range(32):
+            k = start + j
+            term = F.when(
+                F.col(f"__s{k}") * F.col("__n") > F.col("__tot") * F.col(f"__c{k}"),
+                F.lit(2**j).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            sig = term if sig is None else sig + term
+        return sig
+
+    return per_doc.select(
+        F.col(id_col), half(0).alias("simhash_lo"), half(32).alias("simhash_hi")
+    )

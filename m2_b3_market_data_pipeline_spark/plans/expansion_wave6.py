@@ -186,3 +186,83 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc_price"], "metric", "value"
     )
+
+
+PHASH_PERTURB_MOD = 10  # every 10th doc gets a perturbed twin planted
+PHASH_MAX_HAMMING = 3
+
+
+@register(
+    "phash_near_dups",
+    oracle="""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id,
+           concat(substr(text, 1, strlen(text) - 5), 'XXXXX') AS text
+    FROM documents WHERE doc_id % 10 = 0
+),
+sized AS (
+    SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS L
+    FROM corpus WHERE strlen(text) >= 64
+),
+v AS (
+    SELECT doc_id, L,
+           unnest(list_transform(generate_series(1, CAST(L AS INT)),
+                                 i -> CAST(ord(substr(text, i, 1)) AS BIGINT))) AS val,
+           unnest(generate_series(1, CAST(L AS INT))) AS pos
+    FROM sized
+),
+sg AS (
+    SELECT doc_id, (64 * (pos - 1)) // L AS seg,
+           SUM(val) AS ssum, COUNT(*) AS slen
+    FROM v GROUP BY 1, 2
+),
+tots AS (SELECT doc_id, SUM(ssum) AS tot, SUM(slen) AS n FROM sg GROUP BY 1),
+sig AS (
+    SELECT sg.doc_id,
+           SUM(CASE WHEN seg < 32 AND ssum * n > tot * slen
+                    THEN CAST(1 AS BIGINT) << CAST(seg AS INT) ELSE 0 END) AS lo,
+           SUM(CASE WHEN seg >= 32 AND ssum * n > tot * slen
+                    THEN CAST(1 AS BIGINT) << CAST(seg - 32 AS INT) ELSE 0 END) AS hi
+    FROM sg JOIN tots ON sg.doc_id = tots.doc_id
+    GROUP BY 1
+),
+banded AS (SELECT doc_id, lo, hi, unnest([0, 1, 2, 3]) AS c FROM sig),
+b2 AS (
+    SELECT doc_id, lo, hi, c,
+           CASE WHEN c < 2 THEN (lo >> (c * 16)) & 65535
+                ELSE (hi >> ((c - 2) * 16)) & 65535 END AS cv
+    FROM banded
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT)
+               AS hamming
+    FROM b2 a JOIN b2 b
+      ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+""",
+)
+def phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup join for multimodal payloads: aHash-style
+    segment-mean signatures (operators/multimodal.py::perceptual_hash)
+    fed straight into the SimHash Hamming pigeonhole join
+    (operators/dedup.py::simhash_near_pairs) — signature families
+    compose, the join machinery is shared. The fixture corpus has no
+    organic byte-level near-dups, so every 10th doc gets a PLANTED
+    length-preserving perturbed twin (last 5 bytes replaced) standing in
+    for a re-encoded image; both engines construct the same corpus, so
+    the planted pairs are hash-checked, not hand-waved."""
+    from ..operators.dedup import simhash_near_pairs
+    from ..operators.multimodal import attach_binary, perceptual_hash
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = docs.filter(F.col("doc_id") % PHASH_PERTURB_MOD == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("concat(substr(text, 1, length(text) - 5), 'XXXXX')").alias("text"),
+    )
+    corpus = docs.unionByName(pert)
+    sigs = perceptual_hash(attach_binary(corpus))
+    return simhash_near_pairs(sigs, max_hamming=PHASH_MAX_HAMMING)

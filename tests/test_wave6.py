@@ -164,3 +164,32 @@ def test_unpivot_round_trips_grouped_aggregate(spark, sf_dir):
     assert long.count() == flags * 3
     back = long.groupBy("l_returnflag").pivot("metric").agg(F.first("value"))
     assert set(back.columns) == {"l_returnflag", "sum_qty", "sum_price", "sum_disc_price"}
+
+
+def test_perceptual_hash_properties(spark):
+    from m2_b3_market_data_pipeline_spark.operators.dedup import simhash_near_pairs
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        attach_binary,
+        perceptual_hash,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4  # 176 bytes
+    rows = [
+        (1, base),
+        (2, base),                      # identical twin -> hamming 0
+        (3, base[:-5] + "XXXXX"),       # small length-preserving edit
+        (4, "z" * 30),                  # too short -> skipped
+        (5, "".join(chr(65 + (i * 7) % 26) * 3 for i in range(40))),  # unrelated
+    ]
+    df = attach_binary(spark.createDataFrame(rows, "doc_id long, text string"))
+    sigs = perceptual_hash(df)
+    got = {r.doc_id: (r.simhash_lo, r.simhash_hi) for r in sigs.collect()}
+    assert 4 not in got              # short payload skipped
+    assert got[1] == got[2]          # determinism + identity
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(sigs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs           # perturbed twin within the radius
+    assert (1, 5) not in pairs       # unrelated stays out
