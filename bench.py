@@ -82,6 +82,8 @@ HEADLINE = [
     "zorder_keys",
     "correlation_matrix",
     "phash_near_dups",
+    "twap_daily",
+    "markov_transitions",
 ]
 
 

@@ -13,6 +13,7 @@ operator inventory. Split by area to keep modules reviewable:
 from __future__ import annotations
 
 from . import (  # noqa: F401
+    analytics_wave7,
     cdc_merge,
     data_quality,
     expansion_corpus,
