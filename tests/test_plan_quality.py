@@ -206,3 +206,39 @@ def test_retention_type_filterless_scan_pruned(spark, sf_dir):
     assert m, plan
     read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert "props" not in read_cols and "event_type" not in read_cols, read_cols
+
+
+def test_zorder_keys_is_pure_projection(spark, sf_dir):
+    """Morton-code computation must not shuffle: one scan, one project,
+    zero exchanges."""
+    plan = _plan(all_queries.QUERIES["zorder_keys"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_twap_window_and_agg_share_one_exchange(spark, sf_dir):
+    """The lead() window and the final aggregate both partition on
+    (ativo, day): the agg must reuse the window's exchange, leaving a
+    single hash exchange in the plan."""
+    plan = _plan(all_queries.QUERIES["twap_daily"](spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_markov_transitions_has_no_join(spark, sf_dir):
+    """Consecutive-event pairing must come from lead(), never a
+    self-join on (user, position)."""
+    plan = _plan(all_queries.QUERIES["markov_transitions"](spark, sf_dir))
+    assert "Join" not in plan
+
+
+def test_trigram_model_join_is_broadcast(spark, sf_dir):
+    """The bounded (|charset|^3) LM model must broadcast onto the corpus
+    side — a sort-merge join would shuffle the 100 TB gram stream."""
+    plan = _plan(all_queries.QUERIES["trigram_lm_score"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_phash_pairs_no_cartesian(spark, sf_dir):
+    plan = _plan(all_queries.QUERIES["phash_near_dups"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
