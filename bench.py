@@ -84,6 +84,7 @@ HEADLINE = [
     "phash_near_dups",
     "twap_daily",
     "markov_transitions",
+    "realized_volatility",
 ]
 
 

@@ -203,3 +203,48 @@ def partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p_max").alias("max_price"),
         F.round(F.sum("p_sum_qty") / F.sum("p_cnt"), 6).alias("avg_qty"),
     )
+
+
+@register(
+    "realized_volatility",
+    oracle="""
+WITH e AS (
+    SELECT 'TICK' || CAST(user_id % 8 AS VARCHAR) AS ativo,
+           date_trunc('day', ts) AS day, ts, event_id, value
+    FROM events
+),
+r AS (
+    SELECT ativo, day,
+           (value - LAG(value) OVER win) / LAG(value) OVER win AS ret
+    FROM e
+    WINDOW win AS (PARTITION BY ativo, day ORDER BY ts, event_id)
+)
+SELECT ativo, day,
+       CAST(COUNT(ret) AS BIGINT) AS n_returns,
+       ROUND(sqrt(SUM(ret * ret)), 6) AS realized_vol
+FROM r
+GROUP BY ativo, day
+""",
+)
+def realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily realized volatility from intraday ticks: sqrt of the sum of
+    squared tick-over-tick returns per (asset, day) — the standard
+    high-frequency volatility estimator. Same single-exchange shape as
+    TWAP: the lag() window and the aggregate share the (ativo, day)
+    partitioning. Days with a single tick have no returns and report
+    NULL vol over a 0 count, matching SQL COUNT/SUM-over-empty
+    semantics on both engines."""
+    e = (
+        load(spark, sf_dir, "events")
+        .withColumn(
+            "ativo", F.concat(F.lit("TICK"), (F.col("user_id") % 8).cast("string"))
+        )
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+    )
+    win = Window.partitionBy("ativo", "day").orderBy("ts", "event_id")
+    prev = F.lag("value").over(win)
+    r = e.withColumn("ret", (F.col("value") - prev) / prev)
+    return r.groupBy("ativo", "day").agg(
+        F.count("ret").alias("n_returns"),
+        F.round(F.sqrt(F.sum(F.col("ret") * F.col("ret"))), 6).alias("realized_vol"),
+    )

@@ -91,3 +91,28 @@ def test_partial_merge_equals_direct(spark):
         assert merged[k].sum_qty == direct[k].sum_qty
         assert merged[k].min_price == direct[k].min_price
         assert merged[k].max_price == direct[k].max_price
+
+
+def test_realized_vol_hand_computed(spark):
+    """Two ticks 10 -> 11 in one day: one return of 0.1, RV = 0.1."""
+    from m2_b3_market_data_pipeline_spark.plans import analytics_wave7 as mod
+
+    rows = [
+        (1, "2026-01-01 10:00:00", 10.0),
+        (2, "2026-01-01 11:00:00", 11.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, value double").select(
+        "event_id",
+        F.to_timestamp("ts").alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        "value",
+    )
+    orig = mod.load
+    try:
+        mod.load = lambda s, d, t: df
+        out = mod.realized_volatility(spark, SF).collect()
+    finally:
+        mod.load = orig
+    assert len(out) == 1
+    assert out[0].n_returns == 1
+    assert out[0].realized_vol == 0.1
