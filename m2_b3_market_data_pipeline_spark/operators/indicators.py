@@ -21,8 +21,11 @@ def _w(key: str, order: str):
 
 
 def with_returns(df: DataFrame, *, key: str = "ativo", order: str = "date", price: str = "close_price") -> DataFrame:
-    """Simple period-over-period returns via lag."""
-    prev = F.lag(price).over(_w(key, order))
+    """Simple period-over-period returns via lag. nullif on the divisor:
+    zero prices occur in the larger fixtures, where ANSI Spark raises on
+    x/0 but DuckDB yields NULL — a return off a zero price is undefined
+    (NULL) on both engines."""
+    prev = F.nullif(F.lag(price).over(_w(key, order)), F.lit(0.0))
     return df.withColumn("ret", F.round((F.col(price) - prev) / prev, 6))
 
 

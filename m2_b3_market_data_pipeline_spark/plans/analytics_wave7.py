@@ -46,7 +46,7 @@ w AS (
 )
 SELECT ativo, day,
        CAST(COUNT(*) AS BIGINT) AS n_ticks,
-       ROUND(SUM(value * dt_us) / SUM(dt_us), 6) AS twap
+       ROUND(SUM(value * dt_us) / nullif(SUM(dt_us), 0), 6) AS twap
 FROM w
 GROUP BY ativo, day
 """,
@@ -73,7 +73,9 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.groupBy("ativo", "day").agg(
         F.count("*").alias("n_ticks"),
         F.round(
-            F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+            F.sum(F.col("value") * F.col("dt_us"))
+            / F.nullif(F.sum("dt_us"), F.lit(0).cast("bigint")),
+            6,
         ).alias("twap"),
     )
 
@@ -91,7 +93,7 @@ def twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT ativo,
        CAST(COUNT(*) AS BIGINT) AS n_scored,
        ROUND(AVG(ABS(close_price - forecast)), 6) AS mae,
-       ROUND(AVG(ABS(close_price - forecast) / ABS(close_price)), 6) AS mape
+       ROUND(AVG(ABS(close_price - forecast) / nullif(ABS(close_price), 0)), 6) AS mape
 FROM f WHERE forecast IS NOT NULL
 GROUP BY ativo
 """,
@@ -108,10 +110,11 @@ def seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("forecast").isNotNull()
     )
     ae = F.abs(F.col("close_price") - F.col("forecast"))
+    close_nz = F.nullif(F.abs(F.col("close_price")), F.lit(0.0))
     return f.groupBy("ativo").agg(
         F.count("*").alias("n_scored"),
         F.round(F.avg(ae), 6).alias("mae"),
-        F.round(F.avg(ae / F.abs(F.col("close_price"))), 6).alias("mape"),
+        F.round(F.avg(ae / close_nz), 6).alias("mape"),
     )
 
 
@@ -215,7 +218,7 @@ WITH e AS (
 ),
 r AS (
     SELECT ativo, day,
-           (value - LAG(value) OVER win) / LAG(value) OVER win AS ret
+           (value - LAG(value) OVER win) / nullif(LAG(value) OVER win, 0) AS ret
     FROM e
     WINDOW win AS (PARTITION BY ativo, day ORDER BY ts, event_id)
 )
@@ -242,7 +245,10 @@ def realized_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("day", F.date_trunc("day", F.col("ts")))
     )
     win = Window.partitionBy("ativo", "day").orderBy("ts", "event_id")
-    prev = F.lag("value").over(win)
+    # nullif on the divisor: zero prices exist in the tick stream, and
+    # ANSI Spark raises on x/0 where DuckDB yields NULL — make the
+    # drop-this-return semantics explicit and identical on both engines.
+    prev = F.nullif(F.lag("value").over(win), F.lit(0.0))
     r = e.withColumn("ret", (F.col("value") - prev) / prev)
     return r.groupBy("ativo", "day").agg(
         F.count("ret").alias("n_returns"),

@@ -29,7 +29,7 @@ def _bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=OHLCV_SQL
     + """
 SELECT ativo, "date", close_price,
-       ROUND((close_price - LAG(close_price) OVER w) / LAG(close_price) OVER w, 6) AS ret
+       ROUND((close_price - nullif(LAG(close_price) OVER w, 0)) / nullif(LAG(close_price) OVER w, 0), 6) AS ret
 FROM ohlcv
 WINDOW w AS (PARTITION BY ativo ORDER BY "date")
 """,
