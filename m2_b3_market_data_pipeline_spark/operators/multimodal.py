@@ -165,16 +165,19 @@ def perceptual_hash(
     duplication).
 
     Shape: parse each byte EXACTLY once (one hex transform + one
-    posexplode), then a single partial+final aggregate with 64
-    conditional segment sums — the simhash_expr pattern. (A first cut
-    computed segment sums as 64 slice-aggregates over a shared array
-    column; Catalyst inlines the shared projection into every consumer,
-    re-parsing all bytes 64x per row in the interpreted HOF evaluator —
-    ~100x slower. Explode-once-then-aggregate keeps every byte parse
-    single and the arithmetic in codegen.) Payloads shorter than 64
-    bytes are skipped (too short to sample — same contract as frame
-    sampling). For real images this runs on decoded pixel luma; the
-    byte-domain stand-in keeps identical signature/join plumbing.
+    posexplode), reduce to (doc, segment) partials map-side, then pack
+    the 64 segment rows per doc into the two bit halves with one small
+    aggregate. Two design dead-ends informed this:
+    - 64 slice-aggregates over a shared array column: Catalyst inlines
+      the shared projection into every consumer, re-parsing all bytes
+      64x per row in the interpreted HOF evaluator (~100x slower).
+    - one wide aggregate with 128 per-segment conditional sums over the
+      exploded bytes: every byte row evaluates 128 CASE branches
+      (~4x slower than the two-level form).
+    Payloads shorter than 64 bytes are skipped (too short to sample —
+    same contract as frame sampling). For real images this runs on
+    decoded pixel luma; the byte-domain stand-in keeps identical
+    signature/join plumbing.
     """
     per_byte = (
         df.select(id_col, binary_col)
@@ -193,24 +196,23 @@ def perceptual_hash(
         )
         .withColumn("__seg", F.expr("cast((64 * __pos) div __len as int)"))
     )
-    aggs = [F.sum("__v").alias("__tot"), F.count("*").alias("__n")]
-    for k in range(PHASH_SAMPLES):
-        seg_match = F.col("__seg") == k
-        aggs.append(F.sum(F.when(seg_match, F.col("__v"))).alias(f"__s{k}"))
-        aggs.append(F.sum(F.when(seg_match, 1).otherwise(0)).alias(f"__c{k}"))
-    per_doc = per_byte.groupBy(id_col).agg(*aggs)
-
-    def half(start: int) -> Column:
-        sig = None
-        for j in range(32):
-            k = start + j
-            term = F.when(
-                F.col(f"__s{k}") * F.col("__n") > F.col("__tot") * F.col(f"__c{k}"),
-                F.lit(2**j).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-            sig = term if sig is None else sig + term
-        return sig
-
+    # Partial aggregation collapses the byte stream to <= 64 rows per doc
+    # before the shuffle; the per-doc pack then runs over tiny groups.
+    per_seg = per_byte.groupBy(id_col, "__seg").agg(
+        F.sum("__v").alias("__ssum"), F.count("*").alias("__slen")
+    )
+    per_doc = per_seg.groupBy(id_col).agg(
+        F.sum("__ssum").alias("__tot"),
+        F.sum("__slen").alias("__n"),
+        F.collect_list(F.struct("__seg", "__ssum", "__slen")).alias("__segs"),
+    )
+    half = (
+        "aggregate(filter(__segs, s -> s.__seg {cmp}), cast(0 as bigint), "
+        "(a, s) -> a + if(s.__ssum * __n > __tot * s.__slen, "
+        "shiftleft(cast(1 as bigint), cast(s.__seg {off} as int)), cast(0 as bigint)))"
+    )
     return per_doc.select(
-        F.col(id_col), half(0).alias("simhash_lo"), half(32).alias("simhash_hi")
+        F.col(id_col),
+        F.expr(half.format(cmp="< 32", off="")).alias("simhash_lo"),
+        F.expr(half.format(cmp=">= 32", off="- 32")).alias("simhash_hi"),
     )

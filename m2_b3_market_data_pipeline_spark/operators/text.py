@@ -144,14 +144,23 @@ def trigram_lm_scores(
     text; gibberish scores low. Documents shorter than 3 chars drop out
     (they have no observations).
     """
+    # The exploded gram stream is consumed twice (model counts + the
+    # scoring join); persist it so the regex/substring explode pipeline
+    # runs once. Lifetime scoped to the result via _cached_frames —
+    # callers release with dedup.release_cached (same protocol as the
+    # minhash signature cache). At 100 TB the same role is played by
+    # writing the gram stream (or the model) to a table once.
     grams = df.select(
         F.col(id_col), F.explode(char_trigrams(text_col)).alias("gram")
-    )
+    ).persist()
     tri_counts = grams.groupBy("gram").agg(F.count("*").alias("n3"))
+    # Prefix (bigram) counts are the trigram counts re-aggregated by
+    # their first two chars — deriving them from tri_counts instead of a
+    # second pass over the exploded gram stream saves a full corpus
+    # explode + shuffle; the input here is the tiny model table.
     prefix_counts = (
-        grams.select(F.substring("gram", 1, 2).alias("pre"))
-        .groupBy("pre")
-        .agg(F.count("*").alias("n2"))
+        tri_counts.groupBy(F.substring("gram", 1, 2).alias("pre"))
+        .agg(F.sum("n3").alias("n2"))
     )
     model = (
         tri_counts.withColumn("pre", F.substring("gram", 1, 2))
@@ -163,7 +172,7 @@ def trigram_lm_scores(
             ),
         )
     )
-    return (
+    out = (
         grams.join(F.broadcast(model), "gram")
         .groupBy(id_col)
         .agg(
@@ -171,3 +180,5 @@ def trigram_lm_scores(
             F.round(F.avg("logp"), 6).alias("avg_logp"),
         )
     )
+    out._cached_frames = [grams]  # type: ignore[attr-defined]
+    return out
