@@ -68,11 +68,19 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            frame = fn(spark, sf_dir)
+            sdf = frame.toPandas()
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {ex}")
             failed.append(name)
             continue
+        finally:
+            from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+
+            try:
+                release_cached(frame)
+            except NameError:
+                pass
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(sdf)} rows, cols={sorted(sdf.columns)} ({time.time()-t0:.1f}s)")
             rows_only.append(name)
