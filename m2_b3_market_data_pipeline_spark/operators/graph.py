@@ -56,22 +56,25 @@ def connected_components(
         F.col(node_col).alias("node"), F.col(node_col).alias("cluster_id")
     )
     for _ in range(max_iter):
-        # Neighbor labels: for each edge (src -> dst), dst hears src's label.
-        heard = edges.join(
-            labels.withColumnRenamed("node", "src"), "src"
-        ).select(F.col("dst").alias("node"), "cluster_id")
-        new_labels = (
-            labels.union(heard)
+        # Neighbor labels: for each edge (src -> dst), dst hears src's
+        # label. Self rows are tagged so the SAME aggregation that picks
+        # the new minimum also recovers the previous label — convergence
+        # detection costs no extra join, leaving one shuffle per round.
+        heard = edges.join(labels.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), "cluster_id", F.lit(False).alias("is_self")
+        )
+        own = labels.select("node", "cluster_id", F.lit(True).alias("is_self"))
+        merged = (
+            own.union(heard)
             .groupBy("node")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min(F.when(F.col("is_self"), F.col("cluster_id"))).alias("__old"),
+            )
             .localCheckpoint()  # truncate lineage; also materializes
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("cluster_id", "old"), "node")
-            .filter(F.col("cluster_id") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("cluster_id") != F.col("__old")).count()
+        labels = merged.select("node", "cluster_id")
         if changed == 0:
             return labels.withColumnRenamed("node", node_col)
     raise RuntimeError(

@@ -144,7 +144,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
         )
-        .agg(F.round(F.sum(_revenue()), 6).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
     )
 
 
@@ -425,7 +425,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity >= 1 AND l.l_quantity <= 21)
@@ -450,7 +450,11 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(F.round(F.sum(_revenue()), 6).alias("revenue"))
+        # 2dp (cents), not the house 6dp: the revenue sum reaches ~1e9,
+        # where 6dp asks for 16 significant digits — beyond double's
+        # ~15.9 — so aggregation-order noise flipped the last digit at
+        # sf0.1. Money at cents precision is both stable and idiomatic.
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
     )
 
 

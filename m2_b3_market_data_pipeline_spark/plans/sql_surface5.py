@@ -36,11 +36,13 @@ _WEEK_MICROS = 7 * 24 * 3600 * 1_000_000
     "rolling_mean_time_range",
     oracle="""
 SELECT event_id, user_id, ts, value,
-       ROUND(AVG(value) OVER (
-           PARTITION BY user_id ORDER BY ts
-           RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
-       ), 6) AS avg_7d
+       CAST((SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w * 100)
+            // COUNT(*) OVER w AS BIGINT) AS avg_7d_e4
 FROM events
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+)
 """,
 )
 def rolling_mean_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,6 +55,14 @@ def rolling_mean_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     double truncation — and bound the frame in µs. One shuffle on
     user_id; the frame is evaluated streamingly within each sorted
     partition.
+
+    The mean itself is computed in EXACT integer arithmetic (cents in,
+    1e-4-dollar units out): tick values are 2dp, so their frame
+    averages land exactly on round-half boundaries where Spark's
+    incremental frame sum and DuckDB's recomputed sum tie-break
+    differently — no ROUND precision fixes that. Integer division of
+    integer cents is bit-deterministic on both engines (the same
+    micro-unit idiom the embedding oracles use).
     """
     e = load(spark, sf_dir, "events")
     w = (
@@ -60,12 +70,22 @@ def rolling_mean_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_micros(F.col("ts")))
         .rangeBetween(-_WEEK_MICROS, 0)
     )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    # `div` = integral division, matching DuckDB's `//` on the
+    # non-negative sums here.
     return e.select(
         "event_id",
         "user_id",
         "ts",
         "value",
-        F.round(F.avg("value").over(w), 6).alias("avg_7d"),
+        (F.sum(cents).over(w) * 100).alias("__sum_e4"),
+        F.count("*").over(w).alias("__n"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.expr("__sum_e4 div __n").alias("avg_7d_e4"),
     )
 
 

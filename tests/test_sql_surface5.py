@@ -35,8 +35,9 @@ def test_rolling_time_range_uses_range_frame(spark, sf_dir):
 def test_rolling_time_range_manual_spot_check(spark, sf_dir):
     out = rolling_mean_time_range(spark, sf_dir)
     row = out.orderBy("user_id", "ts").limit(1).collect()[0]
-    # first event of the first user has only itself in its 7-day frame
-    assert row["avg_7d"] == round(row["value"], 6)
+    # first event of the first user has only itself in its 7-day frame;
+    # the mean is exact integer 1e-4-dollar units (cents * 100)
+    assert row["avg_7d_e4"] == round(row["value"] * 100) * 100
 
 
 def test_gap_fill_spine_is_continuous_per_user(spark, sf_dir):
