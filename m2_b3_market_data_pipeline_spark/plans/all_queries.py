@@ -53,6 +53,15 @@ from .registry import ORACLES, QUERIES
 #
 # Queries already green in r02/r03 rotate past slot 50 — their evidence
 # is on record in those files.
+#
+# Round-5 rotation TODO (the queries still without any driver row after
+# round 4): top_bigram_frac, weighted_sample, percentile_binning,
+# null_scalars, approx_quantiles, approx_distinct_users (rows-only by
+# nature), plus everything added in round 4 — trigram_lm_score,
+# containment_pairs, zorder_keys, correlation_matrix, unpivot_metrics,
+# phash_near_dups, twap_daily, seasonal_backtest, markov_transitions,
+# partial_agg_merge, realized_volatility. That is ~17 slots; the rest of
+# the round-5 window should re-prove the reference surface.
 CHECK_PRIORITY: list[str] = [
     # CDC / merge (streaming sink semantics, batch-checkable).
     "cdc_merge_upsert",
