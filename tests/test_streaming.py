@@ -252,3 +252,63 @@ def test_streaming_cdc_merge_snapshot(spark, tmp_path):
     run()
     snap = {(r.k, r.v, r.version) for r in spark.read.parquet(snapshot).collect()}
     assert snap == {(1, "a2", 2), (3, "c", 1), (4, "d", 2)}
+
+
+def test_streaming_incremental_agg_matches_batch(spark, tmp_path):
+    """Per-batch algebraic-partial merges converge to EXACTLY the
+    one-shot aggregate over all data — the streaming materialized-view
+    twin of partial_agg_merge. Replays through the same checkpoint do
+    not double-count."""
+    from pyspark.sql import types as T
+
+    from m2_b3_market_data_pipeline_spark.streaming.agg_sink import (
+        read_aggregates,
+        run_incremental_agg_stream,
+    )
+
+    updates = str(tmp_path / "agg_updates")
+    state = str(tmp_path / "agg_state")
+    ckpt = str(tmp_path / "agg_ckpt")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+
+    def run():
+        q = run_incremental_agg_stream(
+            spark,
+            updates_path=updates,
+            state_path=state,
+            checkpoint_path=ckpt,
+            schema=schema,
+            keys=["k"],
+            value_col="v",
+        )
+        q.awaitTermination(120)
+
+    batch1 = [("a", 10), ("a", 20), ("b", 5)]
+    batch2 = [("a", 30), ("b", 1), ("c", 7)]
+    spark.createDataFrame(batch1, schema).write.parquet(f"{updates}/b1")
+    run()
+    spark.createDataFrame(batch2, schema).write.parquet(f"{updates}/b2")
+    run()
+    # third run with no new files: checkpoint yields nothing new
+    run()
+
+    got = {
+        r.k: (r.n_rows, r.sum_value, r.min_value, r.max_value, r.avg_value)
+        for r in read_aggregates(spark, state).collect()
+    }
+    direct = {
+        r.k: (r.n, r.s, r.mn, r.mx, r.avg)
+        for r in spark.createDataFrame(batch1 + batch2, schema)
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            (F.sum("v") / F.count("*")).alias("avg"),
+        )
+        .collect()
+    }
+    assert got == direct
