@@ -24,6 +24,7 @@ from . import (  # noqa: F401
     expansion_text,
     expansion_text2,
     expansion_wave6,
+    expansion_wave8,
     events_analytics,
     market_indicators,
     reference_queries,

@@ -116,3 +116,39 @@ def test_realized_vol_hand_computed(spark):
     assert len(out) == 1
     assert out[0].n_returns == 1
     assert out[0].realized_vol == 0.1
+
+
+def test_fuzzy_match_finds_all_planted_typos(spark):
+    """Every planted one-char deletion must link back to its origin
+    within distance 2 (deletion distance is 1, and the blocking key —
+    first char + length band — cannot drop it since char 3 was deleted)."""
+    from m2_b3_market_data_pipeline_spark.plans.expansion_wave8 import (
+        fuzzy_name_match,
+    )
+
+    out = fuzzy_name_match(spark, SF).collect()
+    true_matches = [r for r in out if r.is_true_match]
+    dirty_n = (
+        spark.read.parquet(f"{SF}/part.parquet")
+        .selectExpr("p_name")
+        .distinct()
+        .filter("length(p_name) >= 4")
+        .count()
+    )
+    assert len(true_matches) == dirty_n
+    assert all(r.dist <= 1 for r in true_matches)
+
+
+def test_json_audit_counts_planted_corruption(spark):
+    from m2_b3_market_data_pipeline_spark.plans.expansion_wave8 import (
+        JSON_BAD_MOD,
+        json_parse_audit,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+
+    out = json_parse_audit(spark, SF)
+    total_bad = out.agg(F.sum("n_malformed")).collect()[0][0]
+    expected = load(spark, SF, "events").filter(
+        F.col("event_id") % JSON_BAD_MOD == 0
+    ).count()
+    assert total_bad == expected
