@@ -61,8 +61,9 @@ from .registry import ORACLES, QUERIES
 # nature), plus everything added in round 4 — trigram_lm_score,
 # containment_pairs, zorder_keys, correlation_matrix, unpivot_metrics,
 # phash_near_dups, twap_daily, seasonal_backtest, markov_transitions,
-# partial_agg_merge, realized_volatility. That is ~17 slots; the rest of
-# the round-5 window should re-prove the reference surface.
+# partial_agg_merge, realized_volatility, fuzzy_name_match,
+# json_parse_audit. That is ~19 slots; the rest of the round-5 window
+# should re-prove the reference surface.
 CHECK_PRIORITY: list[str] = [
     # CDC / merge (streaming sink semantics, batch-checkable).
     "cdc_merge_upsert",
