@@ -36,7 +36,7 @@ BARE_SESSION_SCRIPT = textwrap.dedent(
     qs = entrymod.queries()
     # Representative set: the flagship (events reader through the full
     # normalize path), a windowed indicator, and a plain events scan.
-    for name in ["refined_pipeline", "indicator_ewma", "select_limit"]:
+    for name in ["refined_pipeline", "indicator_ewma", "select_limit", "json_parse_audit"]:
         df = qs[name](spark, "/root/testdata/sf0.001")
         n = df.count()
         assert n >= 0, name
