@@ -82,3 +82,100 @@ def connected_components(
         "the graph has a longer chain structure than a near-dup workload "
         "should produce — use the large-star/small-star variant."
     )
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    return edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def _star_round(edges: DataFrame, *, large: bool) -> DataFrame:
+    """One large-star or small-star round (Kiveris et al., SoCC'14).
+
+    For each node u with neighborhood N(u) and m = min(N(u) ∪ {u}):
+    - large-star links every STRICTLY LARGER neighbor to m;
+    - small-star links u and every neighbor <= u to m.
+    Alternating the two converges to a star per component (center = the
+    component minimum) in O(log^2 n) rounds even on long chains, where
+    plain label propagation needs O(diameter).
+    """
+    sym = _symmetric(edges)
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    j = sym.join(mins, "src")
+    if large:
+        out = j.filter(F.col("dst") > F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+    else:
+        out = (
+            j.filter(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(j.select("src", F.col("m").alias("dst")))
+        )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components_twophase(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    node_col: str = "node",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star — the
+    O(log^2 n)-round fallback for graphs with long chain structure where
+    min-label propagation (``connected_components``) would need
+    O(diameter) rounds. Same contract: every node labeled with its
+    component's minimum id; isolated nodes keep their own id.
+
+    Each round is two join+aggregate passes over the current edge set;
+    the edge set only shrinks toward the final star forest, so per-round
+    cost decreases. Convergence = edge checksum stable across a round
+    (checksum compare costs one small aggregate, no driver-side edge
+    materialization).
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def checksum(e: DataFrame) -> tuple[int, int]:
+        # bit_xor, not sum: a sum of 64-bit hashes overflows under ANSI
+        # mode; xor is closed over long and order-insensitive.
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row.n, row.h
+
+    prev = checksum(edges)
+    for _ in range(max_iter):
+        edges = _star_round(
+            _star_round(edges, large=True), large=False
+        ).localCheckpoint()
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:  # pragma: no cover - convergence is O(log^2 n)
+        raise RuntimeError(
+            f"two-phase connected components did not converge in {max_iter} rounds"
+        )
+    # Star forest: every non-center node has exactly one neighbor (its
+    # component min). Isolated nodes never appear in edges.
+    labels = edges.groupBy("src").agg(F.min("dst").alias("cluster_id"))
+    return (
+        nodes.select(F.col(node_col).alias("src"))
+        .join(labels, "src", "left")
+        .select(
+            F.col("src").alias(node_col),
+            F.coalesce("cluster_id", F.col("src")).alias("cluster_id"),
+        )
+    )

@@ -157,3 +157,53 @@ def test_kmeans_iterate_converges_on_separated_clusters(spark):
     assert {k: (v.centroid_id, v.sq_dist) for k, v in out.items()} == {
         k: (v.centroid_id, v.sq_dist) for k, v in again.items()
     }
+
+
+def test_twophase_cc_matches_label_prop_on_random_graph(spark):
+    """Both CC algorithms must label identically on a random graph."""
+    import random
+
+    from m2_b3_market_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    rng = random.Random(7)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    nodes = spark.range(n).withColumnRenamed("id", "node")
+    a = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs, nodes, max_iter=250).collect()
+    }
+    b = {
+        r.node: r.cluster_id
+        for r in connected_components_twophase(pairs, nodes).collect()
+    }
+    assert a == b
+
+
+def test_twophase_cc_converges_on_long_chain(spark):
+    """A 400-node chain has diameter 400: label propagation needs ~400
+    rounds (it raises at its cap), while the two-phase algorithm
+    converges in O(log^2 n) rounds and labels the whole chain 0."""
+    import pytest
+
+    from m2_b3_market_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    n = 400
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.range(n).withColumnRenamed("id", "node")
+    out = connected_components_twophase(pairs, nodes).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert len(out) == n
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, nodes, max_iter=5).collect()
