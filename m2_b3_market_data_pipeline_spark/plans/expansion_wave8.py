@@ -138,3 +138,47 @@ def json_parse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias("n_malformed"),
         F.sum(F.when(~bad, F.col("j.k"))).alias("sum_k"),
     )
+
+
+def _clusters_oracle() -> str:
+    from .expansion_corpus2 import minhash_pairs_sql
+
+    return f"""
+WITH RECURSIVE {minhash_pairs_sql()},
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM mh_pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM mh_pairs
+),
+reach(node, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+
+@register("dedup_clusters_twophase", oracle=_clusters_oracle())
+def dedup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters computed with the large-star/small-star
+    alternation (operators/graph.py::connected_components_twophase)
+    instead of label propagation — same MinHash pair graph, same
+    min-id-per-component contract, same recursive-CTE oracle as
+    ``dedup_clusters``. Registered separately so BOTH iterative-graph
+    strategies carry a hash-checked row: label propagation is the
+    low-round-count default for cloud-shaped dedup graphs, the
+    alternating algorithm is the O(log^2 n) guarantee for adversarial
+    chains."""
+    from ..operators.dedup import minhash_dedup_pairs, release_cached
+    from ..operators.graph import connected_components_twophase
+    from .expansion_dedup import JACCARD_THRESHOLD
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_dedup_pairs(docs, threshold=JACCARD_THRESHOLD)
+    out = connected_components_twophase(
+        pairs, docs.select("doc_id"), node_col="doc_id"
+    )
+    release_cached(pairs)
+    return out
