@@ -242,3 +242,14 @@ def test_phash_pairs_no_cartesian(spark, sf_dir):
     plan = _plan(all_queries.QUERIES["phash_near_dups"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_match_blocks_via_hash_join(spark, sf_dir):
+    """The blocking key (first char) must become the hash-join key with
+    levenshtein as a residual — a nested-loop fallback would mean the
+    blocking failed and every pair gets scored."""
+    plan = _plan(all_queries.QUERIES["fuzzy_name_match"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+    assert "levenshtein" in plan  # residual on the join, post-blocking
