@@ -77,3 +77,29 @@ def test_coalesce_duplicates_property(spark, cols, n_rows):
         expected_row.append(next((v for v in vals if v is not None), None))
     for row in out.collect():
         assert tuple(row) == tuple(expected_row)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_key_is_a_bijection_property(spark, pairs):
+    """Morton interleaving must be invertible: de-interleaving the even
+    bits recovers x, the odd bits recover y — for ANY 16-bit inputs.
+    Guarantees no two (x, y) cells ever share a z-value (what makes
+    z-range file pruning sound)."""
+    from m2_b3_market_data_pipeline_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = df.select("x", "y", zorder_key("x", "y").alias("z")).collect()
+    for r in got:
+        x_back = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
+        y_back = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (x_back, y_back) == (r.x, r.y)
