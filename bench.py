@@ -85,6 +85,11 @@ HEADLINE = [
     "twap_daily",
     "markov_transitions",
     "realized_volatility",
+    "seasonal_backtest",
+    "partial_agg_merge",
+    "fuzzy_name_match",
+    "json_parse_audit",
+    "snapshot_diff",
 ]
 
 
