@@ -68,3 +68,22 @@ def dedup_events(
     and oracle-checkable; for replayed/at-least-once sources this is the
     exactly-once projection step."""
     return events.dropDuplicates(keys or ["event_id"])
+
+
+def dedup_events_bounded(
+    events: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    delay: str = "1 day",
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    evicts a key's entry once the watermark passes its event time, so
+    state size tracks the replay horizon instead of the whole stream
+    history. Plain ``dropDuplicates`` on a stream retains every key ever
+    seen — unbounded state at 100 TB/day; this is the production form
+    when duplicates can only arrive within a known lateness window
+    (at-least-once sources, retried producers). Batch callers should use
+    ``dedup_events`` — the within-watermark form is streaming-only."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

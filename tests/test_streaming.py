@@ -312,3 +312,42 @@ def test_streaming_incremental_agg_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == direct
+
+
+def test_bounded_dedup_drops_replays_within_horizon(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a replay inside the lateness
+    window is suppressed, and state is evicted past the watermark (the
+    bounded-state production form of streaming dedup)."""
+    from m2_b3_market_data_pipeline_spark.streaming.joins import dedup_events_bounded
+
+    d = tmp_path / "bdup"
+    d.mkdir()
+    first = spark.createDataFrame(
+        [(1, "u1", "click", "2024-01-01 10:00:00"), (2, "u2", "view", "2024-01-01 10:01:00")],
+        "event_id long, user_id string, event_type string, ts string",
+    ).selectExpr("event_id", "user_id", "event_type", "cast(ts as timestamp) ts")
+    first.write.mode("append").parquet(str(d / "f1"))
+    replay = spark.createDataFrame(
+        [(1, "u1", "click", "2024-01-01 10:00:30"), (3, "u3", "view", "2024-01-01 10:02:00")],
+        "event_id long, user_id string, event_type string, ts string",
+    ).selectExpr("event_id", "user_id", "event_type", "cast(ts as timestamp) ts")
+    replay.write.mode("append").parquet(str(d / "f2"))
+
+    stream = (
+        spark.readStream.schema(first.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    name = f"bdedup_{int(time.time())}"
+    q = (
+        dedup_events_bounded(stream, delay="1 hour")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r.event_id for r in spark.sql(f"SELECT event_id FROM {name}").collect())
+    assert ids == [1, 2, 3], ids
