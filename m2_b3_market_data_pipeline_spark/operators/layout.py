@@ -70,3 +70,28 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_key_n(cols: list[str | Column], *, bits: int = 16) -> Column:
+    """N-column Morton code: bit i of column j lands at interleaved
+    position ``i * len(cols) + j`` (round-robin) — the general form of
+    ``zorder_key`` for ZORDER BY (a, b, c, ...) layouts. Code width is
+    ``bits * len(cols)``; keep it <= 63 (e.g. 3 cols x 16 bits = 48,
+    4 cols x 15 bits = 60). Same masking-folds-overflow contract as the
+    two-column form: out-of-range values degrade locality, never
+    correctness.
+    """
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs >= 2 columns")
+    if bits * n > 63:
+        raise ValueError(f"{bits} bits x {n} cols exceeds a signed 64-bit code")
+    out: Column | None = None
+    for j, c in enumerate(cols):
+        cc = (F.col(c) if isinstance(c, str) else c).cast("bigint")
+        for i in range(bits):
+            term = F.shiftleft(
+                F.shiftright(cc, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+            out = term if out is None else out.bitwiseOR(term)
+    return out

@@ -103,3 +103,31 @@ def test_zorder_key_is_a_bijection_property(spark, pairs):
         x_back = sum(((r.z >> (2 * i)) & 1) << i for i in range(16))
         y_back = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (x_back, y_back) == (r.x, r.y)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4095),
+            st.integers(min_value=0, max_value=4095),
+            st.integers(min_value=0, max_value=4095),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_n_is_a_bijection_property(spark, triples):
+    """Three-column Morton codes must de-interleave back to the inputs
+    (round-robin layout: bit i of col j sits at position i*3 + j)."""
+    from m2_b3_market_data_pipeline_spark.operators.layout import zorder_key_n
+
+    df = spark.createDataFrame(triples, "x long, y long, z long")
+    got = df.select(
+        "x", "y", "z", zorder_key_n(["x", "y", "z"], bits=12).alias("m")
+    ).collect()
+    for r in got:
+        back = [
+            sum(((r.m >> (3 * i + j)) & 1) << i for i in range(12)) for j in range(3)
+        ]
+        assert back == [r.x, r.y, r.z]
