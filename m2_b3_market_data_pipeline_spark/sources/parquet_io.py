@@ -74,3 +74,44 @@ def write_refined(
     if is_empty(df):
         return
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def expire_partitions(
+    path: str,
+    *,
+    partition_col: str = "data",
+    cutoff: str,
+) -> list[str]:
+    """Retention sweep: drop Hive partitions whose ``partition_col``
+    value sorts strictly below ``cutoff`` (ISO dates compare
+    lexicographically). Returns the removed partition values.
+
+    Operates on the directory layout, never the data — at 100 TB,
+    retention is a metadata operation (drop whole partition directories)
+    rather than a rewrite; a table format would do the same through its
+    commit log. Only single-level ``col=value`` directories under
+    ``path`` (or under first-level partition dirs) are considered, and
+    only exact ``partition_col`` matches are touched — anything else is
+    left alone.
+    """
+    import os
+    import shutil
+
+    removed: list[str] = []
+    prefix = f"{partition_col}="
+
+    def sweep(parent: str) -> None:
+        for entry in sorted(os.listdir(parent)):
+            full = os.path.join(parent, entry)
+            if not os.path.isdir(full):
+                continue
+            if entry.startswith(prefix):
+                value = entry[len(prefix):]
+                if value < cutoff:
+                    shutil.rmtree(full)
+                    removed.append(value)
+            elif "=" in entry:
+                sweep(full)  # nested layout, e.g. ativo=X/data=Y
+
+    sweep(path)
+    return removed
