@@ -256,3 +256,54 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         | F.col("n.o_orderkey").isNull()
         | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
     )
+
+
+@register(
+    "leakage_safe_split",
+    oracle=_clusters_oracle().replace(
+        "SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id\nFROM reach GROUP BY node",
+        """, clusters AS (
+    SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN CAST(('0x' || substr(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100 < 80 THEN 'train'
+            WHEN CAST(('0x' || substr(md5('split|' || CAST(cluster_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100 < 90 THEN 'valid'
+            ELSE 'test' END AS split
+FROM clusters""",
+    ),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: assignment keyed on the
+    near-dup CLUSTER id, not the document id — every member of a
+    near-duplicate cluster lands in the same split, so no document's
+    near-copy can leak from train into eval. Composition of the MinHash
+    cluster graph (``dedup_clusters``) with the deterministic keyed-md5
+    split (``train_test_split``); the oracle chains the recursive-CTE
+    closure into the same bucket arithmetic. The split expression is a
+    projection over the cluster table — the only wide work is the
+    clustering itself."""
+    from ..operators.dedup import minhash_dedup_pairs, release_cached
+    from ..operators.graph import connected_components
+    from .expansion_dedup import JACCARD_THRESHOLD
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_dedup_pairs(docs, threshold=JACCARD_THRESHOLD)
+    clusters = connected_components(pairs, docs.select("doc_id"), node_col="doc_id")
+    release_cached(pairs)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("cluster_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    return clusters.select("doc_id", "cluster_id", split.alias("split"))

@@ -152,3 +152,20 @@ def test_json_audit_counts_planted_corruption(spark):
         F.col("event_id") % JSON_BAD_MOD == 0
     ).count()
     assert total_bad == expected
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """The leakage guarantee itself: every near-dup cluster maps to
+    exactly one split."""
+    from m2_b3_market_data_pipeline_spark.plans.expansion_wave8 import (
+        leakage_safe_split,
+    )
+
+    out = leakage_safe_split(spark, SF)
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "valid", "test"}
+    assert "train" in splits
