@@ -62,7 +62,7 @@ from .registry import ORACLES, QUERIES
 # containment_pairs, zorder_keys, correlation_matrix, unpivot_metrics,
 # phash_near_dups, twap_daily, seasonal_backtest, markov_transitions,
 # partial_agg_merge, realized_volatility, fuzzy_name_match,
-# json_parse_audit, dedup_clusters_twophase, snapshot_diff, leakage_safe_split. That is ~22 slots; the rest
+# json_parse_audit, dedup_clusters_twophase, snapshot_diff, leakage_safe_split, corpus_mixture. That is ~23 slots; the rest
 # of the round-5 window should re-prove the reference surface.
 CHECK_PRIORITY: list[str] = [
     # CDC / merge (streaming sink semantics, batch-checkable).

@@ -307,3 +307,51 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     split = F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
     return clusters.select("doc_id", "cluster_id", split.alias("split"))
+
+
+@register(
+    "corpus_mixture",
+    oracle="""
+WITH t AS (
+    SELECT source, lang,
+           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           x -> x <> '')) AS n_tok
+    FROM documents
+),
+g AS (
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM t GROUP BY source, lang
+)
+SELECT source, lang, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS token_share
+FROM g
+""",
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixture table every training run is configured from:
+    per (source, lang) document and token counts plus each cell's share
+    of the total token budget. One codegen'd projection (token count per
+    doc), one aggregate, and the share is a window over the TINY
+    (sources x langs) mixture table — the corpus is scanned once."""
+    from ..functions.textfns import token_count
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    t = d.select("source", "lang", token_count(F.col("text")).alias("n_tok"))
+    g = t.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(Window.partitionBy()),
+            6,
+        ).alias("token_share"),
+    )
