@@ -90,6 +90,7 @@ HEADLINE = [
     "fuzzy_name_match",
     "json_parse_audit",
     "snapshot_diff",
+    "corpus_mixture",
 ]
 
 
