@@ -46,86 +46,84 @@ from .registry import ORACLES, QUERIES
 # - round 1 (original order) evidenced 26 queries (CORRECTNESS_r01.json);
 # - rounds 2-3 front-loaded the reference surface + indicators + TPC-H
 #   q2..q22 + wave 5 — all 50 PASS (CORRECTNESS_r02/r03.json);
-# - round 4 (this order) front-loads the 55 queries with no driver row in
-#   any prior round: CDC/SCD2, data quality, corpus prep, embedding
-#   hygiene/clustering/PQ, events analytics, stats analytics, the
-#   remaining relational surface (subqueries, pivot, cube/grouping sets,
-#   percentiles, regex/array/null scalars), and the streaming windows.
+# - round 4 front-loaded the 55 queries with no driver row in any prior
+#   round (CDC/SCD2, data quality, corpus prep, embedding hygiene/PQ,
+#   events/stats analytics, remaining relational surface, streaming
+#   windows) — all 50 window slots PASS (CORRECTNESS_r04.json);
+# - round 5 (this order) front-loads the final 23 queries with no driver
+#   row in r01-r04, completing cumulative driver coverage at 147/147;
+#   the remaining slots re-prove the SURVEY §2 reference surface (last
+#   rows r03) and the dedup/text/similarity families (last rows r02/r03)
+#   so no operator's evidence goes stale beyond two rounds.
 #
-# Queries already green in r02/r03 rotate past slot 50 — their evidence
-# is on record in those files.
-#
-# Round-5 rotation TODO (the queries still without any driver row after
-# round 4): top_bigram_frac, weighted_sample, percentile_binning,
-# null_scalars, approx_quantiles, approx_distinct_users (rows-only by
-# nature), plus everything added in round 4 — trigram_lm_score,
-# containment_pairs, zorder_keys, correlation_matrix, unpivot_metrics,
-# phash_near_dups, twap_daily, seasonal_backtest, markov_transitions,
-# partial_agg_merge, realized_volatility, fuzzy_name_match,
-# json_parse_audit, dedup_clusters_twophase, snapshot_diff, leakage_safe_split, corpus_mixture. That is ~23 slots; the rest
-# of the round-5 window should re-prove the reference surface.
+# Queries already green in a prior round rotate past slot 50 — their
+# evidence is on record in those CORRECTNESS files.
 CHECK_PRIORITY: list[str] = [
-    # CDC / merge (streaming sink semantics, batch-checkable).
-    "cdc_merge_upsert",
-    "scd2_user_values",
-    # Data-quality gates.
-    "profile_events",
-    "expectation_checks",
-    "fk_orphans_audit",
-    # Corpus preparation (LLM-training data path).
-    "repetition_stats",
-    "pii_scrub",
-    "token_pack",
-    "corpus_pipeline",
-    "dedup_clusters",
-    "doc_chunks",
-    "char_entropy",
-    "decontaminate",
-    # Embedding hygiene / clustering / PQ.
-    "embed_normalize",
-    "embed_quantize",
-    "kmeans_clusters",
-    "centroid_assign",
-    "pq_codes",
-    "pq_ann_topk",
-    # Events analytics.
-    "sessionize_stats",
-    "funnel_stages",
-    "retention_cohorts",
-    "zscore_anomalies",
-    "value_histogram",
-    "trending_daily",
-    "indicator_macd",
-    # Relational surface without a prior driver row.
-    "scalar_subquery",
-    "correlated_subquery",
-    "pivot_segments",
-    "exact_percentiles",
-    "disjunctive_predicates",
-    "full_outer_join",
-    "predicate_surface",
-    "array_functions",
-    "grouping_sets",
-    "window_running_total",
-    "cube_lineitem",
-    "window_distribution",
-    "regex_functions",
-    "sample_per_group",
-    "salted_skew_join",
-    # Stats analytics.
-    "groupwise_regression",
-    "quantile_binning",
-    "event_cooccurrence",
-    "mad_outliers",
-    # Streaming windows (batch-mode equivalence oracles).
-    "sliding_window",
-    "session_window",
-    "stream_stream_join",
-    "streaming_dedup",
-    # One re-proof anchor: the flagship reference pipeline stays in the
-    # window every round (its row also re-validates the events loader
-    # against whatever ts layout the current testdata carries).
+    # --- The 23 queries with no driver row in any prior round. ---
+    # Market/time-series analytics (added round 4).
+    "twap_daily",
+    "seasonal_backtest",
+    "markov_transitions",
+    "partial_agg_merge",
+    "realized_volatility",
+    # Text / dedup additions (round 4).
+    "trigram_lm_score",
+    "containment_pairs",
+    "phash_near_dups",
+    "dedup_clusters_twophase",
+    "leakage_safe_split",
+    "corpus_mixture",
+    "top_bigram_frac",
+    # Layout / relational additions (round 4).
+    "zorder_keys",
+    "correlation_matrix",
+    "unpivot_metrics",
+    "fuzzy_name_match",
+    "json_parse_audit",
+    "snapshot_diff",
+    # Earlier additions that never reached the window.
+    "weighted_sample",
+    "percentile_binning",
+    "null_scalars",
+    # Approx sketches: rows-only checks by nature (sketch internals
+    # differ across engines); accuracy is bounded in pytest.
+    "approx_quantiles",
+    "approx_distinct_users",
+    # --- Anchor: flagship reference pipeline, in the window every round
+    # (its row also re-validates the events loader against whatever ts
+    # layout the current testdata carries). ---
     "refined_pipeline",
+    # --- SURVEY §2 reference surface re-proof (last driver rows r03). ---
+    "rolling_mean_7",
+    "asset_aggregates",
+    "enrich_join",
+    "coalesce_duplicates",
+    "union_all",
+    "filter_sort_limit",
+    "select_limit",
+    "date_functions",
+    "string_functions",
+    "json_extract",
+    # --- Dedup family re-proof (last rows r02/r03). ---
+    "dedup_exact",
+    "minhash_dedup",
+    "ngram_jaccard",
+    "simhash_signatures",
+    "simhash_near_dups",
+    # --- Text family re-proof. ---
+    "text_stats",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    # --- Similarity / ANN re-proof. ---
+    "cosine_topk",
+    "embedding_near_dups",
+    "ann_topk_lsh",
+    "ivf_ann_topk",
+    # --- Indicators re-proof. ---
+    "indicator_returns",
+    "indicator_rsi",
+    "indicator_vwap_drawdown",
 ]
 
 

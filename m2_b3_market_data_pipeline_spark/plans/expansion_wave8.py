@@ -50,12 +50,18 @@ FROM blocked WHERE dist <= {FUZZY_MAX_DIST}
 )
 def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy join: clean registry (distinct part names) vs a
-    planted dirty feed (3rd char deleted). Blocking on (first char,
-    length band) bounds the comparison set — levenshtein runs only on
-    same-block pairs, never all-pairs; at 100 TB the block key is the
-    shuffle key and block sizes bound the worst-case task. The planted
-    corruption keeps the match set deterministic and hash-checkable,
-    with is_true_match exposing blocking recall directly."""
+    planted dirty feed (3rd char deleted). The equi-join (blocking) key
+    is COMPOSITE — (first char, length band floor(len/3)) — with the
+    dirty side exploded to its band and both neighbors so any pair
+    within FUZZY_MAX_DIST of length lands in a shared band. A
+    first-char-only key would give ~26-62 shuffle buckets and a hot-key
+    join at corpus scale; the composite key multiplies the bucket count
+    by the length-band cardinality, so block sizes bound the worst-case
+    task. The exact |len(a)-len(b)| <= 2 check and levenshtein stay as
+    post-join residuals (the band join is a strict superset of the
+    length-band predicate, so the match set — and the oracle — are
+    unchanged). Planted corruption keeps the match set deterministic
+    and hash-checkable, with is_true_match exposing blocking recall."""
     clean = load(spark, sf_dir, "part").select("p_name").distinct()
     dirty = clean.filter(F.length("p_name") >= 4).select(
         F.col("p_name").alias("orig"),
@@ -63,13 +69,24 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("p_name", 1, 2), F.expr("substr(p_name, 4)")
         ).alias("noisy"),
     )
-    blocked = clean.join(
-        dirty,
-        (F.substring(F.col("p_name"), 1, 1) == F.substring(F.col("noisy"), 1, 1))
-        & (
-            F.abs(F.length(F.col("p_name")) - F.length(F.col("noisy")))
-            <= FUZZY_MAX_DIST
-        ),
+    band_width = FUZZY_MAX_DIST + 1
+    clean_b = clean.select(
+        "p_name",
+        F.substring("p_name", 1, 1).alias("blk_char"),
+        F.floor(F.length("p_name") / band_width).alias("blk_band"),
+    )
+    noisy_band = F.floor(F.length("noisy") / band_width)
+    dirty_b = dirty.select(
+        "orig",
+        "noisy",
+        F.substring("noisy", 1, 1).alias("blk_char"),
+        F.explode(
+            F.array(noisy_band - 1, noisy_band, noisy_band + 1)
+        ).alias("blk_band"),
+    )
+    blocked = clean_b.join(dirty_b, ["blk_char", "blk_band"]).filter(
+        F.abs(F.length(F.col("p_name")) - F.length(F.col("noisy")))
+        <= FUZZY_MAX_DIST
     ).select(
         F.col("p_name").alias("clean_name"),
         "noisy",

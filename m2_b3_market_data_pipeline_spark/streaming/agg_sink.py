@@ -20,13 +20,27 @@ to (here: one parquet dir, same plan).
 
 Exactly-once: the file-source checkpoint tracks consumed batches; the
 merge is NOT idempotent under replay (counts would double), so the
-snapshot directory embeds the last applied batch id and replays of an
-already-applied batch are skipped — the standard transactional-sink
-dance that a table format's commit log would otherwise provide.
+snapshot directory embeds the last applied (checkpoint id, batch id)
+and replays of an already-applied batch are skipped — the standard
+transactional-sink dance that a table format's commit log would
+otherwise provide. Two failure modes are handled explicitly:
+
+- Crash-safe swap: the new state is staged, then the old state is
+  renamed ASIDE (never deleted first), the staging promoted, and only
+  then the old copy removed. ``_recover_state`` runs before every batch
+  and promotes a complete staging snapshot (marker present) or restores
+  the set-aside copy, so no crash window can lose the state dir.
+- Checkpoint identity: batch ids restart at 0 if the checkpoint dir is
+  deleted or relocated while the state survives; a bare
+  ``applied >= batch_id`` check would then silently drop genuinely new
+  batches. The marker therefore records the checkpoint's stream id
+  alongside the batch id, and a mismatch FAILS the batch loudly instead
+  of skipping.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -35,6 +49,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+# Underscore prefix => ignored by Spark's parquet reader, so the marker
+# can live inside the state dir without polluting the table scan.
 _APPLIED_MARKER = "_applied_batch_id"
 
 
@@ -76,12 +92,62 @@ def read_aggregates(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
-def _last_applied(state_path: str) -> int:
-    marker = os.path.join(state_path, _APPLIED_MARKER)
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            return int(fh.read().strip())
-    return -1
+def _read_marker(path: str) -> tuple[int, str | None]:
+    """(applied batch id, checkpoint id) from a snapshot dir; (-1, None)
+    if absent. Legacy plain-int markers parse with no checkpoint id."""
+    marker = os.path.join(path, _APPLIED_MARKER)
+    if not os.path.exists(marker):
+        return -1, None
+    with open(marker) as fh:
+        raw = fh.read().strip()
+    try:
+        payload = json.loads(raw)
+        return int(payload["batch_id"]), payload.get("checkpoint_id")
+    except (TypeError, KeyError, ValueError):
+        return int(raw), None
+
+
+def _checkpoint_identity(checkpoint_path: str) -> str | None:
+    """The stream id Spark writes to ``<checkpoint>/metadata`` — stable
+    across restarts of the same checkpoint, different for a fresh or
+    relocated one."""
+    meta = os.path.join(checkpoint_path, "metadata")
+    if not os.path.exists(meta):
+        return None
+    try:
+        with open(meta) as fh:
+            return json.loads(fh.read()).get("id")
+    except (ValueError, OSError):  # pragma: no cover - unreadable metadata
+        return None
+
+
+def _recover_state(state_path: str) -> None:
+    """Roll the swap protocol forward after a crash: promote the newest
+    COMPLETE staging snapshot (its marker is written last, so marker
+    presence == complete) if the state dir is missing, else restore the
+    set-aside previous state; then clear leftovers."""
+    parent = os.path.dirname(state_path) or "."
+    base = os.path.basename(state_path)
+    old = state_path + ".old"
+    staging = []
+    if os.path.isdir(parent):
+        staging = [
+            os.path.join(parent, d)
+            for d in os.listdir(parent)
+            if d.startswith(base + ".staging-")
+        ]
+    if not os.path.exists(state_path):
+        complete = [p for p in staging if _read_marker(p)[0] >= 0]
+        if complete:
+            newest = max(complete, key=lambda p: _read_marker(p)[0])
+            os.rename(newest, state_path)
+            staging.remove(newest)
+        elif os.path.exists(old):
+            os.rename(old, state_path)
+    for p in staging:
+        shutil.rmtree(p, ignore_errors=True)
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def run_incremental_agg_stream(
@@ -104,7 +170,18 @@ def run_incremental_agg_stream(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if _last_applied(state_path) >= batch_id:
+        _recover_state(state_path)
+        ckpt_id = _checkpoint_identity(checkpoint_path)
+        applied, applied_ckpt = _read_marker(state_path)
+        if applied >= 0 and applied_ckpt and ckpt_id and applied_ckpt != ckpt_id:
+            raise RuntimeError(
+                f"state at {state_path} was written under checkpoint "
+                f"{applied_ckpt} but this stream runs under {ckpt_id}; "
+                "batch ids are not comparable across checkpoints — "
+                "refusing to merge (delete the state dir to rebuild, or "
+                "restore the original checkpoint)."
+            )
+        if applied >= batch_id:
             return  # replayed batch after a crash: already merged
         delta = _partials(batch_df, keys=keys, value_col=value_col)
         if os.path.exists(state_path):
@@ -114,11 +191,17 @@ def run_incremental_agg_stream(
             merged = delta
         staging = f"{state_path}.staging-{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
+        # Marker last: its presence certifies the staging dir complete.
         with open(os.path.join(staging, _APPLIED_MARKER), "w") as fh:
-            fh.write(str(batch_id))
+            fh.write(json.dumps({"batch_id": batch_id, "checkpoint_id": ckpt_id}))
+        # Swap: set the old state ASIDE (never delete-first — a crash
+        # between delete and promote would lose the state dir, and the
+        # replayed batch would silently rebuild from empty).
+        old = state_path + ".old"
         if os.path.exists(state_path):
-            shutil.rmtree(state_path)
+            os.rename(state_path, old)
         os.rename(staging, state_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -245,11 +245,24 @@ def test_phash_pairs_no_cartesian(spark, sf_dir):
 
 
 def test_fuzzy_match_blocks_via_hash_join(spark, sf_dir):
-    """The blocking key (first char) must become the hash-join key with
-    levenshtein as a residual — a nested-loop fallback would mean the
-    blocking failed and every pair gets scored."""
+    """The COMPOSITE blocking key (first char, length band) must become
+    the hash-join key with levenshtein as a residual — a nested-loop
+    fallback would mean the blocking failed and every pair gets scored,
+    and a first-char-only key would give ~26-62 shuffle buckets (a
+    hot-key join at corpus scale)."""
     plan = _plan(all_queries.QUERIES["fuzzy_name_match"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan
     assert "levenshtein" in plan  # residual on the join, post-blocking
+    # Both conjuncts of the composite key are join keys (not residuals):
+    # the formatted plan prints hash-join keys as [key1, key2].
+    assert "blk_char" in plan and "blk_band" in plan
+    import re
+
+    assert re.search(r"blk_char#\d+L?, blk_band#\d+", plan), (
+        "composite (blk_char, blk_band) must be the equi-join key"
+    )
+    # The band explode is the scale lever: dirty side fans out x3 so
+    # neighbor bands co-locate without a non-equi residual shuffle.
+    assert "Generate explode" in plan or "explode" in plan.lower()

@@ -314,6 +314,116 @@ def test_streaming_incremental_agg_matches_batch(spark, tmp_path):
     assert got == direct
 
 
+def test_incremental_agg_state_swap_crash_recovery(spark, tmp_path):
+    """Every crash window of the state swap must be recoverable: the old
+    state is set ASIDE (never deleted first) and a complete staging
+    snapshot (marker present) is promoted on restart, so no window loses
+    the state dir (the delete-then-rename shape silently rebuilt
+    aggregates from empty on replay)."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from m2_b3_market_data_pipeline_spark.streaming.agg_sink import (
+        _APPLIED_MARKER,
+        _read_marker,
+        _recover_state,
+        read_aggregates,
+        run_incremental_agg_stream,
+    )
+
+    updates = str(tmp_path / "agg_updates")
+    state = str(tmp_path / "agg_state")
+    ckpt = str(tmp_path / "agg_ckpt")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    spark.createDataFrame([("a", 10), ("b", 5)], schema).write.parquet(f"{updates}/b1")
+    run_incremental_agg_stream(
+        spark,
+        updates_path=updates,
+        state_path=state,
+        checkpoint_path=ckpt,
+        schema=schema,
+        keys=["k"],
+        value_col="v",
+    ).awaitTermination(120)
+    applied, ckpt_id = _read_marker(state)
+    assert applied == 0 and ckpt_id  # marker carries checkpoint identity
+
+    # Simulate a crash BETWEEN the two renames: state gone, previous
+    # state set aside, complete staging (newer marker) present.
+    os.rename(state, state + ".old")
+    staging = f"{state}.staging-1"
+    spark.read.parquet(state + ".old").write.parquet(staging)
+    with open(os.path.join(staging, _APPLIED_MARKER), "w") as fh:
+        fh.write(json.dumps({"batch_id": 1, "checkpoint_id": ckpt_id}))
+    _recover_state(state)
+    assert _read_marker(state)[0] == 1  # newest complete staging won
+    assert not os.path.exists(state + ".old")
+    assert not os.path.exists(staging)
+
+    # Simulate a crash with an INCOMPLETE staging (no marker): the
+    # set-aside previous state must be restored, garbage cleared.
+    os.rename(state, state + ".old")
+    os.makedirs(f"{state}.staging-2")
+    _recover_state(state)
+    assert _read_marker(state)[0] == 1  # restored from .old
+    assert not os.path.exists(f"{state}.staging-2")
+
+    # The recovered state still serves reads.
+    got = {r.k: r.sum_value for r in read_aggregates(spark, state).collect()}
+    assert got == {"a": 10, "b": 5}
+
+
+def test_incremental_agg_rejects_foreign_checkpoint(spark, tmp_path):
+    """If the checkpoint dir is deleted while the state survives, batch
+    ids restart at 0 and a bare applied>=batch_id check would silently
+    drop genuinely new batches. The marker pins the checkpoint identity
+    and a mismatch must FAIL the stream loudly, not skip."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql import types as T
+
+    from m2_b3_market_data_pipeline_spark.streaming.agg_sink import (
+        run_incremental_agg_stream,
+    )
+
+    updates = str(tmp_path / "agg_updates")
+    state = str(tmp_path / "agg_state")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    spark.createDataFrame([("a", 10)], schema).write.parquet(f"{updates}/b1")
+    run_incremental_agg_stream(
+        spark,
+        updates_path=updates,
+        state_path=state,
+        checkpoint_path=str(tmp_path / "ckpt_one"),
+        schema=schema,
+        keys=["k"],
+        value_col="v",
+    ).awaitTermination(120)
+
+    q = run_incremental_agg_stream(
+        spark,
+        updates_path=updates,
+        state_path=state,
+        checkpoint_path=str(tmp_path / "ckpt_two"),  # fresh checkpoint
+        schema=schema,
+        keys=["k"],
+        value_col="v",
+    )
+    try:
+        q.awaitTermination(120)
+        raised = q.exception() is not None
+    except (StreamingQueryException, Py4JJavaError):
+        raised = True
+    assert raised, "foreign-checkpoint merge must fail loudly"
+    assert "refusing to merge" in str(q.exception())
+
+
 def test_bounded_dedup_drops_replays_within_horizon(spark, tmp_path):
     """dropDuplicatesWithinWatermark: a replay inside the lateness
     window is suppressed, and state is evicted past the watermark (the
