@@ -397,11 +397,20 @@ def containment_pairs(
     Same sparse inverted-index strategy as ``ngram_jaccard_pairs`` (only
     shingle-sharing pairs materialize), but DIRECTED: (id_a contained-in
     id_b) and its reverse are distinct rows, each normalized by the left
-    side's shingle-set size."""
-    sh = (
-        with_shingles(fan_out(df.select(id_col, text_col)), text_col=text_col, n=n)
-        .select(id_col, F.explode("sh").alias("shingle"), F.size("sh").alias("set_size"))
+    side's shingle-set size.
+
+    Shape note: the per-doc set size is aggregated into its own
+    one-row-per-doc relation and joined back AFTER the pair aggregation
+    — carrying it through the explode would repeat it on every shingle
+    row of the self-join's shuffle (the dominant exchange at corpus
+    scale) just to act as a constant groupBy key."""
+    sets = with_shingles(
+        fan_out(df.select(id_col, text_col)), text_col=text_col, n=n
+    ).select(id_col, "sh")
+    sizes = sets.select(
+        F.col(id_col).alias("id_a"), F.size("sh").alias("size_a")
     )
+    sh = sets.select(id_col, F.explode("sh").alias("shingle"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -413,13 +422,13 @@ def containment_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.set_size").alias("size_a"),
         )
         .agg(F.count("*").alias("inter"))
     )
     contain = F.round(F.col("inter").cast("double") / F.col("size_a").cast("double"), 6)
     return (
-        inter.withColumn("containment", contain)
+        inter.join(sizes, "id_a")
+        .withColumn("containment", contain)
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )

@@ -39,12 +39,16 @@ def connected_components(
     dst_col: str = "id_b",
     node_col: str = "node",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node with the minimum node id in its connected
     component. ``pairs`` is an undirected edge list; ``nodes`` is the
     node universe (isolated nodes keep their own id as cluster id).
 
-    Returns (node_col, cluster_id).
+    Returns (node_col, cluster_id). When ``stats`` is passed, records
+    ``stats["rounds"]`` = rounds to convergence — near-dup graphs must
+    converge in a handful (tests pin <= 5 on the fixture), so a fixture
+    or algorithm change that degrades convergence is visible.
     """
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -55,7 +59,7 @@ def connected_components(
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("cluster_id")
     )
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         # Neighbor labels: for each edge (src -> dst), dst hears src's
         # label. Self rows are tagged so the SAME aggregation that picks
         # the new minimum also recovers the previous label — convergence
@@ -76,6 +80,8 @@ def connected_components(
         changed = merged.filter(F.col("cluster_id") != F.col("__old")).count()
         labels = merged.select("node", "cluster_id")
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
             return labels.withColumnRenamed("node", node_col)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
@@ -101,8 +107,10 @@ def _star_round(edges: DataFrame, *, large: bool) -> DataFrame:
     plain label propagation needs O(diameter).
     """
     sym = _symmetric(edges)
+    # min(src) == src within a group keyed on src — written as min()
+    # (not first()) so the aggregate is self-evidently deterministic.
     mins = sym.groupBy("src").agg(
-        F.least(F.min("dst"), F.first("src")).alias("m")
+        F.least(F.min("dst"), F.min("src")).alias("m")
     )
     j = sym.join(mins, "src")
     if large:
@@ -126,6 +134,7 @@ def connected_components_twophase(
     dst_col: str = "id_b",
     node_col: str = "node",
     max_iter: int = 30,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star/small-star — the
     O(log^2 n)-round fallback for graphs with long chain structure where
@@ -156,12 +165,14 @@ def connected_components_twophase(
         return row.n, row.h
 
     prev = checksum(edges)
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         edges = _star_round(
             _star_round(edges, large=True), large=False
         ).localCheckpoint()
         cur = checksum(edges)
         if cur == prev:
+            if stats is not None:
+                stats["rounds"] = rounds
             break
         prev = cur
     else:  # pragma: no cover - convergence is O(log^2 n)

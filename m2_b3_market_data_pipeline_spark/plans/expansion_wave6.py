@@ -196,20 +196,27 @@ PHASH_MAX_HAMMING = 3
     "phash_near_dups",
     oracle="""
 WITH corpus AS (
+    -- length()/substr() are CHARACTER-based in both engines, matching
+    -- the Spark side's substr/length perturbation exactly.
     SELECT doc_id, text FROM documents
     UNION ALL
     SELECT doc_id + 1000000 AS doc_id,
-           concat(substr(text, 1, strlen(text) - 5), 'XXXXX') AS text
+           concat(substr(text, 1, length(text) - 5), 'XXXXX') AS text
     FROM documents WHERE doc_id % 10 = 0
 ),
+-- From here on the domain is explicit BYTES (hex of the utf-8
+-- encoding), mirroring perceptual_hash's byte-level signature — char
+-- functions like ord()/substr(text,...) would diverge from Spark on
+-- any non-ASCII document.
 sized AS (
-    SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS L
-    FROM corpus WHERE strlen(text) >= 64
+    SELECT doc_id, hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS L
+    FROM corpus WHERE octet_length(encode(text)) >= 64
 ),
 v AS (
     SELECT doc_id, L,
            unnest(list_transform(generate_series(1, CAST(L AS INT)),
-                                 i -> CAST(ord(substr(text, i, 1)) AS BIGINT))) AS val,
+                                 i -> CAST(('0x' || substr(h, 2 * i - 1, 2)) AS BIGINT))) AS val,
            unnest(generate_series(1, CAST(L AS INT))) AS pos
     FROM sized
 ),

@@ -71,8 +71,11 @@ def rolling_mean_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-_WEEK_MICROS, 0)
     )
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
-    # `div` = integral division, matching DuckDB's `//` on the
-    # non-negative sums here.
+    # `div` = integral division truncating toward zero — and DuckDB's
+    # `//` ALSO truncates when both operands are integers (it floors
+    # only in float mode), so the engines agree for ANY sign of the
+    # frame sum; tests/test_sql_surface5.py pins this with negative
+    # sums so the fixture never has to guarantee non-negative values.
     return e.select(
         "event_id",
         "user_id",

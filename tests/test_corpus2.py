@@ -207,3 +207,41 @@ def test_twophase_cc_converges_on_long_chain(spark):
     assert len(out) == n
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, nodes, max_iter=5).collect()
+
+
+def test_cc_converges_fast_on_near_dup_fixture(spark, sf_dir):
+    """Rounds-to-convergence telemetry on the REAL dedup graph (MinHash
+    pairs over the documents fixture): near-dup components are
+    small-diameter clouds, so label propagation must converge in <= 5
+    rounds and the two-phase variant in <= 6 — a fixture or algorithm
+    change that degrades convergence (and thus per-query shuffle count)
+    trips this before it shows up as bench regression."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        release_cached,
+    )
+    from m2_b3_market_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.expansion_dedup import (
+        JACCARD_THRESHOLD,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_dedup_pairs(docs, threshold=JACCARD_THRESHOLD)
+    lp_stats: dict = {}
+    ts_stats: dict = {}
+    lp = connected_components(
+        pairs, docs.select("doc_id"), node_col="doc_id", stats=lp_stats
+    ).collect()
+    ts = connected_components_twophase(
+        pairs, docs.select("doc_id"), node_col="doc_id", stats=ts_stats
+    ).collect()
+    release_cached(pairs)
+    assert {(r.doc_id, r.cluster_id) for r in lp} == {
+        (r.doc_id, r.cluster_id) for r in ts
+    }
+    assert 1 <= lp_stats["rounds"] <= 5, lp_stats
+    assert 1 <= ts_stats["rounds"] <= 6, ts_stats

@@ -137,3 +137,22 @@ def test_quantile_binning_equal_frequency(spark, sf_dir):
     counts = [r.n for r in out.orderBy("bin").collect()]
     assert len(counts) == 10
     assert max(counts) - min(counts) <= 1  # ntile balance property
+
+
+def test_integral_division_agrees_with_duckdb_on_negatives(spark):
+    """rolling_mean_time_range divides integer micro-units with Spark's
+    `div`; the oracle uses DuckDB's `//`. Both truncate toward zero in
+    integer mode (DuckDB floors only for floats), so the engines agree
+    for ANY sign of the frame sum — pinned here with negative sums so
+    the fixture never has to guarantee non-negative event values."""
+    import duckdb
+
+    rows = [(-7, 2), (7, 2), (-7, 3), (7, 3), (-1, 5), (0, 3), (-9, 4)]
+    df = spark.createDataFrame(rows, "s long, n long").selectExpr(
+        "s", "n", "s div n as q"
+    )
+    got = {(r.s, r.n): r.q for r in df.collect()}
+    want = {
+        (a, b): duckdb.sql(f"select {a} // {b}").fetchone()[0] for a, b in rows
+    }
+    assert got == want

@@ -193,3 +193,35 @@ def test_perceptual_hash_properties(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs           # perturbed twin within the radius
     assert (1, 5) not in pairs       # unrelated stays out
+
+
+def test_phash_oracle_agrees_on_non_ascii(spark, tmp_path):
+    """Engine agreement on NON-ASCII text: the oracle hashes the same
+    byte stream as perceptual_hash (hex of the utf-8 encoding), so
+    multi-byte characters — where byte length != char length — must not
+    diverge the two engines. Guards the byte-domain contract the sf
+    fixtures (ASCII-only) cannot exercise."""
+    import duckdb
+
+    from m2_b3_market_data_pipeline_spark.plans import all_queries
+
+    base = "le renard brun café naïve jalapeño über 北京 東京 " * 4
+    rows = [(i, base if i % 3 else base.replace("café", f"caf{i}")) for i in range(12)]
+    sf = str(tmp_path / "sf_nonascii")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    sdf = all_queries.QUERIES["phash_near_dups"](spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'")
+    odf = con.execute(all_queries.ORACLES["phash_near_dups"]).df()
+    con.close()
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_oracle import _rowset
+
+    scols, srows = _rowset(sdf)
+    ocols, orows = _rowset(odf)
+    assert scols == ocols and srows == orows
+    assert len(srows) > 0  # the near-identical docs actually pair up
