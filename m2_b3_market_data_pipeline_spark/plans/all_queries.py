@@ -93,7 +93,9 @@ CHECK_PRIORITY: list[str] = [
     # (its row also re-validates the events loader against whatever ts
     # layout the current testdata carries). ---
     "refined_pipeline",
-    # --- SURVEY §2 reference surface re-proof (last driver rows r03). ---
+    # --- SURVEY §2 reference surface re-proof (last driver rows r03),
+    # plus the new write-path round-trip giving S10/S5 a driver row. ---
+    "refined_write_roundtrip",
     "rolling_mean_7",
     "asset_aggregates",
     "enrich_join",
@@ -120,10 +122,10 @@ CHECK_PRIORITY: list[str] = [
     "embedding_near_dups",
     "ann_topk_lsh",
     "ivf_ann_topk",
-    # --- Indicators re-proof. ---
+    # --- Indicators re-proof (vwap_drawdown rotates out: its r02 row
+    # stands, and the write-roundtrip slot is higher-leverage). ---
     "indicator_returns",
     "indicator_rsi",
-    "indicator_vwap_drawdown",
 ]
 
 

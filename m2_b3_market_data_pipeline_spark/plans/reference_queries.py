@@ -69,6 +69,59 @@ def refined_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REFINED_ORACLE_TAIL = """
+, w AS (
+    SELECT ativo, "date", "Open" AS open, "High" AS high, "Low" AS low,
+           close_price, trade_volume,
+           CASE WHEN COUNT(close_price) OVER win >= 7
+                THEN ROUND(AVG(close_price) OVER win, 6) END AS mm_7d
+    FROM ohlcv
+    WINDOW win AS (PARTITION BY ativo ORDER BY "date"
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT ativo, "date", open, high, low, close_price, trade_volume, mm_7d,
+       ROUND(AVG(close_price) OVER (PARTITION BY ativo), 6) AS avg_close_price,
+       CAST(SUM(trade_volume) OVER (PARTITION BY ativo) AS BIGINT) AS total_volume
+FROM w
+"""
+
+
+@register("refined_write_roundtrip", oracle=OHLCV_SQL + _REFINED_ORACLE_TAIL)
+def refined_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 + S5 under the hash oracle: the refined result is written
+    through ``write_refined`` (Hive layout ``ativo=<a>/data=<d>``,
+    partition columns dropped from the data files — reference:
+    etl/etl_job.py:144-166) and read BACK from the directory tree; the
+    oracle is the direct computation, so a hash match proves the
+    partitioned write/read round trip is lossless, including the
+    partition values re-derived from directory names. The write target
+    is recreated per run (plain overwrite would leave stale partitions
+    from a previous fixture generation in dynamic mode)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.parquet_io import write_refined
+
+    out = refined_pipeline(spark, sf_dir).withColumn(
+        "data", F.date_format("date", "yyyy-MM-dd")
+    )
+    target = os.path.join(
+        tempfile.gettempdir(),
+        "m2b3_refined_roundtrip",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(target, ignore_errors=True)
+    write_refined(out, target, partition_by=("ativo", "data"))
+    back = spark.read.parquet(target)
+    # `ativo` comes back from the directory layout; `data` (the layout
+    # duplicate of `date`) is dropped again. Inference may type the
+    # partition value, so pin the original string type.
+    return back.select(
+        F.col("ativo").cast("string").alias("ativo"), *_REFINED_COLS[1:]
+    )
+
+
 @register(
     "rolling_mean_7",
     oracle=OHLCV_SQL

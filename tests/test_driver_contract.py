@@ -67,8 +67,9 @@ def test_first_fifty_registered_queries_are_the_priority_window():
 
     assert len(CHECK_PRIORITY) == 50
     assert list(QUERIES)[:50] == CHECK_PRIORITY
-    # Every priority slot must be hash-checked — since round 2, every
-    # query in the window has a DuckDB oracle (EWMA via its closed
-    # form, LSH/SimHash via deterministic signature reproduction).
+    # Every priority slot is hash-checked EXCEPT the two approximate
+    # sketches, rows-only by nature (sketch internals differ across
+    # engines; accuracy is bounded in test_sql_surface5.py) — round 5
+    # rotates them in so even their weaker driver evidence is on record.
     rows_only = [n for n in CHECK_PRIORITY if n not in ORACLES]
-    assert rows_only == [], rows_only
+    assert rows_only == ["approx_quantiles", "approx_distinct_users"], rows_only
