@@ -91,6 +91,8 @@ HEADLINE = [
     "json_parse_audit",
     "snapshot_diff",
     "corpus_mixture",
+    # round-5 incremental-curation wave
+    "incremental_near_dedup",
 ]
 
 

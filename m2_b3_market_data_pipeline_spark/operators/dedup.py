@@ -110,6 +110,32 @@ def with_minhash(
     return with_sh.join(sig, id_col, "left")
 
 
+def band_signatures(
+    signed: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Explode a signature frame to (id, band_id, band_hash) rows — the
+    LSH bucket keys. Docs with empty shingle sets (NULL minhash) are
+    dropped so they never collide. Shared by the self-join
+    (``lsh_candidate_pairs``) and the cross-relation incremental join
+    (``minhash_incremental_pairs``)."""
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("", *cols)).alias("band_hash"))
+        )
+    return (
+        signed.filter(F.col("mh0").isNotNull())
+        .select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
+        .select(id_col, "band.band_id", "band.band_hash")
+    )
+
+
 def lsh_candidate_pairs(
     signed: DataFrame,
     *,
@@ -118,19 +144,9 @@ def lsh_candidate_pairs(
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_id, band_hash):
-    distinct candidate pairs (id_a < id_b). Docs with empty shingle sets
-    (NULL minhash) never collide."""
-    n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("", *cols)).alias("band_hash"))
-        )
-    banded = (
-        signed.filter(F.col("mh0").isNotNull())
-        .select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
-        .select(id_col, "band.band_id", "band.band_hash")
+    distinct candidate pairs (id_a < id_b)."""
+    banded = band_signatures(
+        signed, id_col=id_col, num_hashes=num_hashes, band_size=band_size
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -204,6 +220,66 @@ def release_cached(result: DataFrame) -> None:
     plans that carry none). Call after the consuming action."""
     for frame in getattr(result, "_cached_frames", []):
         frame.unpersist()
+
+
+def minhash_incremental_pairs(
+    delta: DataFrame,
+    corpus: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup an incoming DELTA against an existing CORPUS — the
+    continuous-crawl curation shape: which new documents are near-copies
+    of something already kept?
+
+    Cross-relation LSH: each side is shingled, min-hashed, and banded,
+    then candidates come from the band equi-join ACROSS the two
+    relations only — corpus×corpus pairs are never formed, so the work
+    is |delta ∪ corpus| signature computation plus a join whose volume
+    is bands × (delta + corpus) rows, not |corpus|². At 100 TB the
+    corpus signature/band table is precomputed and stored (signatures
+    are append-only: yesterday's table is today's corpus side), so only
+    the delta shingles fresh and the corpus TEXT is never rescanned;
+    here both sides compute from text because the fixture has no
+    signature store. Exact Jaccard verifies candidates, same as the
+    batch path.
+
+    Returns (delta_id, corpus_id, jaccard >= threshold). Caches both
+    signature frames on the result — call ``release_cached`` after the
+    consuming action.
+    """
+    d_signed = with_minhash(
+        fan_out(delta.select(id_col, text_col)), text_col=text_col, id_col=id_col
+    ).persist()
+    c_signed = with_minhash(
+        fan_out(corpus.select(id_col, text_col)), text_col=text_col, id_col=id_col
+    ).persist()
+    d_bands = band_signatures(d_signed, id_col=id_col).withColumnRenamed(
+        id_col, "delta_id"
+    )
+    c_bands = band_signatures(c_signed, id_col=id_col).withColumnRenamed(
+        id_col, "corpus_id"
+    )
+    cand = (
+        d_bands.join(c_bands, ["band_id", "band_hash"])
+        .select("delta_id", "corpus_id")
+        .distinct()
+    )
+    sets_d = d_signed.select(F.col(id_col).alias("delta_id"), F.col("sh").alias("sh_a"))
+    sets_c = c_signed.select(F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    out = (
+        cand.join(sets_d, "delta_id")
+        .join(sets_c, "corpus_id")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("delta_id", "corpus_id", "jaccard")
+    )
+    out._cached_frames = [d_signed, c_signed]  # type: ignore[attr-defined]
+    return out
 
 
 def ngram_jaccard_pairs(

@@ -48,29 +48,32 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig_sql(source: str = "documents") -> str:
+def _minhash_sig_sql(source: str = "documents", suffix: str = "") -> str:
     """CTEs computing shingle sets + minhash signatures over ``source``
     (any relation with doc_id + text — parameterized so composed
-    pipelines can run the same dedup over a filtered survivor set)."""
+    pipelines can run the same dedup over a filtered survivor set).
+    ``suffix`` renames the CTE chain so two signature pipelines (e.g.
+    delta + corpus for the incremental join) coexist in one query."""
     mh_exprs = ",\n       ".join(
         f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}" for i in range(NUM_HASHES)
     )
     return f"""
-tk AS (SELECT doc_id, {_TK} AS tk FROM {source}),
-sh AS (SELECT doc_id, {_SH} AS sh FROM tk),
-sigs AS (SELECT doc_id, sh, {mh_exprs} FROM sh)
+tk{suffix} AS (SELECT doc_id, {_TK} AS tk FROM {source}),
+sh{suffix} AS (SELECT doc_id, {_SH} AS sh FROM tk{suffix}),
+sigs{suffix} AS (SELECT doc_id, sh, {mh_exprs} FROM sh{suffix})
 """
 
 
-def _band_sql() -> str:
+def _band_sql(suffix: str = "") -> str:
     n_bands = NUM_HASHES // BAND_SIZE
     selects = []
     for b in range(n_bands):
         cols = " || ".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
         selects.append(
-            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sigs WHERE mh0 IS NOT NULL"
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash"
+            f" FROM sigs{suffix} WHERE mh0 IS NOT NULL"
         )
-    return "bands AS (" + " UNION ALL ".join(selects) + ")"
+    return f"bands{suffix} AS (" + " UNION ALL ".join(selects) + ")"
 
 
 _JACC = (
@@ -205,6 +208,56 @@ FROM bands a JOIN bands b
   ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
 WHERE {ham} <= {SIMHASH_MAX_HAMMING}
 """
+
+
+DELTA_MOD = 7          # every 7th doc spawns a perturbed incoming twin
+DELTA_ID_OFFSET = 3_000_000
+DELTA_SUFFIX = " zq marker token"
+
+
+def _incremental_oracle() -> str:
+    return f"""
+WITH delta_src AS (
+    SELECT doc_id + {DELTA_ID_OFFSET} AS doc_id,
+           text || '{DELTA_SUFFIX}' AS text
+    FROM documents WHERE doc_id % {DELTA_MOD} = 0
+),
+{_minhash_sig_sql("documents", suffix="_c")},
+{_minhash_sig_sql("delta_src", suffix="_d")},
+{_band_sql(suffix="_c")},
+{_band_sql(suffix="_d")},
+cand AS (
+    SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+    FROM bands_d d JOIN bands_c c
+      ON d.band_id = c.band_id AND d.band_hash = c.band_hash
+)
+SELECT p.delta_id, p.corpus_id, {_JACC} AS jaccard
+FROM cand p
+JOIN sigs_d sa ON sa.doc_id = p.delta_id
+JOIN sigs_c sb ON sb.doc_id = p.corpus_id
+WHERE {_JACC} >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("incremental_near_dedup", oracle=_incremental_oracle())
+def incremental_near_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-corpus) near-dedup — the continuous-crawl
+    curation shape: which INCOMING documents are near-copies of
+    something already kept? Cross-relation LSH band join
+    (operators/dedup.py::minhash_incremental_pairs): corpus×corpus
+    pairs are never formed, and at scale the corpus side joins from a
+    stored signature table instead of rescanning text. The delta feed
+    is planted deterministically (every 7th doc with a short appended
+    marker, so shingle overlap stays high for non-trivial docs) and the
+    match set is hash-checked end-to-end."""
+    from ..operators.dedup import minhash_incremental_pairs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.filter(F.col("doc_id") % DELTA_MOD == 0).select(
+        (F.col("doc_id") + DELTA_ID_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(DELTA_SUFFIX)).alias("text"),
+    )
+    return minhash_incremental_pairs(delta, docs, threshold=JACCARD_THRESHOLD)
 
 
 @register("simhash_near_dups", oracle=_simhash_pairs_oracle())

@@ -43,6 +43,33 @@ def test_minhash_finds_near_dup_and_skips_far(spark):
     assert not any(3 in p for p in pairs)
 
 
+def test_incremental_pairs_delta_vs_corpus_only(spark):
+    """The cross-relation join must surface delta->corpus near-dups and
+    NEVER corpus-internal pairs (docs 1 and 4 are identical in the
+    corpus but no (1,4) row may appear — that is the batch dedup's
+    job)."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        release_cached,
+    )
+
+    corpus = _docs(spark)
+    delta = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog near the river bank today indeed"),
+            (102, "an entirely unrelated incoming document about gradient descent and tokenizers"),
+        ],
+        "doc_id long, text string",
+    )
+    out = minhash_incremental_pairs(delta, corpus, threshold=0.5)
+    rows = out.collect()
+    release_cached(out)
+    got = {(r.delta_id, r.corpus_id) for r in rows}
+    assert (101, 1) in got and (101, 4) in got  # near-copy of both twins
+    assert not any(d == 102 for d, _ in got)    # unrelated delta stays out
+    assert all(d >= 100 for d, _ in got)        # no corpus-internal pairs
+
+
 def test_ngram_jaccard_exact_values(spark):
     out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(_docs(spark), threshold=0.1).collect()}
     assert out[(1, 4)] == 1.0

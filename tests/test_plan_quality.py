@@ -244,6 +244,21 @@ def test_phash_pairs_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_incremental_dedup_joins_on_band_keys(spark, sf_dir):
+    """Delta-vs-corpus near-dedup must candidate via the (band_id,
+    band_hash) equi-join — a nested-loop or cartesian fallback would
+    mean the LSH blocking failed and the join degenerates to
+    delta x corpus."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+
+    df = all_queries.QUERIES["incremental_near_dedup"](spark, sf_dir)
+    plan = _plan(df)
+    release_cached(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_hash" in plan and "band_id" in plan
+
+
 def test_fuzzy_match_blocks_via_hash_join(spark, sf_dir):
     """The COMPOSITE blocking key (first char, length band) must become
     the hash-join key with levenshtein as a residual — a nested-loop
