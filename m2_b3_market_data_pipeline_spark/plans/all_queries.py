@@ -26,6 +26,7 @@ from . import (  # noqa: F401
     expansion_wave6,
     expansion_wave8,
     events_analytics,
+    formats_queries,
     market_indicators,
     reference_queries,
     sql_surface,

@@ -1,0 +1,86 @@
+"""Text-format edge: declared-schema scans, dead-letter accounting, and
+typed round trips (the oracle-visible halves live in
+plans/formats_queries.py; these cover the corrupt-record machinery the
+hash oracle structurally cannot see).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+from m2_b3_market_data_pipeline_spark.sources.formats import (
+    CORRUPT_COL,
+    malformed_stats,
+    read_csv,
+    read_jsonl,
+    write_jsonl,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def test_csv_corrupt_rows_quarantined_not_dropped(spark, tmp_path):
+    """PERMISSIVE + corrupt-record column: a malformed line lands in
+    _corrupt with null fields — never silently dropped (DROPMALFORMED)
+    and never fatal (FAILFAST)."""
+    p = tmp_path / "feed.csv"
+    p.write_text("k,v\n1,alpha\nnot-a-long,beta\n3,gamma\n")
+    df = read_csv(spark, str(p), SCHEMA, keep_corrupt=True)
+    rows = {r.k: (r.v, r[CORRUPT_COL]) for r in df.collect()}
+    assert rows[1] == ("alpha", None)
+    assert rows[3] == ("gamma", None)
+    assert None in rows and rows[None][1] is not None  # quarantined line
+    sdf = malformed_stats(df)
+    stats = sdf.collect()[0]
+    release_cached(sdf)
+    assert (stats.n_rows, stats.n_malformed) == (3, 1)
+    assert abs(stats.malformed_frac - 1 / 3) < 1e-6
+
+
+def test_jsonl_corrupt_rows_quarantined(spark, tmp_path):
+    p = tmp_path / "feed.jsonl"
+    p.write_text('{"k": 1, "v": "a"}\nnot json at all\n{"k": 2, "v": "b"}\n')
+    df = read_jsonl(spark, str(p), SCHEMA, keep_corrupt=True)
+    sdf = malformed_stats(df)
+    stats = sdf.collect()[0]
+    release_cached(sdf)
+    assert (stats.n_rows, stats.n_malformed) == (3, 1)
+    good = {r.k for r in df.filter(F.col(CORRUPT_COL).isNull()).collect()}
+    assert good == {1, 2}
+
+
+def test_jsonl_nested_struct_round_trips_typed(spark, tmp_path):
+    """Nested struct + timestamp survive the JSONL encoding at
+    microsecond precision (the default millisecond timestampFormat
+    silently truncates — pinned here)."""
+    nested = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField(
+                "payload",
+                T.StructType([T.StructField("x", T.DoubleType())]),
+            ),
+        ]
+    )
+    src = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00.123456", 2.5)], "k long, ts string, x double"
+    ).select(
+        "k",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.struct("x").alias("payload"),
+    )
+    path = str(tmp_path / "nested")
+    write_jsonl(src, path)
+    back = read_jsonl(spark, path, nested)
+    row = back.collect()[0]
+    assert row.ts.microsecond == 123456
+    assert row.payload.x == 2.5
+    assert back.schema == nested
