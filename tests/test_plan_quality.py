@@ -244,6 +244,44 @@ def test_phash_pairs_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
+    """At 100 TB a selective dimension filter should reach the fact scan
+    as a RUNTIME bloom semi-filter (might_contain) before the shuffle —
+    Spark injects it when the probe side is big and the join shuffles.
+    The size thresholds (10 GB probe-side default) are scaled to the
+    fixture here to pin the plan SHAPE; production sizes cross the real
+    thresholds on their own. Broadcast joins are excluded by
+    construction (the broadcast already acts as the filter), so the
+    assertion forces the shuffle-join path."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 500000
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey, "inner")
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_incremental_dedup_joins_on_band_keys(spark, sf_dir):
     """Delta-vs-corpus near-dedup must candidate via the (band_id,
     band_hash) equi-join — a nested-loop or cartesian fallback would
