@@ -256,6 +256,24 @@ def minhash_incremental_pairs(
     c_signed = with_minhash(
         fan_out(corpus.select(id_col, text_col)), text_col=text_col, id_col=id_col
     ).persist()
+    out = _cross_pairs_from_signed(
+        d_signed, c_signed, id_col=id_col, threshold=threshold
+    )
+    out._cached_frames = [d_signed, c_signed]  # type: ignore[attr-defined]
+    return out
+
+
+def _cross_pairs_from_signed(
+    d_signed: DataFrame,
+    c_signed: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Band join + exact Jaccard verify between two SIGNATURE frames
+    (``with_minhash`` output: sh + mh0..mhK). Shared by the from-text
+    and stored-signature-table incremental paths and the streaming
+    sink; persist lifecycle belongs to the callers."""
     d_bands = band_signatures(d_signed, id_col=id_col).withColumnRenamed(
         id_col, "delta_id"
     )
@@ -271,14 +289,36 @@ def minhash_incremental_pairs(
     sets_c = c_signed.select(F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    out = (
+    return (
         cand.join(sets_d, "delta_id")
         .join(sets_c, "corpus_id")
         .withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("delta_id", "corpus_id", "jaccard")
     )
-    out._cached_frames = [d_signed, c_signed]  # type: ignore[attr-defined]
+
+
+def minhash_incremental_pairs_presigned(
+    delta: DataFrame,
+    corpus_signatures: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production form of ``minhash_incremental_pairs``: the corpus
+    side is a STORED signature table (``with_minhash`` output persisted
+    by a previous run — sh + mh0..mhK columns), so corpus text is never
+    rescanned and only the delta shingles fresh. Signature tables are
+    append-only: today's delta signatures become tomorrow's corpus rows.
+    Verified equal to the from-text path in tests."""
+    d_signed = with_minhash(
+        fan_out(delta.select(id_col, text_col)), text_col=text_col, id_col=id_col
+    ).persist()
+    out = _cross_pairs_from_signed(
+        d_signed, corpus_signatures, id_col=id_col, threshold=threshold
+    )
+    out._cached_frames = [d_signed]  # type: ignore[attr-defined]
     return out
 
 

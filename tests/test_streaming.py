@@ -424,6 +424,101 @@ def test_incremental_agg_rejects_foreign_checkpoint(spark, tmp_path):
     assert "refusing to merge" in str(q.exception())
 
 
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """Continuous-crawl curation: after draining two micro-batches, the
+    union of per-batch pair outputs equals the BATCH incremental join of
+    each batch against the corpus admitted before it, the signature
+    store holds every doc, and a checkpoint replay adds nothing."""
+    from pyspark.sql import types as T
+
+    from m2_b3_market_data_pipeline_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        release_cached,
+    )
+    from m2_b3_market_data_pipeline_spark.streaming.near_dedup_sink import (
+        read_pairs,
+        read_signatures,
+        run_incremental_dedup_stream,
+    )
+
+    updates = str(tmp_path / "docs_in")
+    state = str(tmp_path / "sig_store")
+    pairs_out = str(tmp_path / "pairs_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    b1 = [(1, base), (2, "completely different words about spark shuffles and catalyst")]
+    b2 = [
+        (11, base + " indeed"),            # near-dup of corpus doc 1
+        (12, "novel incoming text about tokenizers embeddings and curation"),
+    ]
+
+    def run():
+        run_incremental_dedup_stream(
+            spark,
+            updates_path=updates,
+            state_path=state,
+            pairs_path=pairs_out,
+            checkpoint_path=ckpt,
+            schema=schema,
+            threshold=0.5,
+        ).awaitTermination(120)
+
+    spark.createDataFrame(b1, schema).write.parquet(f"{updates}/b1")
+    run()
+    spark.createDataFrame(b2, schema).write.parquet(f"{updates}/b2")
+    run()
+    run()  # no new files: replay-safe, nothing double-written
+
+    got = {
+        (r.delta_id, r.corpus_id, r.jaccard)
+        for r in read_pairs(spark, pairs_out).collect()
+    }
+    oracle = minhash_incremental_pairs(
+        spark.createDataFrame(b2, schema), spark.createDataFrame(b1, schema)
+    )
+    want = {(r.delta_id, r.corpus_id, r.jaccard) for r in oracle.collect()}
+    release_cached(oracle)
+    assert got == want and (11, 1, 1.0) not in got  # jaccard < 1 but >= 0.5
+    assert any(d == 11 and c == 1 for d, c, _ in got)
+    assert not any(d == 12 for d, c, _ in got)
+    sigs = read_signatures(spark, state)
+    assert {r.doc_id for r in sigs.select("doc_id").collect()} == {1, 2, 11, 12}
+    assert "sh" in sigs.columns and "mh0" in sigs.columns
+
+
+def test_presigned_incremental_equals_from_text(spark):
+    """The stored-signature-table path must produce exactly the pairs
+    the from-text path does — the 100 TB claim (corpus text never
+    rescanned) changes the data flow, not the result."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import (
+        fan_out,
+        minhash_incremental_pairs,
+        minhash_incremental_pairs_presigned,
+        release_cached,
+        with_minhash,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "unrelated corpus words about catalyst and tungsten")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(11, base + " again"), (12, "novel text entirely")], "doc_id long, text string"
+    )
+    a = minhash_incremental_pairs(delta, corpus)
+    got_text = {(r.delta_id, r.corpus_id, r.jaccard) for r in a.collect()}
+    release_cached(a)
+    corpus_sigs = with_minhash(fan_out(corpus))
+    b = minhash_incremental_pairs_presigned(delta, corpus_sigs)
+    got_presigned = {(r.delta_id, r.corpus_id, r.jaccard) for r in b.collect()}
+    release_cached(b)
+    assert got_text == got_presigned and len(got_text) > 0
+
+
 def test_bounded_dedup_drops_replays_within_horizon(spark, tmp_path):
     """dropDuplicatesWithinWatermark: a replay inside the lateness
     window is suppressed, and state is evicted past the watermark (the
