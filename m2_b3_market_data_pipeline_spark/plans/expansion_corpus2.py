@@ -63,6 +63,58 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cluster_size_histogram",
+    oracle=f"""
+WITH RECURSIVE {minhash_pairs_sql()},
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM mh_pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM mh_pairs
+),
+reach(node, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (
+    SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+),
+sizes AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM clusters GROUP BY cluster_id
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
+       CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+FROM sizes GROUP BY cluster_size
+""",
+)
+def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup report every curation run reads: distribution of
+    near-dup cluster sizes, with docs-per-bucket and how many docs a
+    keep-one-per-cluster policy would remove. Two tiny aggregates over
+    the cluster table — the only wide work is the clustering itself
+    (shared shape with ``dedup_clusters``); the histogram has at most
+    max-cluster-size rows, so it collects safely at any corpus scale."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_dedup_pairs(docs, threshold=JACCARD_THRESHOLD)
+    clusters = connected_components(pairs, docs.select("doc_id"), node_col="doc_id")
+    release_cached(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        (F.count("*") * F.col("cluster_size")).cast("bigint").alias("n_docs"),
+        (F.count("*") * (F.col("cluster_size") - 1))
+        .cast("bigint")
+        .alias("n_removable"),
+    )
+
+
+@register(
     "doc_chunks",
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TK} AS tk FROM documents),
