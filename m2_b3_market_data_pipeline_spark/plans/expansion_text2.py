@@ -14,6 +14,41 @@ _TK = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '
 
 
 @register(
+    "text_canonicalize",
+    oracle="""
+SELECT doc_id,
+       lower(trim(regexp_replace(regexp_replace(text, '[[:punct:]]', ' ', 'g'),
+                                 '\\s+', ' ', 'g'))) AS canon_text,
+       md5(lower(trim(regexp_replace(regexp_replace(text, '[[:punct:]]', ' ', 'g'),
+                                     '\\s+', ' ', 'g')))) AS canon_key
+FROM documents
+""",
+)
+def text_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text form for exact-dup keying — the standard step
+    BEFORE hashing/dedup so trivially-reformatted copies (casing,
+    punctuation, whitespace) collapse to one key: strip ASCII
+    punctuation, squeeze whitespace, trim, lowercase, plus the md5
+    canon_key a dedup keyed on canonical content would group by. Pure
+    codegen projection (regexp_replace chains JVM-side), zero shuffles
+    — scan-bound at any corpus size. Java's \\p{Punct} and RE2's
+    [[:punct:]] name the same ASCII set, so the engines agree
+    byte-for-byte; DuckDB needs the 'g' flag to match Spark's
+    replace-all default."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    canon = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), r"\p{Punct}", " "), r"\s+", " "
+            )
+        )
+    )
+    return docs.select(
+        "doc_id", canon.alias("canon_text"), F.md5(canon).alias("canon_key")
+    )
+
+
+@register(
     "tfidf_top_terms",
     oracle=f"""
 WITH tk AS (SELECT doc_id, unnest({_TK}) AS token FROM documents),

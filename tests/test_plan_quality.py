@@ -244,6 +244,17 @@ def test_phash_pairs_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_text_canonicalize_is_shuffle_free(spark, sf_dir):
+    """Canonicalization is a pure codegen projection — any Exchange in
+    this plan means the regex chain fell out of whole-stage codegen or
+    something introduced a partitioning requirement."""
+    plan = _plan(all_queries.QUERIES["text_canonicalize"](spark, sf_dir))
+    assert "Exchange" not in plan
+    # formatted explain stars codegen stages: "* Project" = the
+    # projection runs inside WholeStageCodegen
+    assert "* Project" in plan
+
+
 def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
     """At 100 TB a selective dimension filter should reach the fact scan
     as a RUNTIME bloom semi-filter (might_contain) before the shuffle —
