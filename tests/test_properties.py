@@ -131,3 +131,33 @@ def test_zorder_n_is_a_bijection_property(spark, triples):
             sum(((r.m >> (3 * i + j)) & 1) << i for i in range(12)) for j in range(3)
         ]
         assert back == [r.x, r.y, r.z]
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_text_canonicalize_idempotent_property(spark, texts):
+    """canon(canon(x)) == canon(x): the canonical form is a fixed point,
+    so re-running the cleaning stage (pipeline retries, multi-pass
+    curation) never changes keys — and equal canon_text always means
+    equal canon_key."""
+    from pyspark.sql import functions as F
+
+    canon = lambda c: F.lower(  # noqa: E731 - mirror of text_canonicalize
+        F.trim(F.regexp_replace(F.regexp_replace(c, r"\p{Punct}", " "), r"\s+", " "))
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = df.select(
+        canon(F.col("text")).alias("once"),
+    ).withColumn("twice", canon(F.col("once")))
+    assert out.filter(F.col("once") != F.col("twice")).count() == 0
