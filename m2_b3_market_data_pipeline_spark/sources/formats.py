@@ -50,17 +50,25 @@ def read_csv(
     header: bool = True,
     sep: str = ",",
     keep_corrupt: bool = False,
+    multiline: bool = False,
 ) -> DataFrame:
     """Schema-declared CSV scan. With ``keep_corrupt`` the frame carries
     ``_corrupt`` (non-null iff the row failed to parse) for dead-letter
     accounting; otherwise malformed rows surface as all-null fields the
-    caller's quality gates catch."""
+    caller's quality gates catch.
+
+    ``multiline`` is required to parse QUOTED EMBEDDED NEWLINES — and it
+    makes each file single-task (records can cross split boundaries, so
+    Spark stops splitting). The scale-safe policy for newline-bearing
+    text is JSONL, not multiline CSV; the flag exists for vendor feeds
+    you don't control, landed as many small files."""
     reader = (
         spark.read.schema(_with_corrupt_field(schema) if keep_corrupt else schema)
         .option("header", str(header).lower())
         .option("sep", sep)
         .option("mode", "PERMISSIVE")
         .option("timestampFormat", TIMESTAMP_FORMAT)
+        .option("multiLine", str(multiline).lower())
     )
     if keep_corrupt:
         reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)

@@ -84,3 +84,34 @@ def test_jsonl_nested_struct_round_trips_typed(spark, tmp_path):
     assert row.ts.microsecond == 123456
     assert row.payload.x == 2.5
     assert back.schema == nested
+
+
+def test_csv_quoting_survives_adversarial_strings(spark, tmp_path):
+    """Embedded separators, quotes, newlines, and unicode must survive
+    write_csv -> read_csv intact — CSV quoting is the classic silent
+    corruption source at text edges."""
+    from m2_b3_market_data_pipeline_spark.sources.formats import write_csv
+
+    rows = [
+        (1, 'comma, inside'),
+        (2, 'quote " inside'),
+        (3, 'newline\ninside'),
+        (4, 'both ", and\n"'),
+        (5, 'unicode café 北京'),
+        (6, ''),
+        (7, None),
+    ]
+    src = spark.createDataFrame(rows, "k long, v string")
+    path = str(tmp_path / "quoted")
+    write_csv(src, path)
+    # multiline=True: quoted embedded newlines span physical lines, so
+    # the reader must not split on them (cost: single-task files — the
+    # documented trade-off; JSONL is the policy for newline-bearing text)
+    back = read_csv(spark, path, SCHEMA, multiline=True)
+    got = {r.k: r.v for r in back.collect()}
+    want = dict(rows)
+    # CSV has no NULL-vs-empty-string distinction for unquoted empties:
+    # both legitimately come back as NULL under Spark defaults.
+    assert got[6] in ("", None) and got[7] is None
+    del got[6], want[6], got[7], want[7]
+    assert got == want
