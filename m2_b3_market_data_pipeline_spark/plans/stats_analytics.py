@@ -97,6 +97,56 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "balanced_sample",
+    oracle="""
+WITH ranked AS (
+    SELECT doc_id, source, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY source, lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id
+           ) AS rn
+    FROM documents
+),
+min_n AS (
+    SELECT MIN(cnt) AS m FROM (
+        SELECT COUNT(*) AS cnt FROM documents GROUP BY source, lang
+    )
+)
+SELECT doc_id, source, lang
+FROM ranked CROSS JOIN min_n
+WHERE rn <= m
+""",
+)
+def balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: downsample every (source, lang) stratum to
+    the SMALLEST stratum's size, deterministically — rows win by keyed
+    md5 hash order, so the selection is reproducible across engines,
+    partitionings, and retries (rand()-based sampleBy is none of
+    those). The complement of upweighting: when a corpus is dominated
+    by one source, the balanced subset is what ablations and eval sets
+    are drawn from. One window shuffle on the stratum key ranks the
+    corpus; the per-stratum quota comes from the TINY counts table via
+    broadcast cross join — no driver-side collect of anything but the
+    plan."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    from pyspark.sql import Window
+
+    order_key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat")))
+    w = Window.partitionBy("source", "lang").orderBy(order_key, F.col("doc_id"))
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    min_n = (
+        docs.groupBy("source", "lang")
+        .count()
+        .agg(F.min("count").alias("m"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(min_n))
+        .filter(F.col("rn") <= F.col("m"))
+        .select("doc_id", "source", "lang")
+    )
+
+
+@register(
     "quantile_binning",
     oracle="""
 WITH b AS (
