@@ -119,6 +119,39 @@ def seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_median",
+    oracle=OHLCV_SQL
+    + """
+SELECT ativo, "date", close_price,
+       CASE WHEN COUNT(close_price) OVER win >= 7
+            THEN ROUND(median(close_price) OVER win, 6) END AS med_7d
+FROM ohlcv
+WINDOW win AS (PARTITION BY ativo ORDER BY "date"
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust trailing smoother: EXACT 7-bar rolling median with
+    the same min-periods NULL guard as ``mm_7d`` — the median shrugs off
+    a single bad tick that would drag a mean. percentile(0.5) runs as a
+    window AGGREGATE over the sorted frame (O(frame) state per row,
+    same single shuffle as every per-asset window); with the count
+    guard every emitted frame holds exactly 7 values, so the median is
+    the 4th order statistic on both engines — no interpolation
+    tie-break to diverge on."""
+    bars = rename_columns(derive_ohlcv(load_events(spark, sf_dir)))
+    win = Window.partitionBy("ativo").orderBy("date").rowsBetween(-6, 0)
+    med = F.expr("percentile(close_price, 0.5)").over(win)
+    guard = F.count("close_price").over(win) >= 7
+    return bars.select(
+        "ativo",
+        "date",
+        "close_price",
+        F.when(guard, F.round(med, 6)).alias("med_7d"),
+    )
+
+
+@register(
     "markov_transitions",
     oracle="""
 WITH s AS (
