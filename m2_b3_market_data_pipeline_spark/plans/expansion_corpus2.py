@@ -115,6 +115,59 @@ def cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_rate_by_source",
+    oracle=f"""
+WITH RECURSIVE {minhash_pairs_sql()},
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM mh_pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM mh_pairs
+),
+reach(node, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (
+    SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE c.doc_id <> c.cluster_id) AS BIGINT)
+           AS n_near_dups,
+       ROUND(AVG(CASE WHEN c.doc_id <> c.cluster_id THEN 1.0 ELSE 0.0 END), 6)
+           AS dup_rate
+FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+GROUP BY d.source
+""",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-level dedup accounting: per SOURCE, how many documents
+    are non-canonical members of a near-dup cluster (doc_id !=
+    cluster_id under the min-id convention) and the resulting dup rate —
+    the table that tells a curation run WHICH feed is flooding the
+    corpus with near-copies. Cluster table joined back to the doc
+    metadata on doc_id (one co-partitioned shuffle), then a tiny
+    per-source aggregate."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    pairs = minhash_dedup_pairs(docs.select("doc_id", "text"), threshold=JACCARD_THRESHOLD)
+    clusters = connected_components(pairs, docs.select("doc_id"), node_col="doc_id")
+    release_cached(pairs)
+    is_dup = (F.col("doc_id") != F.col("cluster_id")).cast("double")
+    return (
+        docs.select("doc_id", "source")
+        .join(clusters, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(is_dup).cast("bigint").alias("n_near_dups"),
+            F.round(F.avg(is_dup), 6).alias("dup_rate"),
+        )
+    )
+
+
+@register(
     "doc_chunks",
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TK} AS tk FROM documents),
