@@ -93,6 +93,9 @@ HEADLINE = [
     "corpus_mixture",
     # round-5 incremental-curation wave
     "incremental_near_dedup",
+    "text_canonicalize",
+    "balanced_sample",
+    "rolling_median",
 ]
 
 
