@@ -144,6 +144,8 @@ def main() -> None:
                 parsed = json.load(fh).get("parsed", {})
         except (OSError, ValueError):
             continue
+        if not isinstance(parsed, dict):  # driver writes "parsed": null on a bad line
+            continue
         if parsed.get("sf") != sf:  # prior round at a different scale
             continue
         for q, t in parsed.get("queries", {}).items():
@@ -152,20 +154,27 @@ def main() -> None:
     flagged = sorted(
         q for q, t in timings.items() if t > 2 * best_known[q] and t - best_known[q] > 0.5
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "best_known": {q: round(t, 3) for q, t in best_known.items()},
-                "best_known_total": round(sum(best_known.values()), 3),
-                "over_2x_best_known": flagged,
-            }
+    # The printed line must stay small: round 5's line (with a per-query
+    # best_known dict inlined) outgrew the driver's tail capture and the
+    # whole round's bench evidence was lost ("parsed": null). Keep the
+    # driver-contract fields + two scalars; full detail goes to a file.
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "best_known_total": round(sum(best_known.values()), 3),
+        "over_2x_best_known": flagged,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(
+            {**summary, "best_known": {q: round(t, 3) for q, t in best_known.items()}},
+            fh,
+            indent=2,
         )
-    )
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

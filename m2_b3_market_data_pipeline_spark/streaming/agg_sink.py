@@ -94,17 +94,36 @@ def read_aggregates(spark: SparkSession, state_path: str) -> DataFrame:
 
 def _read_marker(path: str) -> tuple[int, str | None]:
     """(applied batch id, checkpoint id) from a snapshot dir; (-1, None)
-    if absent. Legacy plain-int markers parse with no checkpoint id."""
+    if absent OR unparseable. A torn/partial marker must read as
+    'staging incomplete', never raise: the marker certifies completeness,
+    so garbage content means the write did not finish — raising here
+    would make the recovery path itself unrecoverable."""
     marker = os.path.join(path, _APPLIED_MARKER)
     if not os.path.exists(marker):
         return -1, None
-    with open(marker) as fh:
-        raw = fh.read().strip()
     try:
+        with open(marker) as fh:
+            raw = fh.read().strip()
         payload = json.loads(raw)
         return int(payload["batch_id"]), payload.get("checkpoint_id")
-    except (TypeError, KeyError, ValueError):
-        return int(raw), None
+    except (OSError, TypeError, KeyError, ValueError):
+        try:
+            return int(raw), None  # legacy plain-int marker
+        except (NameError, ValueError):
+            return -1, None
+
+
+def _write_marker(path: str, *, batch_id: int, checkpoint_id: str | None) -> None:
+    """Atomically publish the completeness marker: write to a temp name,
+    fsync, then rename into place. A crash mid-write leaves no marker
+    (staging reads incomplete and is discarded) — never a torn one."""
+    marker = os.path.join(path, _APPLIED_MARKER)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps({"batch_id": batch_id, "checkpoint_id": checkpoint_id}))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.rename(tmp, marker)
 
 
 def _checkpoint_identity(checkpoint_path: str) -> str | None:
@@ -192,8 +211,7 @@ def run_incremental_agg_stream(
         staging = f"{state_path}.staging-{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
         # Marker last: its presence certifies the staging dir complete.
-        with open(os.path.join(staging, _APPLIED_MARKER), "w") as fh:
-            fh.write(json.dumps({"batch_id": batch_id, "checkpoint_id": ckpt_id}))
+        _write_marker(staging, batch_id=batch_id, checkpoint_id=ckpt_id)
         # Swap: set the old state ASIDE (never delete-first — a crash
         # between delete and promote would lose the state dir, and the
         # replayed batch would silently rebuild from empty).

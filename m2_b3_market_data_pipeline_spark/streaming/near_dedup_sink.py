@@ -27,7 +27,6 @@ dedup; this sink owns cross-batch admission).
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
@@ -36,7 +35,12 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.dedup import _cross_pairs_from_signed, fan_out, with_minhash
-from .agg_sink import _APPLIED_MARKER, _checkpoint_identity, _read_marker, _recover_state
+from .agg_sink import (
+    _checkpoint_identity,
+    _read_marker,
+    _recover_state,
+    _write_marker,
+)
 
 PAIR_SCHEMA = "delta_id long, corpus_id long, jaccard double"
 
@@ -94,32 +98,38 @@ def run_incremental_dedup_stream(
             text_col=text_col,
             id_col=id_col,
         ).persist()
-        sig_cols = [id_col, "sh"] + [c for c in d_signed.columns if c.startswith("mh")]
-        has_corpus = os.path.exists(state_path)
-        if has_corpus:
-            corpus_sigs = read_signatures(spark, state_path)
-            pairs = _cross_pairs_from_signed(
-                d_signed, corpus_sigs, id_col=id_col, threshold=threshold
+        try:
+            sig_cols = [id_col, "sh"] + [
+                c for c in d_signed.columns if c.startswith("mh")
+            ]
+            has_corpus = os.path.exists(state_path)
+            if has_corpus:
+                corpus_sigs = read_signatures(spark, state_path)
+                pairs = _cross_pairs_from_signed(
+                    d_signed, corpus_sigs, id_col=id_col, threshold=threshold
+                )
+                merged = corpus_sigs.unionByName(d_signed.select(*sig_cols))
+            else:
+                pairs = spark.createDataFrame([], PAIR_SCHEMA)
+                merged = d_signed.select(*sig_cols)
+            # Pairs first (per-batch dir, overwrite => replay-idempotent),
+            # then the signature swap whose marker commits the batch.
+            pairs.write.mode("overwrite").parquet(
+                os.path.join(pairs_path, f"batch={batch_id}")
             )
-            merged = corpus_sigs.unionByName(d_signed.select(*sig_cols))
-        else:
-            pairs = spark.createDataFrame([], PAIR_SCHEMA)
-            merged = d_signed.select(*sig_cols)
-        # Pairs first (per-batch dir, overwrite => replay-idempotent),
-        # then the signature swap whose marker commits the batch.
-        pairs.write.mode("overwrite").parquet(
-            os.path.join(pairs_path, f"batch={batch_id}")
-        )
-        staging = f"{state_path}.staging-{batch_id}"
-        merged.write.mode("overwrite").parquet(staging)
-        with open(os.path.join(staging, _APPLIED_MARKER), "w") as fh:
-            fh.write(json.dumps({"batch_id": batch_id, "checkpoint_id": ckpt_id}))
-        old = state_path + ".old"
-        if os.path.exists(state_path):
-            os.rename(state_path, old)
-        os.rename(staging, state_path)
-        shutil.rmtree(old, ignore_errors=True)
-        d_signed.unpersist()
+            staging = f"{state_path}.staging-{batch_id}"
+            merged.write.mode("overwrite").parquet(staging)
+            _write_marker(staging, batch_id=batch_id, checkpoint_id=ckpt_id)
+            old = state_path + ".old"
+            if os.path.exists(state_path):
+                os.rename(state_path, old)
+            os.rename(staging, state_path)
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            # Unconditional: a mid-batch failure (write error, foreign
+            # checkpoint) must not leak the persisted frame for the life
+            # of the session — each retry would persist a fresh copy.
+            d_signed.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(apply_batch)

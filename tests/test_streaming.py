@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
 from m2_b3_market_data_pipeline_spark.plans.ohlcv import derive_ohlcv, load_events
@@ -375,6 +376,100 @@ def test_incremental_agg_state_swap_crash_recovery(spark, tmp_path):
     # The recovered state still serves reads.
     got = {r.k: r.sum_value for r in read_aggregates(spark, state).collect()}
     assert got == {"a": 10, "b": 5}
+
+
+def test_marker_torn_write_reads_incomplete(tmp_path):
+    """A torn/partial marker (crash mid-write) must read as 'staging
+    incomplete' — (-1, None) — never raise: if _read_marker raises, the
+    recovery path itself becomes unrecoverable without manual cleanup."""
+    from m2_b3_market_data_pipeline_spark.streaming.agg_sink import (
+        _APPLIED_MARKER,
+        _read_marker,
+        _write_marker,
+    )
+
+    snap = tmp_path / "snap"
+    snap.mkdir()
+    # Torn JSON: a prefix of the real payload.
+    (snap / _APPLIED_MARKER).write_text('{"batch_id": 7, "checkpoi')
+    assert _read_marker(str(snap)) == (-1, None)
+    # Garbage bytes.
+    (snap / _APPLIED_MARKER).write_text("\x00\x01junk")
+    assert _read_marker(str(snap)) == (-1, None)
+    # Legacy plain-int marker still parses.
+    (snap / _APPLIED_MARKER).write_text("3")
+    assert _read_marker(str(snap)) == (3, None)
+    # Atomic writer round-trips and leaves no temp file behind.
+    _write_marker(str(snap), batch_id=9, checkpoint_id="ckpt-x")
+    assert _read_marker(str(snap)) == (9, "ckpt-x")
+    assert not (snap / (_APPLIED_MARKER + ".tmp")).exists()
+
+
+@pytest.mark.parametrize(
+    "crash_after",
+    ["staging_written", "marker_written", "state_set_aside", "staging_promoted"],
+)
+def test_recover_state_converges_at_every_crash_window(tmp_path, crash_after):
+    """Simulate a crash after EACH step of the swap protocol (stage ->
+    marker -> set-aside -> promote) and assert _recover_state always
+    converges to a serviceable state dir: either the committed batch-1
+    snapshot (marker written => promotable) or the intact batch-0 state
+    (marker absent => staging discarded, old state restored/kept)."""
+    import json
+    import os
+
+    from m2_b3_market_data_pipeline_spark.streaming.agg_sink import (
+        _APPLIED_MARKER,
+        _read_marker,
+        _recover_state,
+    )
+
+    state = str(tmp_path / "state")
+    staging = f"{state}.staging-1"
+
+    def snapshot(path: str, batch_id: int | None, payload: str | None = None) -> None:
+        os.makedirs(path)
+        with open(os.path.join(path, "part-0.txt"), "w") as fh:
+            fh.write(f"data-{batch_id}")
+        if payload is not None:
+            with open(os.path.join(path, _APPLIED_MARKER), "w") as fh:
+                fh.write(payload)
+
+    committed = json.dumps({"batch_id": 0, "checkpoint_id": "c"})
+    next_marker = json.dumps({"batch_id": 1, "checkpoint_id": "c"})
+
+    if crash_after == "staging_written":
+        snapshot(state, 0, committed)
+        snapshot(staging, 1, payload=None)  # no marker yet => incomplete
+        expect = 0
+    elif crash_after == "marker_written":
+        snapshot(state, 0, committed)
+        snapshot(staging, 1, next_marker)
+        # State still present: recovery keeps it; the checkpoint replays
+        # batch 1 (applied=0 < 1) and re-merges — no data loss.
+        expect = 0
+    elif crash_after == "state_set_aside":
+        snapshot(state + ".old", 0, committed)
+        snapshot(staging, 1, next_marker)  # state missing: promote staging
+        expect = 1
+    else:  # staging_promoted: only .old cleanup remains
+        snapshot(state, 1, next_marker)
+        snapshot(state + ".old", 0, committed)
+        expect = 1
+
+    _recover_state(state)
+    assert os.path.isdir(state)
+    assert _read_marker(state)[0] == expect
+    assert not os.path.exists(staging)
+    assert not os.path.exists(state + ".old")
+
+    # A torn-marker staging must never be promoted over the set-aside
+    # previous state, whatever the crash window was.
+    os.rename(state, state + ".old")
+    snapshot(staging, 2, '{"batch_id": 2, "chec')  # torn marker
+    _recover_state(state)
+    assert _read_marker(state)[0] == expect  # .old restored, torn staging dropped
+    assert not os.path.exists(staging)
 
 
 def test_incremental_agg_rejects_foreign_checkpoint(spark, tmp_path):
