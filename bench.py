@@ -96,6 +96,13 @@ HEADLINE = [
     "text_canonicalize",
     "balanced_sample",
     "rolling_median",
+    # round-6: literal partsupp TPC-H graphs + sketch accuracy checks
+    "q2_partsupp",
+    "q11_partsupp",
+    "q16_partsupp",
+    "q20_partsupp",
+    "approx_distinct_check",
+    "approx_quantile_check",
 ]
 
 

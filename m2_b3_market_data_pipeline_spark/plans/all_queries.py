@@ -28,6 +28,7 @@ from . import (  # noqa: F401
     events_analytics,
     formats_queries,
     market_indicators,
+    partsupp_tpch,  # noqa: F401 (registers via decorator)
     reference_queries,
     sql_surface,
     sql_surface2,
@@ -51,82 +52,86 @@ from .registry import ORACLES, QUERIES
 #   round (CDC/SCD2, data quality, corpus prep, embedding hygiene/PQ,
 #   events/stats analytics, remaining relational surface, streaming
 #   windows) — all 50 window slots PASS (CORRECTNESS_r04.json);
-# - round 5 (this order) front-loads the final 23 queries with no driver
-#   row in r01-r04, completing cumulative driver coverage at 147/147;
-#   the remaining slots re-prove the SURVEY §2 reference surface (last
-#   rows r03) and the dedup/text/similarity families (last rows r02/r03)
-#   so no operator's evidence goes stale beyond two rounds.
+# - round 5 front-loaded the final 23 queries with no driver row in
+#   r01-r04 (completing cumulative coverage) + a reference-surface and
+#   dedup/text/similarity re-proof — all 48 oracle slots PASS
+#   (CORRECTNESS_r05.json; the 2 non-green were no_oracle sketches);
+# - round 6 (this order): the 8 round-5 additions landed BEHIND the
+#   window and have no driver row yet — they go first, with the 6 new
+#   round-6 queries (literal partsupp TPC-H graphs + the sketch
+#   accuracy checks that replace the no_oracle rows). Then the stalest
+#   evidence: the 14 queries whose only green row is round 1, the
+#   rotation-due indicator, the streaming windows (last green r4), the
+#   PQ/k-means family (last green r3), the anchor, and the TPC-H
+#   relational core (last green r2/r3).
 #
 # Queries already green in a prior round rotate past slot 50 — their
 # evidence is on record in those CORRECTNESS files.
 CHECK_PRIORITY: list[str] = [
-    # --- The 23 queries with no driver row in any prior round. ---
-    # Market/time-series analytics (added round 4).
-    "twap_daily",
-    "seasonal_backtest",
-    "markov_transitions",
-    "partial_agg_merge",
-    "realized_volatility",
-    # Text / dedup additions (round 4).
-    "trigram_lm_score",
-    "containment_pairs",
-    "phash_near_dups",
-    "dedup_clusters_twophase",
-    "leakage_safe_split",
-    "corpus_mixture",
-    "top_bigram_frac",
-    # Layout / relational additions (round 4).
-    "zorder_keys",
-    "correlation_matrix",
-    "unpivot_metrics",
-    "fuzzy_name_match",
-    "json_parse_audit",
-    "snapshot_diff",
-    # Earlier additions that never reached the window.
-    "weighted_sample",
-    "percentile_binning",
-    "null_scalars",
-    # Approx sketches: rows-only checks by nature (sketch internals
-    # differ across engines); accuracy is bounded in pytest.
-    "approx_quantiles",
-    "approx_distinct_users",
-    # --- Anchor: flagship reference pipeline, in the window every round
-    # (its row also re-validates the events loader against whatever ts
-    # layout the current testdata carries). ---
+    # --- Round-5 additions with no driver row yet (registered behind
+    # the r5 window; verified locally, now due for driver evidence). ---
+    "rolling_median",
+    "incremental_near_dedup",
+    "cluster_size_histogram",
+    "dedup_rate_by_source",
+    "text_canonicalize",
+    "csv_roundtrip",
+    "jsonl_roundtrip",
+    "balanced_sample",
+    # --- New in round 6: literal TPC-H join graphs over the derived
+    # partsupp, and hash-checkable sketch accuracy bounds. ---
+    "q2_partsupp",
+    "q11_partsupp",
+    "q16_partsupp",
+    "q20_partsupp",
+    "approx_distinct_check",
+    "approx_quantile_check",
+    # --- Queries whose only green row is round 1 (stalest evidence). ---
+    "label_centroids",
+    "multimodal_frames",
+    "multimodal_meta",
+    "normalized_vectors",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "rollup_lineitem",
+    "semi_anti_join",
+    "tfidf_top_terms",
+    "token_count_bpe",
+    "top_customers",
+    "vocabulary_stats",
+    "window_rank",
+    # --- Rotation-due indicator (last green r3). ---
+    "indicator_vwap_drawdown",
+    # --- Streaming windows (last green r4). ---
+    "tumbling_window",
+    "session_window",
+    "stream_stream_join",
+    "streaming_dedup",
+    # --- Embedding hygiene / PQ family (last green r3). ---
+    "pq_codes",
+    "pq_ann_topk",
+    "kmeans_clusters",
+    "embed_quantize",
+    # --- Anchor: flagship reference pipeline, in the window every
+    # round (its row also re-validates the events loader against the
+    # current testdata's ts layout). ---
     "refined_pipeline",
-    # --- SURVEY §2 reference surface re-proof (last driver rows r03),
-    # plus the new write-path round-trip giving S10/S5 a driver row. ---
-    "refined_write_roundtrip",
-    "rolling_mean_7",
-    "asset_aggregates",
-    "enrich_join",
-    "coalesce_duplicates",
-    "union_all",
-    "filter_sort_limit",
-    "select_limit",
-    "date_functions",
-    "string_functions",
-    "json_extract",
-    # --- Dedup family re-proof (last rows r02/r03). ---
-    "dedup_exact",
-    "minhash_dedup",
-    "ngram_jaccard",
-    "simhash_signatures",
-    "simhash_near_dups",
-    # --- Text family re-proof. ---
-    "text_stats",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
-    # --- Similarity / ANN re-proof. ---
-    "cosine_topk",
-    "embedding_near_dups",
-    "ann_topk_lsh",
-    "ivf_ann_topk",
-    # --- Indicators re-proof (vwap_drawdown rotates out: its r02 row
-    # stands, and the write-roundtrip slot is higher-leverage). ---
-    "indicator_returns",
-    "indicator_rsi",
+    # --- TPC-H relational core re-proof (last green r2/r3), including
+    # the lineitem-re-expressed Q2/Q11/Q16/Q20 siblings of the new
+    # literal graphs. ---
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q21_sole_returned_supplier",
+    "q2_min_cost_supplier",
+    "q11_important_value",
+    "q16_supplier_count",
+    "q20_excess_suppliers",
+    "correlated_subquery",
 ]
 
 

@@ -380,6 +380,84 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_distinct_check",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy bound for the HLL sketch: per group,
+    the EXACT distinct count (hash-compared against DuckDB) plus
+    ``within_5pct`` = |HLL - exact| / exact <= 0.05, which the oracle
+    asserts is literally TRUE. Turns the rows-only ``approx_distinct_
+    users`` evidence into a hash-checked row: if the sketch ever drifts
+    past its bound, the boolean flips and the driver sees a mismatch."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("hll_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("hll_users") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "approx_quantile_check",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+       TRUE AS within_envelope
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy bound for the quantile sketch: per
+    group, the EXACT interpolated median (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, hash-compared) plus ``within_envelope`` =
+    sketch-p50 lies inside the exact [p45, p55] value envelope — far
+    looser than approx_percentile's default 1e-4 rank error, so only a
+    genuinely broken sketch flips it, while the driver finally records
+    a hash row for the sketch path (previously rows-only)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("exact_p50"),
+            F.expr("percentile(value, 0.45)").alias("lo"),
+            F.expr("percentile(value, 0.55)").alias("hi"),
+            F.approx_percentile("value", 0.5).alias("sketch_p50"),
+        )
+        .select(
+            "event_type",
+            "exact_p50",
+            (
+                (F.col("sketch_p50") >= F.col("lo"))
+                & (F.col("sketch_p50") <= F.col("hi"))
+            ).alias("within_envelope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "salted_skew_join",
     oracle="""
 WITH dim AS (
