@@ -27,7 +27,7 @@ operator is oracle-checkable against DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import (  # noqa: F401  (minhash_signature kept as the projection-form alternative)
@@ -373,39 +373,55 @@ def simhash_expr(weighted_tokens_grouped: DataFrame, *, id_col: str) -> DataFram
     32-bit halves: the low half votes on bits of md5 hex chars 1-8, the
     high half on chars 9-16. Bit j of the signature is 1 iff the signed
     vote ``sum(cnt * (2*bit_j - 1))`` is positive — computed in the
-    cheaper equivalent form ``2 * sum(cnt * bit_j) > sum(cnt)`` (one
-    multiply-sum per bit plus a single shared total, instead of a CASE
-    branch per bit; ~10% faster at sf0.1, bit-identical including ties,
-    which land on "not positive" either way). Two bigint halves keep
-    every shift/mask in non-negative territory in both Spark and DuckDB
-    (a single 64-bit value would put bit 63 in the sign bit)."""
-    h_lo = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
-    h_hi = F.conv(F.substring(F.md5(F.col("token")), 9, 8), 16, 10).cast("bigint")
-    g = weighted_tokens_grouped.withColumn("h_lo", h_lo).withColumn("h_hi", h_hi)
+    equivalent form ``2 * sum(cnt * bit_j) > sum(cnt)`` (bit-identical
+    including ties, which land on "not positive" either way). Two bigint
+    halves keep every shift/mask in non-negative territory in both Spark
+    and DuckDB (a single 64-bit value would put bit 63 in the sign bit).
 
-    aggs = [F.sum("cnt").alias("tot")]
-    for src, prefix in (("h_lo", "sl"), ("h_hi", "sh")):
-        aggs += [
-            F.sum(F.col("cnt") * F.shiftright(F.col(src), j).bitwiseAND(F.lit(1))).alias(
-                f"{prefix}{j}"
-            )
-            for j in range(SIMHASH_HALF)
-        ]
-    per_doc = g.groupBy(id_col).agg(*aggs)
-
-    def half(prefix: str) -> Column:
-        sig = None
-        for j in range(SIMHASH_HALF):
-            term = F.when(
-                F.col(f"{prefix}{j}") * 2 > F.col("tot"), F.lit(2**j).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-            sig = term if sig is None else sig + term
-        return sig
-
-    return per_doc.select(
-        F.col(id_col),
-        half("sl").alias("simhash_lo"),
-        half("sh").alias("simhash_hi"),
+    Shape: the 32 bit positions are EXPLODED into rows and summed per
+    (doc, pos), then folded per doc — NARROW plans all the way, so every
+    stage stays inside whole-stage codegen. The previous 65-aggregate
+    wide form tripped ``spark.sql.codegen.maxFields`` (codegen disabled,
+    interpreted aggregation) and ran ~2x slower at sf0.1 even with the
+    limit raised; the generated code for a 65-buffer HashAggregate blows
+    the JIT method budget either way. The 32x fan-out costs ~2.5 KB/doc
+    of extra shuffle but both groupBys partial-aggregate map-side, and a
+    codegen'd narrow plan beats an interpreted wide one at any scale."""
+    g = weighted_tokens_grouped.select(
+        id_col,
+        "cnt",
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h_lo"),
+        F.conv(F.substring(F.md5(F.col("token")), 9, 8), 16, 10)
+        .cast("bigint")
+        .alias("h_hi"),
+    )
+    votes = g.select(
+        id_col,
+        "cnt",
+        "h_lo",
+        "h_hi",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_HALF - 1))).alias("pos"),
+    ).select(
+        id_col,
+        "pos",
+        "cnt",
+        F.expr("cnt * (shiftright(h_lo, pos) & 1)").alias("lo_ones"),
+        F.expr("cnt * (shiftright(h_hi, pos) & 1)").alias("hi_ones"),
+    )
+    # sum(cnt) per (doc, pos) equals the per-doc total (every token row
+    # contributes to every pos), so the majority threshold rides along
+    # without a separate join.
+    per_pos = votes.groupBy(id_col, "pos").agg(
+        F.sum("lo_ones").alias("lo_ones"),
+        F.sum("hi_ones").alias("hi_ones"),
+        F.sum("cnt").alias("tot"),
+    )
+    bit = "CASE WHEN {src}*2 > tot THEN shiftleft(CAST(1 AS BIGINT), pos) ELSE CAST(0 AS BIGINT) END"
+    return per_pos.groupBy(id_col).agg(
+        F.sum(F.expr(bit.format(src="lo_ones"))).alias("simhash_lo"),
+        F.sum(F.expr(bit.format(src="hi_ones"))).alias("simhash_hi"),
     )
 
 
