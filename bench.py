@@ -103,6 +103,9 @@ HEADLINE = [
     "q20_partsupp",
     "approx_distinct_check",
     "approx_quantile_check",
+    "ann_recall_check",
+    "mixture_rebalance",
+    "boilerplate_frac",
 ]
 
 

@@ -20,6 +20,7 @@ from . import (  # noqa: F401
     expansion_corpus2,
     expansion_dedup,
     expansion_embeddings,
+    expansion_round6,
     expansion_similarity,
     expansion_text,
     expansion_text2,
@@ -86,6 +87,9 @@ CHECK_PRIORITY: list[str] = [
     "q20_partsupp",
     "approx_distinct_check",
     "approx_quantile_check",
+    "ann_recall_check",
+    "mixture_rebalance",
+    "boilerplate_frac",
     # --- Queries whose only green row is round 1 (stalest evidence). ---
     "label_centroids",
     "multimodal_frames",
@@ -117,9 +121,10 @@ CHECK_PRIORITY: list[str] = [
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---
     "refined_pipeline",
-    # --- TPC-H relational core re-proof (last green r2/r3), including
-    # the lineitem-re-expressed Q2/Q11/Q16/Q20 siblings of the new
-    # literal graphs. ---
+    # --- TPC-H relational core re-proof (last green r2/r3). The
+    # q11/q16/q20 lineitem re-expressions rotate out to make room for
+    # the round-6 additions above — their r2/r3 rows stand, and their
+    # literal partsupp siblings cover the same shapes in this window. ---
     "q4_order_priority",
     "q6_forecast_revenue",
     "q7_volume_shipping",
@@ -128,9 +133,6 @@ CHECK_PRIORITY: list[str] = [
     "q18_large_orders",
     "q21_sole_returned_supplier",
     "q2_min_cost_supplier",
-    "q11_important_value",
-    "q16_supplier_count",
-    "q20_excess_suppliers",
     "correlated_subquery",
 ]
 

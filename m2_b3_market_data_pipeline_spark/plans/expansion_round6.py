@@ -1,0 +1,247 @@
+"""Round-6 curation wave: approximate-quality evidence and mixture
+enforcement.
+
+- ``ann_recall_check``: per-query recall@k of the hyperplane-LSH ANN
+  path against the exact brute-force top-k. Both sides are
+  deterministic, so the TRUE recall values hash-check against DuckDB —
+  the driver record now covers not just what the approximate path
+  returns but how good it is.
+- ``mixture_rebalance``: token-budget enforcement — cap every source at
+  an equal share of a corpus-wide token budget by admitting docs in
+  keyed-md5 order until the source's running token total crosses its
+  waterline. The comparison stays in exact integer arithmetic
+  (cum * n_sources * 2 <= total), so no float-boundary doc can differ
+  between engines. The admission complement of ``corpus_mixture``
+  (which only reports shares) and ``balanced_sample`` (doc-count, not
+  token-count, balancing).
+- ``boilerplate_frac``: corpus-level boilerplate detection — 3-token
+  shingles appearing in >= BP_MIN_DF distinct docs are 'boilerplate';
+  each doc reports the fraction of its distinct shingles that are
+  boilerplate (the MassiveText/CCNet-style repeated-template signal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import shingles, token_count, tokens
+from ..operators.similarity import ann_topk, brute_force_topk
+from .expansion_similarity import (
+    EMBED_DIM,
+    LSH_BAND_BITS,
+    LSH_BITS,
+    QUERY_MOD,
+    TOP_K,
+    _ANN_BAND_MATCH,
+    _lsh_sig_sql,
+    _QCOS,
+)
+from .registry import load, register
+
+# Fraction of the corpus token total admitted by mixture_rebalance,
+# expressed as a ratio of integers so the waterline comparison is exact.
+BUDGET_NUM, BUDGET_DEN = 1, 2  # admit ~50% of total tokens
+BP_MIN_DF = 5  # shingle document-frequency threshold for 'boilerplate'
+
+_NTOK = (
+    "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''))"
+)
+
+
+@register(
+    "ann_recall_check",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (SELECT vec_id, v, {_lsh_sig_sql("v")} AS sig FROM c),
+q AS (SELECT * FROM sigs WHERE vec_id % {QUERY_MOD} = 0),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_QCOS} DESC, c.vec_id) AS rn
+        FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id
+    ) WHERE rn <= {TOP_K}),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_QCOS} DESC, c.vec_id) AS rn
+        FROM sigs c JOIN q ON ({_ANN_BAND_MATCH}) AND q.vec_id <> c.vec_id
+    ) WHERE rn <= {TOP_K})
+SELECT e.query_id,
+       ROUND(COUNT(a.neighbor_id) * 1.0 / {TOP_K}, 6) AS recall_at_k
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+)
+def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH ANN path vs the exact brute-force top-k, per
+    query — hash-checked TRUE recall, since both sides are
+    deterministic (the LCG hyperplanes embed in the oracle as
+    literals). The exact side broadcasts the query set so the corpus
+    never shuffles; the approximate side is the banded candidate join.
+    Recall evidence previously lived only in pytest; this puts it in
+    the driver's correctness record."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    exact = brute_force_topk(emb, queries, k=TOP_K).select("query_id", "neighbor_id")
+    approx = (
+        ann_topk(
+            emb, queries, dim=EMBED_DIM, k=TOP_K,
+            n_bits=LSH_BITS, band_bits=LSH_BAND_BITS,
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / TOP_K, 6).alias(
+                "recall_at_k"
+            )
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "mixture_rebalance",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, {_NTOK} AS n_tok FROM documents),
+tot AS (
+    SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tok,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src
+    FROM t),
+ranked AS (
+    SELECT doc_id, source, n_tok,
+           SUM(n_tok) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':mix'), doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum_tok
+    FROM t)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs_kept,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+FROM ranked CROSS JOIN tot
+WHERE cum_tok * n_src * {BUDGET_DEN} <= total_tok * {BUDGET_NUM}
+GROUP BY source
+ORDER BY source
+""",
+)
+def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture enforcement: every source gets an equal
+    share of a {BUDGET_NUM}/{BUDGET_DEN}-of-corpus token budget; docs
+    are admitted in keyed-md5 order until the source's running token
+    total crosses the waterline. Sources under their cap keep
+    everything; dominant sources are truncated deterministically
+    (reproducible across engines, partitionings, retries — unlike
+    rand()-based sampling). One window shuffle on source ranks the
+    corpus; the (total, n_sources) pair rides along as a broadcast
+    1-row aggregate; the admission test is exact integer arithmetic so
+    no float-boundary doc flips between engines."""
+    return mixture_rebalance_df(load(spark, sf_dir, "documents"))
+
+
+def mixture_rebalance_df(docs: DataFrame) -> DataFrame:
+    """DataFrame form of ``mixture_rebalance`` (docs needs doc_id,
+    source, text), so tests can run it on planted corpora."""
+    d = docs.select("doc_id", "source", token_count(F.col("text")).alias("n_tok"))
+    tot = d.agg(
+        F.sum("n_tok").alias("total_tok"),
+        F.countDistinct("source").alias("n_src"),
+    )
+    order_key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(order_key, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = d.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("cum_tok") * F.col("n_src") * BUDGET_DEN
+            <= F.col("total_tok") * BUDGET_NUM
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs_kept"),
+            F.sum("n_tok").alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+_TK = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+_SH3 = (
+    "list_distinct(list_transform(range(len(tk) - 2), "
+    "i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))"
+)
+
+
+@register(
+    "boilerplate_frac",
+    oracle=f"""
+WITH tk AS (SELECT doc_id, {_TK} AS tk FROM documents),
+sh AS (SELECT doc_id, {_SH3} AS shl FROM tk WHERE len(tk) >= 3),
+ex AS (SELECT doc_id, len(shl) AS n_shingles, unnest(shl) AS shingle FROM sh),
+bp AS (
+    SELECT shingle FROM ex GROUP BY shingle
+    HAVING COUNT(*) >= {BP_MIN_DF})
+SELECT e.doc_id,
+       CAST(MIN(e.n_shingles) AS BIGINT) AS n_shingles,
+       ROUND(COUNT(b.shingle) * 1.0 / MIN(e.n_shingles), 6) AS bp_frac
+FROM ex e
+LEFT JOIN bp b ON b.shingle = e.shingle
+GROUP BY e.doc_id
+ORDER BY e.doc_id
+""",
+)
+def boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate signal: 3-token shingles present in
+    >= {BP_MIN_DF} distinct docs are 'boilerplate' (shingles are
+    distinct per doc, so a plain count IS document frequency); each doc
+    reports the fraction of its distinct shingles that are boilerplate
+    — the repeated-template/navigation-chrome score quality filters
+    threshold on.
+
+    Scale shape: one explode + one shuffle builds the shingle
+    document-frequency table; the boilerplate subset (df >= threshold)
+    is corpus-chrome-sized — orders smaller than the shingle table — so
+    it BROADCASTS back onto the exploded shingles; the per-doc fold is
+    the second and final shuffle. No self-join of the corpus."""
+    return boilerplate_frac_df(load(spark, sf_dir, "documents"))
+
+
+def boilerplate_frac_df(docs: DataFrame, *, min_df: int = BP_MIN_DF) -> DataFrame:
+    """DataFrame form of ``boilerplate_frac`` (docs needs doc_id, text),
+    so tests can plant template phrases and assert they score."""
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles(tokens("text"), 3)).alias("shl")
+    ).filter(F.size("shl") >= 1)
+    ex = sh.select(
+        "doc_id",
+        F.size("shl").alias("n_shingles"),
+        F.explode("shl").alias("shingle"),
+    )
+    bp = (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("shingle", F.lit(1).alias("is_bp"))
+    )
+    return (
+        ex.join(F.broadcast(bp), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.min("n_shingles").alias("n_shingles"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_bp"), F.lit(0))) / F.min("n_shingles"), 6
+            ).alias("bp_frac"),
+        )
+        .orderBy("doc_id")
+    )

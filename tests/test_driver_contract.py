@@ -67,9 +67,9 @@ def test_first_fifty_registered_queries_are_the_priority_window():
 
     assert len(CHECK_PRIORITY) == 50
     assert list(QUERIES)[:50] == CHECK_PRIORITY
-    # Every priority slot is hash-checked EXCEPT the two approximate
-    # sketches, rows-only by nature (sketch internals differ across
-    # engines; accuracy is bounded in test_sql_surface5.py) — round 5
-    # rotates them in so even their weaker driver evidence is on record.
+    # Round 6: every priority slot is hash-checked. The two rows-only
+    # sketches got their r5 driver rows and are superseded in the window
+    # by approx_distinct_check / approx_quantile_check, whose error
+    # bounds ARE hash-checkable.
     rows_only = [n for n in CHECK_PRIORITY if n not in ORACLES]
-    assert rows_only == ["approx_quantiles", "approx_distinct_users"], rows_only
+    assert rows_only == [], rows_only

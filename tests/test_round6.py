@@ -1,0 +1,90 @@
+"""Round-6 curation wave: ANN recall evidence, token-budget mixture
+enforcement, corpus-frequency boilerplate detection, and the literal
+partsupp TPC-H graphs' derived relation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m2_b3_market_data_pipeline_spark.plans.expansion_round6 import (
+    BUDGET_DEN,
+    BUDGET_NUM,
+    ann_recall_check,
+    boilerplate_frac_df,
+    mixture_rebalance_df,
+)
+from m2_b3_market_data_pipeline_spark.plans.partsupp_tpch import derived_partsupp
+
+
+def test_ann_recall_values_are_sane(spark, sf_dir):
+    rows = ann_recall_check(spark, sf_dir).collect()
+    assert rows, "no query points"
+    for r in rows:
+        assert 0.0 <= r.recall_at_k <= 1.0
+    # The banded-LSH candidates include every same-top-band vector and
+    # the re-rank is exact, so recall on the fixtures should not be
+    # degenerate (cosine_topk vs ann_topk recall >= 0.5 is also pinned
+    # in test_dedup_similarity-style probes at larger sf).
+    avg = sum(r.recall_at_k for r in rows) / len(rows)
+    assert avg >= 0.2, avg
+
+
+def test_mixture_rebalance_waterline(spark):
+    # One dominant source (9 docs x 6 tokens) and one tiny source
+    # (2 docs x 3 tokens): total = 60 tokens, 2 sources, budget 1/2
+    # => per-source cap = 15 tokens. The tiny source fits entirely
+    # under its cap; the dominant one is truncated to <= 15 tokens.
+    docs = spark.createDataFrame(
+        [(i, "big", "a b c d e f") for i in range(9)]
+        + [(100 + i, "small", "x y z") for i in range(2)],
+        "doc_id long, source string, text string",
+    )
+    got = {r.source: r for r in mixture_rebalance_df(docs).collect()}
+    total = 9 * 6 + 2 * 3
+    cap = total * BUDGET_NUM / BUDGET_DEN / 2  # 2 sources
+    assert got["small"].docs_kept == 2 and got["small"].tokens_kept == 6
+    assert got["big"].tokens_kept <= cap
+    assert got["big"].tokens_kept == 12  # 2 whole docs fit under 15
+    # Determinism: same input, same admission set.
+    again = {r.source: r.tokens_kept for r in mixture_rebalance_df(docs).collect()}
+    assert again == {s: r.tokens_kept for s, r in got.items()}
+
+
+def test_boilerplate_frac_scores_planted_template(spark):
+    # 6 docs share the template phrase "all rights reserved here";
+    # each also has unique filler. min_df=5 marks the template's
+    # shingles boilerplate; the filler-only doc scores 0.
+    template = "all rights reserved here"
+    docs = spark.createDataFrame(
+        [(i, f"{template} unique{i} filler{i} words{i}") for i in range(6)]
+        + [(99, "completely original content nothing shared at all")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in boilerplate_frac_df(docs, min_df=5).collect()}
+    assert got[99].bp_frac == 0.0
+    for i in range(6):
+        # "all rights reserved" + "rights reserved here" are shared by
+        # all 6 docs; the filler shingles are unique.
+        assert got[i].bp_frac > 0.0, got[i]
+    assert got[0].n_shingles == 5  # 7 tokens -> 5 trigram shingles
+
+
+def test_derived_partsupp_shape(spark, sf_dir):
+    ps = derived_partsupp(spark, sf_dir)
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    suppliers = spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+    rows = ps.count()
+    assert rows == parts * 4  # TPC-H shape: 4 suppliers per part
+    # Every (part, supplier) pair is unique and every suppkey is valid.
+    assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == rows
+    bad = ps.filter(
+        (F.col("ps_suppkey") < 0) | (F.col("ps_suppkey") >= suppliers)
+    ).count()
+    assert bad == 0
+    # availqty/cost stay in their documented domains.
+    dom = ps.agg(
+        F.min("ps_availqty").alias("aq_lo"),
+        F.max("ps_availqty").alias("aq_hi"),
+        F.min("ps_cost_cents").alias("cc_lo"),
+    ).collect()[0]
+    assert dom.aq_lo >= 1 and dom.aq_hi <= 9999 and dom.cc_lo >= 100
