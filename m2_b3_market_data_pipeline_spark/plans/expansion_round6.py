@@ -148,11 +148,21 @@ def mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def mixture_rebalance_df(docs: DataFrame) -> DataFrame:
     """DataFrame form of ``mixture_rebalance`` (docs needs doc_id,
-    source, text), so tests can run it on planted corpora."""
+    source, text), so tests can run it on planted corpora.
+
+    Shuffle accounting: the corpus crosses the wire ONCE, for the
+    running-sum window on source. The (total, n_sources) pair comes
+    from a per-source SUM aggregate whose exchange moves only map-side
+    partials (n_partitions x n_sources rows — metadata-sized at any
+    scale; a countDistinct formulation would instead expand and shuffle
+    twice), folded to one broadcast row. The per-source fold after the
+    waterline filter reuses the window's partitioning — no third
+    exchange on source. Pinned in test_plan_quality.py."""
     d = docs.select("doc_id", "source", token_count(F.col("text")).alias("n_tok"))
-    tot = d.agg(
-        F.sum("n_tok").alias("total_tok"),
-        F.countDistinct("source").alias("n_src"),
+    src_tot = d.groupBy("source").agg(F.sum("n_tok").alias("src_tok"))
+    tot = src_tot.agg(
+        F.sum("src_tok").alias("total_tok"),
+        F.count("*").alias("n_src"),
     )
     order_key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":mix")))
     w = (

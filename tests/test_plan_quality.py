@@ -308,6 +308,68 @@ def test_incremental_dedup_joins_on_band_keys(spark, sf_dir):
     assert "band_hash" in plan and "band_id" in plan
 
 
+def test_simhash_aggregates_stay_in_codegen(spark, sf_dir):
+    """The round-6 regression pin: the old 65-wide per-doc vote
+    aggregate exceeded spark.sql.codegen.maxFields and the whole
+    aggregate ran interpreted (~3x slower). The narrow bit-explode
+    rewrite must keep EVERY HashAggregate inside a WholeStageCodegen
+    stage — formatted explain tags codegen'd nodes with
+    '[codegen id : N]' in their detail block."""
+    df = all_queries.QUERIES["simhash_signatures"](spark, sf_dir)
+    df.collect()  # AQE: codegen stages exist only in the FINAL plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    agg_lines = [l for l in plan.splitlines() if "HashAggregate(" in l]
+    assert len(agg_lines) >= 4, plan  # partial+final for both groupBys
+    not_codegen = [l for l in agg_lines if "*(" not in l]
+    assert not not_codegen, not_codegen
+
+
+def test_boilerplate_chrome_set_broadcasts(spark, sf_dir):
+    """The df>=threshold boilerplate set is chrome-sized: it must
+    broadcast back onto the exploded shingle stream, never shuffle the
+    corpus side for the membership join."""
+    plan = _plan(all_queries.QUERIES["boilerplate_frac"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_mixture_rebalance_corpus_shuffles_once(spark, sf_dir):
+    """The corpus crosses the wire once (the waterline window); the
+    totals path shuffles only map-side partials (partial_sum before its
+    exchange), the 1-row budget frame attaches without a
+    CartesianProduct, and the per-source fold after the filter reuses
+    the window's partitioning — so exactly two hashpartitioning(source)
+    exchanges and exactly one Window in the whole plan."""
+    plan = _plan(all_queries.QUERIES["mixture_rebalance"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    # node details list each Exchange's Arguments once
+    hash_exchanges = re.findall(r"Arguments: hashpartitioning\(source", plan)
+    assert len(hash_exchanges) == 2, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_partsupp_graphs_no_cartesian_and_bounded_broadcasts(spark, sf_dir):
+    """The derived-partsupp generator crossJoins only broadcast bounded
+    frames (4-row generator, 1-row supplier count); the literal TPC-H
+    graphs must never degrade to a CartesianProduct, and nation/region
+    stay broadcast."""
+    for name in ("q2_partsupp", "q11_partsupp", "q16_partsupp", "q20_partsupp"):
+        plan = _plan(all_queries.QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+    plan = _plan(all_queries.QUERIES["q2_partsupp"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ann_recall_check_no_cartesian(spark, sf_dir):
+    """Both sides of the recall join are top-k prunes; the only
+    nested-loop join allowed is the exact side's broadcast of the query
+    set (corpus never shuffles for it)."""
+    plan = _plan(all_queries.QUERIES["ann_recall_check"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_fuzzy_match_blocks_via_hash_join(spark, sf_dir):
     """The COMPOSITE blocking key (first char, length band) must become
     the hash-join key with levenshtein as a residual — a nested-loop
