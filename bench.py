@@ -106,6 +106,7 @@ HEADLINE = [
     "ann_recall_check",
     "mixture_rebalance",
     "boilerplate_frac",
+    "orc_roundtrip",
 ]
 
 

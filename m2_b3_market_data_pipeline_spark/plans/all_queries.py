@@ -80,7 +80,9 @@ CHECK_PRIORITY: list[str] = [
     "jsonl_roundtrip",
     "balanced_sample",
     # --- New in round 6: literal TPC-H join graphs over the derived
-    # partsupp, and hash-checkable sketch accuracy bounds. ---
+    # partsupp, hash-checkable sketch accuracy bounds, ANN recall
+    # evidence, token-budget mixture enforcement, boilerplate scoring,
+    # and the ORC round trip. ---
     "q2_partsupp",
     "q11_partsupp",
     "q16_partsupp",
@@ -90,6 +92,7 @@ CHECK_PRIORITY: list[str] = [
     "ann_recall_check",
     "mixture_rebalance",
     "boilerplate_frac",
+    "orc_roundtrip",
     # --- Queries whose only green row is round 1 (stalest evidence). ---
     "label_centroids",
     "multimodal_frames",
@@ -133,7 +136,6 @@ CHECK_PRIORITY: list[str] = [
     "q18_large_orders",
     "q21_sole_returned_supplier",
     "q2_min_cost_supplier",
-    "correlated_subquery",
 ]
 
 

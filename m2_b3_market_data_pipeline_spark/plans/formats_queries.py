@@ -21,7 +21,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..sources.formats import read_csv, read_jsonl, write_csv, write_jsonl
+from ..sources.formats import (
+    read_csv,
+    read_jsonl,
+    read_orc,
+    write_csv,
+    write_jsonl,
+    write_orc,
+)
 from .registry import load, register
 
 CSV_SAMPLE_MOD = 97
@@ -135,3 +142,48 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("payload.event_type").alias("event_type"),
         F.col("payload.value").alias("value"),
     )
+
+
+ORC_SAMPLE_MOD = 103
+
+
+@register(
+    "orc_roundtrip",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       l_returnflag, l_shipdate
+FROM lineitem WHERE l_orderkey % {ORC_SAMPLE_MOD} = 0
+""",
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC storage-tier round trip: a key-sampled lineitem slice goes
+    out through ``write_orc`` and back through the schema-declared
+    ``read_orc``; the oracle reads the parquet directly, so the hash
+    match proves bigint/int/double/string/timestamp survive the ORC
+    encoding exactly (µs timestamps native, UTC session tz pinned on
+    both sides). Rounds out the §2.1 format surface for ORC-native
+    Hive/Presto/Athena estates — unlike the text edges, ORC is a real
+    storage tier (splittable, typed, predicate-pushdown-capable)."""
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    )
+    slice_ = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % ORC_SAMPLE_MOD == 0)
+        # The fixture may carry l_shipdate as TIMESTAMP_NTZ (parquet
+        # isAdjustedToUTC=false); pin the edge contract to LTZ instants
+        # (session tz is UTC) — ORC cannot serve an NTZ file to an LTZ
+        # declared schema, and the instant is identical either way.
+        .withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+        .select(*[f.name for f in schema.fields])
+    )
+    path = _target(sf_dir, "orc")
+    write_orc(slice_, path)
+    return read_orc(spark, path, schema)

@@ -128,6 +128,26 @@ def write_jsonl(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("timestampFormat", TIMESTAMP_FORMAT).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Schema-declared ORC scan. ORC is self-describing, but the schema
+    is still DECLARED (same policy as every reader here): the scan
+    projects exactly the declared columns, so a producer adding fields
+    can't silently widen downstream plans, and a missing field fails
+    loudly at analysis instead of appearing as nulls in production.
+    Unlike text formats there is no corrupt-record column — ORC is
+    binary+checksummed; torn files fail the read, they don't produce
+    garbage rows."""
+    return spark.read.schema(schema).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """ORC sink (interchange with Hive/Presto/Athena estates that are
+    ORC-native). Splittable, predicate-pushdown-capable, typed — a
+    storage-tier format, unlike the text edges above. Timestamps carry
+    microseconds natively; no format pinning needed."""
+    df.write.mode(mode).orc(path)
+
+
 def malformed_stats(df: DataFrame) -> DataFrame:
     """Dead-letter accounting over a ``keep_corrupt`` scan: total rows,
     malformed rows, malformed fraction — the gate an ingest job checks

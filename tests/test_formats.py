@@ -115,3 +115,34 @@ def test_csv_quoting_survives_adversarial_strings(spark, tmp_path):
     assert got[6] in ("", None) and got[7] is None
     del got[6], want[6], got[7], want[7]
     assert got == want
+
+
+def test_orc_round_trips_typed_with_projection_pruning(spark, tmp_path):
+    """ORC: µs timestamps and all primitive types survive exactly, and
+    the declared schema PROJECTS — a reader declaring fewer columns than
+    the file carries gets exactly those columns (producer additions
+    can't widen downstream plans)."""
+    import datetime as dt
+
+    from m2_b3_market_data_pipeline_spark.sources.formats import read_orc, write_orc
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("q", T.DoubleType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    micro = dt.datetime(2026, 3, 1, 12, 0, 0, 123456)
+    rows = [(1, 1.5, "a,b\nc", micro), (2, float("inf"), "", None)]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = {r.k: r for r in read_orc(spark, path, schema).collect()}
+    assert back[1].ts == micro  # microseconds intact
+    assert back[1].s == "a,b\nc" and back[2].s == ""
+    assert back[2].q == float("inf") and back[2].ts is None
+    # Projection: a narrower declared schema returns only those fields.
+    narrow = T.StructType([T.StructField("k", T.LongType())])
+    assert read_orc(spark, path, narrow).columns == ["k"]
