@@ -18,7 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 FEATURE_BINS = 16
@@ -197,22 +197,28 @@ def perceptual_hash(
         .withColumn("__seg", F.expr("cast((64 * __pos) div __len as int)"))
     )
     # Partial aggregation collapses the byte stream to <= 64 rows per doc
-    # before the shuffle; the per-doc pack then runs over tiny groups.
+    # before the shuffle; the per-doc totals ride a window over those
+    # tiny groups and the bit pack is a NARROW declarative aggregate —
+    # all stages stay in whole-stage codegen. (The previous form packed
+    # via collect_list + a higher-order aggregate(): the collect_list
+    # forces an un-codegen'd ObjectHashAggregate and the fold runs in
+    # the interpreted HOF evaluator; same round-6 lesson as
+    # dedup.simhash_expr — narrow codegen'd beats clever-wide.)
     per_seg = per_byte.groupBy(id_col, "__seg").agg(
         F.sum("__v").alias("__ssum"), F.count("*").alias("__slen")
     )
-    per_doc = per_seg.groupBy(id_col).agg(
-        F.sum("__ssum").alias("__tot"),
-        F.sum("__slen").alias("__n"),
-        F.collect_list(F.struct("__seg", "__ssum", "__slen")).alias("__segs"),
+    w = Window.partitionBy(id_col)
+    voted = (
+        per_seg.withColumn("__tot", F.sum("__ssum").over(w))
+        .withColumn("__n", F.sum("__slen").over(w))
+        .withColumn("__bit", F.expr("__ssum * __n > __tot * __slen"))
     )
-    half = (
-        "aggregate(filter(__segs, s -> s.__seg {cmp}), cast(0 as bigint), "
-        "(a, s) -> a + if(s.__ssum * __n > __tot * s.__slen, "
-        "shiftleft(cast(1 as bigint), cast(s.__seg {off} as int)), cast(0 as bigint)))"
+    bit = (
+        "CASE WHEN __bit AND __seg {cmp} "
+        "THEN shiftleft(CAST(1 AS BIGINT), __seg {off}) ELSE CAST(0 AS BIGINT) END"
     )
-    return per_doc.select(
-        F.col(id_col),
-        F.expr(half.format(cmp="< 32", off="")).alias("simhash_lo"),
-        F.expr(half.format(cmp=">= 32", off="- 32")).alias("simhash_hi"),
+    # groupBy(id) reuses the window's hashpartitioning — no third shuffle.
+    return voted.groupBy(id_col).agg(
+        F.sum(F.expr(bit.format(cmp="< 32", off=""))).alias("simhash_lo"),
+        F.sum(F.expr(bit.format(cmp=">= 32", off="- 32"))).alias("simhash_hi"),
     )

@@ -242,6 +242,10 @@ def test_phash_pairs_no_cartesian(spark, sf_dir):
     plan = _plan(all_queries.QUERIES["phash_near_dups"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # The signature pack is a narrow declarative aggregate — the old
+    # collect_list + higher-order fold planned an un-codegen'd
+    # ObjectHashAggregate (round-6 rewrite, same lesson as simhash).
+    assert "ObjectHashAggregate" not in plan, plan
 
 
 def test_text_canonicalize_is_shuffle_free(spark, sf_dir):
