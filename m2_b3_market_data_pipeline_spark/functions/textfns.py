@@ -54,16 +54,30 @@ def seeded_md5(value: Column, seed: int) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}|"), value))
 
 
+def seeded_hash60(value: Column, seed: int) -> Column:
+    """The NUMERIC seeded hash: the first 60 bits (15 hex chars) of the
+    seeded md5 as a non-negative BIGINT. Portable (DuckDB:
+    ``CAST(('0x' || substr(md5(..), 1, 15)) AS BIGINT)``) and ordered
+    identically to the lexicographic order of the hex prefix, so a
+    numeric min picks the same winner as a string min up to 60-bit ties.
+    Numeric min-hashes matter at scale: min(BIGINT) aggregates in a
+    codegen'd HashAggregate with an 8-byte mutable buffer, while
+    min(STRING) falls back to SortAggregate (UnsafeRow buffers can't
+    update var-length fields) — an O(n log n) per-partition sort of the
+    whole shingle stream — and signature rows shrink ~4x."""
+    return F.conv(F.substring(seeded_md5(value, seed), 1, 15), 16, 10).cast("bigint")
+
+
 def _seeded_hasher(seed: int):
     # NOTE: must stay a 1-arg lambda — F.transform treats a 2-arg lambda
     # (e.g. ``lambda s, i=i``) as an (element, index) function and passes
     # the ARRAY INDEX as the second argument, silently replacing the seed.
-    return lambda s: seeded_md5(s, seed)
+    return lambda s: seeded_hash60(s, seed)
 
 
 def minhash_signature(shingle_col: Column, num_hashes: int) -> list[Column]:
-    """k min-hashes of a shingle set: for each seed, the lexicographic min
-    of the seeded md5 over all shingles. Pure projection — computed
+    """k min-hashes of a shingle set: for each seed, the numeric min of
+    the seeded 60-bit hash over all shingles. Pure projection — computed
     per-row with zero shuffle; NULL when the shingle set is empty."""
     return [
         F.array_min(F.transform(shingle_col, _seeded_hasher(i))).alias(f"mh{i}")

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from ..functions.textfns import (  # noqa: F401  (minhash_signature kept as the projection-form alternative)
     minhash_signature,
     normalized_text,
+    seeded_hash60,
     seeded_md5,
     shingles,
     tokens,
@@ -98,12 +99,18 @@ def with_minhash(
     (minhash_signature) exists but duplicates the shingle computation per
     hash column under projection collapse; the explode+agg form does the
     shingling exactly once. Docs with empty shingle sets keep NULL
-    signatures via the left join."""
+    signatures via the left join.
+
+    Hashes are NUMERIC (seeded_hash60): min(BIGINT) stays in a codegen'd
+    HashAggregate — min over the previous md5 STRINGS planned a
+    SortAggregate (var-length buffers aren't hash-updatable), sorting
+    the whole shingle stream per partition — and the signature frame
+    (including the streaming sink's on-disk state) shrinks ~4x."""
     with_sh = with_shingles(df, text_col=text_col, n=n)
     exploded = with_sh.select(id_col, F.explode("sh").alias("shingle"))
     sig = exploded.groupBy(id_col).agg(
         *[
-            F.min(seeded_md5(F.col("shingle"), i)).alias(f"mh{i}")
+            F.min(seeded_hash60(F.col("shingle"), i)).alias(f"mh{i}")
             for i in range(num_hashes)
         ]
     )

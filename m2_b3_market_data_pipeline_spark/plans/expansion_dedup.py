@@ -54,8 +54,13 @@ def _minhash_sig_sql(source: str = "documents", suffix: str = "") -> str:
     pipelines can run the same dedup over a filtered survivor set).
     ``suffix`` renames the CTE chain so two signature pipelines (e.g.
     delta + corpus for the incremental join) coexist in one query."""
+    # Numeric 60-bit min-hashes — mirrors operators/dedup.py::
+    # with_minhash (seeded_hash60): first 15 hex chars of the seeded md5
+    # as BIGINT, numeric min.
     mh_exprs = ",\n       ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}" for i in range(NUM_HASHES)
+        f"list_min(list_transform(sh, s -> "
+        f"CAST(('0x' || substr(md5('{i}|' || s), 1, 15)) AS BIGINT))) AS mh{i}"
+        for i in range(NUM_HASHES)
     )
     return f"""
 tk{suffix} AS (SELECT doc_id, {_TK} AS tk FROM {source}),
@@ -68,7 +73,11 @@ def _band_sql(suffix: str = "") -> str:
     n_bands = NUM_HASHES // BAND_SIZE
     selects = []
     for b in range(n_bands):
-        cols = " || ".join(f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        # decimal string concatenation, matching Spark's concat_ws("")
+        # over BIGINT columns
+        cols = " || ".join(
+            f"CAST(mh{b * BAND_SIZE + j} AS VARCHAR)" for j in range(BAND_SIZE)
+        )
         selects.append(
             f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash"
             f" FROM sigs{suffix} WHERE mh0 IS NOT NULL"
