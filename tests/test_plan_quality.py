@@ -374,6 +374,41 @@ def test_ann_recall_check_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_surface_wide_aggregate_and_join_lint(spark, sf_dir):
+    """Whole-registry plan lint: no registered query may plan a
+    CartesianProduct anywhere, and none may fall out of codegen'd hash
+    aggregation (SortAggregate / ObjectHashAggregate) except the
+    documented-intrinsic set (SCALE.md §9c: percentile sketches are
+    TypedImperativeAggregates by design; struct-argmin/first-last
+    shapes carry struct buffers). Catches the whole class of
+    regressions fixed in round 6 (string-min minhash, collect_list
+    phash, 65-wide simhash) for every FUTURE query too."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+
+    INTRINSIC = {
+        # percentile / approx_percentile sketch buffers
+        "exact_percentiles", "approx_quantiles", "approx_quantile_check",
+        "percentile_binning", "mad_outliers",
+        # struct-argmin / first-last buffers
+        "pq_codes", "pq_ann_topk", "resample_ohlc", "streaming_dedup",
+        # collect_list over the BOUNDED k x dim centroid rebuild frame
+        "kmeans_clusters",
+    }
+    offenders = {}
+    for name, fn in all_queries.QUERIES.items():
+        df = fn(spark, sf_dir)
+        plan = _plan(df)
+        release_cached(df)
+        hits = [
+            k
+            for k in ("CartesianProduct", "SortAggregate", "ObjectHashAggregate")
+            if k in plan
+        ]
+        if "CartesianProduct" in hits or (hits and name not in INTRINSIC):
+            offenders[name] = hits
+    assert not offenders, offenders
+
+
 def test_fuzzy_match_blocks_via_hash_join(spark, sf_dir):
     """The COMPOSITE blocking key (first char, length band) must become
     the hash-join key with levenshtein as a residual — a nested-loop

@@ -161,3 +161,119 @@ def test_text_canonicalize_idempotent_property(spark, texts):
         canon(F.col("text")).alias("once"),
     ).withColumn("twice", canon(F.col("once")))
     assert out.filter(F.col("once") != F.col("twice")).count() == 0
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_simhash_expr_matches_python_reference_property(spark, docs):
+    """The round-6 bit-explode rewrite of simhash_expr against a direct
+    Python computation of the same algorithm: md5-derived 32-bit halves,
+    per-bit weighted majority vote (ties -> 0)."""
+    import hashlib
+
+    from m2_b3_market_data_pipeline_spark.operators.dedup import simhash_expr
+
+    rows = []
+    expected = {}
+    for doc_id, tokens_ in enumerate(docs):
+        counts: dict[str, int] = {}
+        for t in tokens_:
+            counts[t] = counts.get(t, 0) + 1
+        rows += [(doc_id, t, c) for t, c in counts.items()]
+        tot = sum(counts.values())
+        sig = {}
+        for name, off in (("lo", 0), ("hi", 8)):
+            val = 0
+            for j in range(32):
+                ones = 0
+                for t, c in counts.items():
+                    h = int(hashlib.md5(t.encode()).hexdigest()[off : off + 8], 16)
+                    ones += c * ((h >> j) & 1)
+                if ones * 2 > tot:
+                    val += 1 << j
+            sig[name] = val
+        expected[doc_id] = (sig["lo"], sig["hi"])
+
+    df = spark.createDataFrame(rows, "doc_id long, token string, cnt long")
+    got = {
+        r.doc_id: (r.simhash_lo, r.simhash_hi)
+        for r in simhash_expr(df, id_col="doc_id").collect()
+    }
+    assert got == expected
+
+
+@_slow
+@given(
+    corpus=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.integers(min_value=1, max_value=9),  # tokens per doc
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_mixture_waterline_invariants_property(spark, corpus):
+    """For any corpus: (a) no source's kept tokens exceed its integer
+    waterline cap; (b) a source wholly under its cap keeps every doc;
+    (c) the admission is deterministic."""
+    from m2_b3_market_data_pipeline_spark.plans.expansion_round6 import (
+        BUDGET_DEN,
+        BUDGET_NUM,
+        mixture_rebalance_df,
+    )
+
+    rows = [
+        (i, src, " ".join(f"w{j}" for j in range(ntok)))
+        for i, (src, ntok) in enumerate(corpus)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    total = sum(ntok for _, ntok in corpus)
+    n_src = len({src for src, _ in corpus})
+    per_source = {}
+    for src, ntok in corpus:
+        per_source[src] = per_source.get(src, 0) + ntok
+
+    got = {r.source: r for r in mixture_rebalance_df(docs).collect()}
+    for src, tokens_kept in ((s, r.tokens_kept) for s, r in got.items()):
+        # cum * n_src * DEN <= total * NUM for every admitted doc
+        assert tokens_kept * n_src * BUDGET_DEN <= total * BUDGET_NUM
+    for src, src_tok in per_source.items():
+        if src_tok * n_src * BUDGET_DEN <= total * BUDGET_NUM:
+            assert got[src].tokens_kept == src_tok  # fits entirely
+    again = {r.source: r.tokens_kept for r in mixture_rebalance_df(docs).collect()}
+    assert again == {s: r.tokens_kept for s, r in got.items()}
+
+
+@_slow
+@given(values=st.lists(st.text(min_size=0, max_size=20), min_size=1, max_size=10))
+def test_seeded_hash60_matches_python_md5_prefix_property(spark, values):
+    """seeded_hash60 == int(md5(f'{seed}|{s}')[:15], 16): non-negative,
+    < 2^60, and exactly the documented md5 prefix (the portability
+    contract the DuckDB oracles rely on)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from m2_b3_market_data_pipeline_spark.functions.textfns import seeded_hash60
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    for seed in (0, 7):
+        got = {
+            r.s: r.h
+            for r in df.select("s", seeded_hash60(F.col("s"), seed).alias("h")).collect()
+        }
+        for v in values:
+            want = int(hashlib.md5(f"{seed}|{v}".encode()).hexdigest()[:15], 16)
+            assert got[v] == want
+            assert 0 <= got[v] < 1 << 60
