@@ -107,6 +107,8 @@ HEADLINE = [
     "mixture_rebalance",
     "boilerplate_frac",
     "orc_roundtrip",
+    "token_fertility",
+    "quality_gate_funnel",
 ]
 
 

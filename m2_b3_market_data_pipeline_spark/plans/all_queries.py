@@ -93,6 +93,8 @@ CHECK_PRIORITY: list[str] = [
     "mixture_rebalance",
     "boilerplate_frac",
     "orc_roundtrip",
+    "token_fertility",
+    "quality_gate_funnel",
     # --- Queries whose only green row is round 1 (stalest evidence). ---
     "label_centroids",
     "multimodal_frames",
@@ -134,8 +136,6 @@ CHECK_PRIORITY: list[str] = [
     "q9_product_profit",
     "q14_promo_share",
     "q18_large_orders",
-    "q21_sole_returned_supplier",
-    "q2_min_cost_supplier",
 ]
 
 

@@ -255,3 +255,124 @@ def boilerplate_frac_df(docs: DataFrame, *, min_df: int = BP_MIN_DF) -> DataFram
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "token_fertility",
+    oracle=f"""
+WITH t AS (
+    SELECT lang, n_chars, {_NTOK} AS n_tok FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(CAST(n_chars AS DOUBLE) / n_tok), 6) AS chars_per_token,
+       ROUND(AVG(CAST(n_tok AS DOUBLE)), 6) AS tokens_per_doc
+FROM t
+WHERE n_tok >= 1
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility: chars per (whitespace) token and
+    tokens per doc — the standard multilingual curation signal for
+    weighting sources by how expensive their text is to tokenize (a
+    language averaging 2x chars/token consumes 2x context per
+    information unit under a byte-level tokenizer). One scan, one
+    metadata-sized aggregate."""
+    d = load(spark, sf_dir, "documents").select(
+        "lang", "n_chars", token_count(F.col("text")).alias("n_tok")
+    )
+    return (
+        d.filter(F.col("n_tok") >= 1)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.avg(F.col("n_chars").cast("double") / F.col("n_tok")), 6
+            ).alias("chars_per_token"),
+            F.round(F.avg(F.col("n_tok").cast("double")), 6).alias("tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "quality_gate_funnel",
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, {_TK} AS tk FROM documents
+),
+per_doc AS (
+    SELECT doc_id, len(tk) AS n_tok,
+           (SELECT MAX(cnt) FROM (
+               SELECT COUNT(*) AS cnt FROM unnest(tk) AS u(tok) GROUP BY tok))
+           AS top_tok_cnt,
+           len(list_filter(tk, x -> len(x) BETWEEN 2 AND 12)) AS ok_len_toks
+    FROM t
+),
+gated AS (
+    SELECT n_tok,
+           n_tok >= 20 AS g1,
+           n_tok >= 20 AND ok_len_toks * 10 >= n_tok * 9 AS g2,
+           n_tok >= 20 AND ok_len_toks * 10 >= n_tok * 9
+               AND top_tok_cnt * 5 <= n_tok AS g3
+    FROM per_doc
+)
+SELECT 0 AS stage, CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens FROM gated
+UNION ALL
+SELECT 1, CAST(COUNT(*) FILTER (g1) AS BIGINT),
+       CAST(COALESCE(SUM(n_tok) FILTER (g1), 0) AS BIGINT) FROM gated
+UNION ALL
+SELECT 2, CAST(COUNT(*) FILTER (g2) AS BIGINT),
+       CAST(COALESCE(SUM(n_tok) FILTER (g2), 0) AS BIGINT) FROM gated
+UNION ALL
+SELECT 3, CAST(COUNT(*) FILTER (g3) AS BIGINT),
+       CAST(COALESCE(SUM(n_tok) FILTER (g3), 0) AS BIGINT) FROM gated
+ORDER BY stage
+""",
+)
+def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel report: how many docs (and tokens) survive each
+    successive quality gate — (1) length >= 20 tokens, (2) >= 90% of
+    tokens with sane length 2-12 chars, (3) most-frequent token <= 20%
+    of the doc (repetition gate). The table a curation run publishes so
+    mixture decisions see what each filter costs. All thresholds
+    compare in exact integer arithmetic (cross-multiplied), so no
+    float-boundary doc flips between engines. One explode + one per-doc
+    fold + one metadata-sized aggregate; gates are CUMULATIVE, matching
+    how real filter chains compose."""
+    tk = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    per_tok = tk.select(
+        "doc_id", F.size("tk").alias("n_tok"), F.explode("tk").alias("tok")
+    )
+    counts = per_tok.groupBy("doc_id", "n_tok", "tok").agg(
+        F.count("*").alias("cnt")
+    )
+    per_doc = counts.groupBy("doc_id", "n_tok").agg(
+        F.max("cnt").alias("top_tok_cnt"),
+        F.sum(
+            F.when(F.length("tok").between(2, 12), F.col("cnt")).otherwise(F.lit(0))
+        ).alias("ok_len_toks"),
+    )
+    g1 = F.col("n_tok") >= 20
+    g2 = g1 & (F.col("ok_len_toks") * 10 >= F.col("n_tok") * 9)
+    g3 = g2 & (F.col("top_tok_cnt") * 5 <= F.col("n_tok"))
+    gated = per_doc.select("n_tok", g1.alias("g1"), g2.alias("g2"), g3.alias("g3"))
+    agg = gated.agg(
+        F.count("*").alias("d0"),
+        F.sum("n_tok").alias("t0"),
+        F.count(F.when(F.col("g1"), 1)).alias("d1"),
+        F.coalesce(F.sum(F.when(F.col("g1"), F.col("n_tok"))), F.lit(0)).alias("t1"),
+        F.count(F.when(F.col("g2"), 1)).alias("d2"),
+        F.coalesce(F.sum(F.when(F.col("g2"), F.col("n_tok"))), F.lit(0)).alias("t2"),
+        F.count(F.when(F.col("g3"), 1)).alias("d3"),
+        F.coalesce(F.sum(F.when(F.col("g3"), F.col("n_tok"))), F.lit(0)).alias("t3"),
+    )
+    return agg.selectExpr(
+        "stack(4, 0L, d0, t0, 1L, d1, t1, 2L, d2, t2, 3L, d3, t3) "
+        "AS (stage, docs, tokens)"
+    ).orderBy("stage")
