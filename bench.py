@@ -25,16 +25,22 @@ from m2_b3_market_data_pipeline_spark.session import get_spark, sf_dir
 
 # Breadth over the operator surface, restricted to queries whose cost
 # scales with sf (lineitem/orders/events/documents/embeddings-driven).
+#
+# SIZE BUDGET: the per-round capture of bench output keeps only the
+# LAST 2000 BYTES; a line past that loses the whole round's evidence
+# (it happened in round 5). The printed line costs ~26 bytes per
+# headline query, so the set is capped at ~62 REPRESENTATIVE queries —
+# at least one per operator family, heaviest member preferred; trivial
+# (<0.4s) family-duplicates rotate out when new operators join (their
+# historical per-query numbers persist in the BENCH_r*.json records).
+# test_bench_line_fits_driver_capture pins the worst-case line size.
 HEADLINE = [
     "refined_pipeline",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "top_customers",
     "window_rank",
     "lead_lag",
-    "distinct_agg",
-    "rollup_lineitem",
     "asof_join_quotes",
     "resample_ohlc",
     "tumbling_window",
@@ -46,27 +52,19 @@ HEADLINE = [
     "cosine_topk",
     "text_stats",
     "quality_score",
-    "doc_fingerprint",
-    "multimodal_meta",
     "q4_order_priority",
-    "q6_forecast_revenue",
     "q14_promo_share",
     "q18_large_orders",
-    "correlated_subquery",
     "window_running_total",
     "tfidf_top_terms",
-    "label_centroids",
     # added with round-1 coverage growth (TPC-H wave 4, streaming joins,
     # IVF ANN) — totals before/after are not comparable 1:1; compare
     # per-query against BASELINE.md
     "q9_product_profit",
     "q21_sole_returned_supplier",
-    "stream_stream_join",
     "ivf_ann_topk",
-    "token_count_bpe",
     # round-2 corpus-preparation wave
     "corpus_pipeline",
-    "token_pack",
     "repetition_stats",
     "embedding_near_dups",
     "dedup_clusters",
@@ -80,22 +78,14 @@ HEADLINE = [
     "trigram_lm_score",
     "containment_pairs",
     "zorder_keys",
-    "correlation_matrix",
     "phash_near_dups",
     "twap_daily",
     "markov_transitions",
-    "realized_volatility",
-    "seasonal_backtest",
-    "partial_agg_merge",
     "fuzzy_name_match",
     "json_parse_audit",
     "snapshot_diff",
-    "corpus_mixture",
     # round-5 incremental-curation wave
     "incremental_near_dedup",
-    "text_canonicalize",
-    "balanced_sample",
-    "rolling_median",
     # round-6: literal partsupp TPC-H graphs + sketch accuracy checks
     "q2_partsupp",
     "q11_partsupp",
@@ -175,7 +165,9 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # 2 decimals on the line (10ms is noise on this VM anyway);
+        # 3-decimal detail goes to BENCH_FULL.json
+        "queries": {q: round(t, 2) for q, t in timings.items()},
         "sf": sf,
         "best_known_total": round(sum(best_known.values()), 3),
         "over_2x_best_known": flagged,
@@ -183,7 +175,11 @@ def main() -> None:
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as fh:
         json.dump(
-            {**summary, "best_known": {q: round(t, 3) for q, t in best_known.items()}},
+            {
+                **summary,
+                "queries": timings,
+                "best_known": {q: round(t, 3) for q, t in best_known.items()},
+            },
             fh,
             indent=2,
         )

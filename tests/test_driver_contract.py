@@ -73,3 +73,29 @@ def test_first_fifty_registered_queries_are_the_priority_window():
     # bounds ARE hash-checkable.
     rows_only = [n for n in CHECK_PRIORITY if n not in ORACLES]
     assert rows_only == [], rows_only
+
+
+def test_bench_line_fits_driver_capture():
+    """The per-round bench capture keeps only the LAST 2000 bytes of
+    output; a longer line loses the round's bench evidence entirely
+    (round 5 did). Pin the WORST-CASE printed line — every timing at
+    3 digits before the 2-decimal point, the 6 longest names flagged —
+    under the cap with margin."""
+    import json
+
+    import bench
+
+    worst = {n: 999.99 for n in bench.HEADLINE}
+    flagged = sorted(bench.HEADLINE, key=len)[-6:]
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_runtime",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": worst,
+            "sf": 0.1,
+            "best_known_total": 99999.999,
+            "over_2x_best_known": flagged,
+        }
+    )
+    assert len(line) < 1900, (len(line), "trim HEADLINE or shorten the line")
