@@ -88,6 +88,7 @@ HEADLINE = [
     "incremental_near_dedup",
     # round-6: literal partsupp TPC-H graphs + sketch accuracy checks
     "q2_partsupp",
+    "q9_partsupp",
     "q11_partsupp",
     "q16_partsupp",
     "q20_partsupp",

@@ -84,6 +84,7 @@ CHECK_PRIORITY: list[str] = [
     # evidence, token-budget mixture enforcement, boilerplate scoring,
     # and the ORC round trip. ---
     "q2_partsupp",
+    "q9_partsupp",
     "q11_partsupp",
     "q16_partsupp",
     "q20_partsupp",
@@ -133,7 +134,6 @@ CHECK_PRIORITY: list[str] = [
     "q4_order_priority",
     "q6_forecast_revenue",
     "q7_volume_shipping",
-    "q9_product_profit",
     "q14_promo_share",
     "q18_large_orders",
 ]

@@ -1,4 +1,4 @@
-"""Literal TPC-H Q2/Q11/Q16/Q20 join graphs over a derived ``partsupp``.
+"""Literal TPC-H Q2/Q9/Q11/Q16/Q20 join graphs over a derived ``partsupp``.
 
 The fixtures carry no ``partsupp`` table, so earlier waves re-expressed
 these four shapes over ``lineitem`` (sql_surface4.py) — faithful to the
@@ -320,4 +320,63 @@ def q20_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
         .select(F.col("s_name").alias("supplier"), F.col("n_name").alias("nation"))
         .orderBy("supplier")
+    )
+
+
+@register(
+    "q9_partsupp",
+    oracle=PARTSUPP_CTE
+    + """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                 - (ps.ps_cost_cents / 100.0) * l.l_quantity), 6) AS profit
+FROM lineitem l
+JOIN partsupp ps ON ps.ps_partkey = l.l_partkey AND ps.ps_suppkey = l.l_suppkey
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def q9_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal TPC-H Q9 over the derived partsupp: product profit —
+    revenue NET OF SUPPLY COST — by supplier nation and order year.
+    The lineitem-re-expressed sibling (``q9_product_profit``,
+    sql_surface4.py) had to omit the cost term; this restores the real
+    Q9 measure. The (partkey, suppkey) composite equi-join against the
+    dimension-sized partsupp is AQE's call (broadcast while it fits,
+    shuffle when it doesn't); only nation is force-broadcast."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = derived_partsupp(spark, sf_dir)
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - (F.col("ps_cost_cents") / 100.0) * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 6).alias("profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
     )

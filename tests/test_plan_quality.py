@@ -359,7 +359,13 @@ def test_partsupp_graphs_no_cartesian_and_bounded_broadcasts(spark, sf_dir):
     frames (4-row generator, 1-row supplier count); the literal TPC-H
     graphs must never degrade to a CartesianProduct, and nation/region
     stay broadcast."""
-    for name in ("q2_partsupp", "q11_partsupp", "q16_partsupp", "q20_partsupp"):
+    for name in (
+        "q2_partsupp",
+        "q9_partsupp",
+        "q11_partsupp",
+        "q16_partsupp",
+        "q20_partsupp",
+    ):
         plan = _plan(all_queries.QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
     plan = _plan(all_queries.QUERIES["q2_partsupp"](spark, sf_dir))
