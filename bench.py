@@ -100,6 +100,7 @@ HEADLINE = [
     "orc_roundtrip",
     "token_fertility",
     "quality_gate_funnel",
+    "audio_frame_energy",
 ]
 
 

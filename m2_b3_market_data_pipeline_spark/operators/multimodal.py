@@ -148,6 +148,61 @@ def sample_frames(
     return df.select(id_col, binary_col).mapInPandas(batches, FRAME_SCHEMA)
 
 
+AUDIO_FRAMES = 16
+
+
+def frame_energy(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    binary_col: str = "content",
+    frames: int = AUDIO_FRAMES,
+) -> DataFrame:
+    """Frame-level energy over an opaque binary payload — the AUDIO
+    analog of ``perceptual_hash``'s image path: split the byte stream
+    into ``frames`` equal windows (the fixed-frame shape of PCM feature
+    extraction) and emit per-frame mean squared deviation from the
+    byte midpoint (energy/RMS proxy). For real audio this runs on
+    decoded PCM samples; the byte-domain stand-in keeps the
+    schema/partitioning/fan-out plumbing identical and — unlike a
+    decoder — hash-checkable against DuckDB.
+
+    Shape: one hex transform + one posexplode parses each byte exactly
+    once; the (doc, frame) fold is a narrow codegen'd aggregate with
+    map-side combine, so shuffle volume is ``frames`` rows per doc
+    regardless of payload size. Sums stay integer (squared deviations
+    of 0..255 bytes); the single division to mean happens at the
+    output edge, identically on both engines. Payloads shorter than
+    ``frames`` bytes are skipped (same contract as phash/frame
+    sampling)."""
+    per_byte = (
+        df.select(id_col, binary_col)
+        .withColumn("__hx", F.hex(F.col(binary_col)))
+        .withColumn("__len", F.length(F.col(binary_col)).cast("bigint"))
+        .filter(F.col("__len") >= frames)
+        .select(
+            id_col,
+            "__len",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, cast(__len as int)), "
+                    "i -> cast(conv(substr(__hx, (i - 1) * 2 + 1, 2), 16, 10) as bigint))"
+                )
+            ).alias("__pos", "__v"),
+        )
+        .withColumn("__frame", F.expr(f"cast(({frames} * __pos) div __len as int)"))
+    )
+    dev = F.col("__v") - 128
+    return (
+        per_byte.groupBy(id_col, F.col("__frame").alias("frame_idx"))
+        .agg(
+            F.count("*").alias("n_bytes"),
+            F.round(F.sum(dev * dev) / F.count("*"), 6).alias("energy"),
+        )
+        .orderBy(id_col, "frame_idx")
+    )
+
+
 PHASH_SAMPLES = 64
 
 

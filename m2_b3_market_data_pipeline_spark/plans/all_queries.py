@@ -58,9 +58,11 @@ from .registry import ORACLES, QUERIES
 #   dedup/text/similarity re-proof — all 48 oracle slots PASS
 #   (CORRECTNESS_r05.json; the 2 non-green were no_oracle sketches);
 # - round 6 (this order): the 8 round-5 additions landed BEHIND the
-#   window and have no driver row yet — they go first, with the 6 new
-#   round-6 queries (literal partsupp TPC-H graphs + the sketch
-#   accuracy checks that replace the no_oracle rows). Then the stalest
+#   window and have no driver row yet — they go first, with the 16 new
+#   round-6 queries (literal partsupp TPC-H graphs, sketch accuracy
+#   checks replacing the no_oracle rows, ANN recall, mixture
+#   enforcement, boilerplate, fertility, funnel, ORC + audio
+#   round trips). Then the stalest
 #   evidence: the 14 queries whose only green row is round 1, the
 #   rotation-due indicator, the streaming windows (last green r4), the
 #   PQ/k-means family (last green r3), the anchor, and the TPC-H
@@ -96,6 +98,7 @@ CHECK_PRIORITY: list[str] = [
     "orc_roundtrip",
     "token_fertility",
     "quality_gate_funnel",
+    "audio_frame_energy",
     # --- Queries whose only green row is round 1 (stalest evidence). ---
     "label_centroids",
     "multimodal_frames",
@@ -132,7 +135,6 @@ CHECK_PRIORITY: list[str] = [
     # the round-6 additions above — their r2/r3 rows stand, and their
     # literal partsupp siblings cover the same shapes in this window. ---
     "q4_order_priority",
-    "q6_forecast_revenue",
     "q7_volume_shipping",
     "q14_promo_share",
     "q18_large_orders",

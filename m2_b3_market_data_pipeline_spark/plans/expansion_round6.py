@@ -376,3 +376,44 @@ def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 0L, d0, t0, 1L, d1, t1, 2L, d2, t2, 3L, d3, t3) "
         "AS (stage, docs, tokens)"
     ).orderBy("stage")
+
+
+@register(
+    "audio_frame_energy",
+    oracle="""
+WITH sized AS (
+    -- byte domain (hex of the utf-8 encoding), mirroring frame_energy
+    SELECT doc_id, hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS L
+    FROM documents WHERE octet_length(encode(text)) >= 16
+),
+v AS (
+    SELECT doc_id, L,
+           unnest(list_transform(generate_series(1, CAST(L AS INT)),
+                  i -> CAST(('0x' || substr(h, 2 * i - 1, 2)) AS BIGINT))) AS val,
+           unnest(generate_series(1, CAST(L AS INT))) AS pos
+    FROM sized
+)
+SELECT doc_id, CAST((16 * (pos - 1)) // L AS INT) AS frame_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_bytes,
+       ROUND(SUM((val - 128) * (val - 128)) * 1.0 / COUNT(*), 6) AS energy
+FROM v
+GROUP BY doc_id, frame_idx
+ORDER BY doc_id, frame_idx
+""",
+)
+def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality feature extraction shape: 16 fixed frames per
+    binary payload, mean squared deviation from the byte midpoint per
+    frame (the energy/RMS contour a silence/clipping filter
+    thresholds). Real PCM decode is stubbed (same policy as
+    multimodal.decode_image); the byte-domain stand-in keeps the frame
+    assignment, fan-out, and aggregate plumbing real AND hash-checked —
+    integer sums, one division at the output edge
+    (operators/multimodal.py::frame_energy)."""
+    from ..operators.multimodal import attach_binary, frame_energy
+
+    docs = attach_binary(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), modality="audio"
+    )
+    return frame_energy(docs, id_col="doc_id", binary_col="content")

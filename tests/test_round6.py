@@ -88,3 +88,24 @@ def test_derived_partsupp_shape(spark, sf_dir):
         F.min("ps_cost_cents").alias("cc_lo"),
     ).collect()[0]
     assert dom.aq_lo >= 1 and dom.aq_hi <= 9999 and dom.cc_lo >= 100
+
+
+def test_frame_energy_planted_contrast(spark):
+    """A payload with a quiet half (all 0x80 = midpoint, zero energy)
+    and a loud half (alternating 0x00/0xFF, max energy) must produce a
+    frame contour of exactly 0 for the first 8 frames and
+    mean(128^2, 127^2) for the last 8."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import frame_energy
+
+    quiet = b"\x80" * 64
+    loud = b"\x00\xff" * 32
+    df = spark.createDataFrame([(1, bytearray(quiet + loud))], "doc_id long, content binary")
+    rows = {r.frame_idx: r for r in frame_energy(df).collect()}
+    assert len(rows) == 16
+    for i in range(8):
+        assert rows[i].energy == 0.0, rows[i]
+    # loud frames: bytes alternate 0 and 255 -> deviations -128 and 127
+    expect = (128 * 128 + 127 * 127) / 2
+    for i in range(8, 16):
+        assert rows[i].energy == expect, rows[i]
+    assert all(rows[i].n_bytes == 8 for i in rows)
