@@ -305,6 +305,27 @@ def _cross_pairs_from_signed(
     )
 
 
+def require_numeric_minhash(sigs: DataFrame, *, where: str) -> None:
+    """Fail LOUDLY on a legacy md5-STRING signature table. This build
+    stores numeric 60-bit min-hashes (seeded_hash60); unioning or
+    joining a legacy string-typed store against new bigint signatures
+    would coerce every legacy value to NULL, drop those docs from LSH
+    banding (mh0 IS NOT NULL filter), and rewrite the store with NULL
+    signatures — silent, permanent corpus destruction. The store must
+    be rebuilt (recompute signatures from corpus text) instead."""
+    from pyspark.sql import types as T
+
+    mh_cols = [f for f in sigs.schema.fields if f.name.startswith("mh")]
+    bad = [f.name for f in mh_cols if isinstance(f.dataType, T.StringType)]
+    if bad:
+        raise RuntimeError(
+            f"{where}: signature table carries legacy md5-string min-hash "
+            f"columns {bad}; this build uses numeric 60-bit hashes "
+            "(seeded_hash60). Refusing to merge — rebuild the signature "
+            "store from corpus text."
+        )
+
+
 def minhash_incremental_pairs_presigned(
     delta: DataFrame,
     corpus_signatures: DataFrame,
@@ -319,6 +340,7 @@ def minhash_incremental_pairs_presigned(
     rescanned and only the delta shingles fresh. Signature tables are
     append-only: today's delta signatures become tomorrow's corpus rows.
     Verified equal to the from-text path in tests."""
+    require_numeric_minhash(corpus_signatures, where="minhash_incremental_pairs_presigned")
     d_signed = with_minhash(
         fan_out(delta.select(id_col, text_col)), text_col=text_col, id_col=id_col
     ).persist()

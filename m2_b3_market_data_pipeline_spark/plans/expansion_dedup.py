@@ -20,7 +20,7 @@ from ..operators.dedup import (
 )
 from .registry import load, register
 
-_TK = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+from .sql_fragments import TK as _TK  # single SQL-side tokenizer definition
 _SH = (
     "list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] "
     "for i in generate_series(1, len(tk)-2)])"

@@ -38,15 +38,14 @@ from .expansion_similarity import (
     _QCOS,
 )
 from .registry import load, register
+from .sql_fragments import NTOK, TK
 
 # Fraction of the corpus token total admitted by mixture_rebalance,
 # expressed as a ratio of integers so the waterline comparison is exact.
 BUDGET_NUM, BUDGET_DEN = 1, 2  # admit ~50% of total tokens
 BP_MIN_DF = 5  # shingle document-frequency threshold for 'boilerplate'
 
-_NTOK = (
-    "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''))"
-)
+_NTOK = NTOK  # shared SQL-side tokenizer contract (sql_fragments.py)
 
 
 @register(
@@ -186,7 +185,7 @@ def mixture_rebalance_df(docs: DataFrame) -> DataFrame:
     )
 
 
-_TK = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+_TK = TK  # shared SQL-side tokenizer contract (sql_fragments.py)
 _SH3 = (
     "list_distinct(list_transform(range(len(tk) - 2), "
     "i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]))"
@@ -303,12 +302,15 @@ def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (
     SELECT doc_id, {_TK} AS tk FROM documents
 ),
+-- COALESCE keeps zero-token and NULL-text docs in stage 0 with
+-- n_tok = 0 (they then fail every gate) instead of dropping them.
 per_doc AS (
-    SELECT doc_id, len(tk) AS n_tok,
-           (SELECT MAX(cnt) FROM (
-               SELECT COUNT(*) AS cnt FROM unnest(tk) AS u(tok) GROUP BY tok))
+    SELECT doc_id, COALESCE(len(tk), 0) AS n_tok,
+           COALESCE((SELECT MAX(cnt) FROM (
+               SELECT COUNT(*) AS cnt FROM unnest(tk) AS u(tok) GROUP BY tok)), 0)
            AS top_tok_cnt,
-           len(list_filter(tk, x -> len(x) BETWEEN 2 AND 12)) AS ok_len_toks
+           COALESCE(len(list_filter(tk, x -> len(x) BETWEEN 2 AND 12)), 0)
+           AS ok_len_toks
     FROM t
 ),
 gated AS (
@@ -342,12 +344,22 @@ def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare in exact integer arithmetic (cross-multiplied), so no
     float-boundary doc flips between engines. One explode + one per-doc
     fold + one metadata-sized aggregate; gates are CUMULATIVE, matching
-    how real filter chains compose."""
+    how real filter chains compose.
+
+    Zero-token and NULL-text docs MUST still count in stage 0 (they
+    fail every gate, but a funnel whose input row count is wrong is
+    useless): explode drops empty arrays, so those docs re-enter via
+    the union branch with all-zero stats."""
     tk = load(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("tk")
+        "doc_id",
+        tokens("text").alias("tk"),
+    ).select(
+        "doc_id",
+        "tk",
+        F.when(F.col("tk").isNull(), F.lit(0)).otherwise(F.size("tk")).alias("n_tok"),
     )
-    per_tok = tk.select(
-        "doc_id", F.size("tk").alias("n_tok"), F.explode("tk").alias("tok")
+    per_tok = tk.filter(F.col("n_tok") > 0).select(
+        "doc_id", "n_tok", F.explode("tk").alias("tok")
     )
     counts = per_tok.groupBy("doc_id", "n_tok", "tok").agg(
         F.count("*").alias("cnt")
@@ -357,6 +369,13 @@ def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.length("tok").between(2, 12), F.col("cnt")).otherwise(F.lit(0))
         ).alias("ok_len_toks"),
+    ).unionByName(
+        tk.filter(F.col("n_tok") == 0).select(
+            "doc_id",
+            "n_tok",
+            F.lit(0).cast("long").alias("top_tok_cnt"),
+            F.lit(0).cast("long").alias("ok_len_toks"),
+        )
     )
     g1 = F.col("n_tok") >= 20
     g2 = g1 & (F.col("ok_len_toks") * 10 >= F.col("n_tok") * 9)

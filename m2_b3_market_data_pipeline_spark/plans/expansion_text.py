@@ -23,7 +23,7 @@ from ..operators.text import (
 from .registry import load, register
 
 # DuckDB token-array expression (twin of functions.textfns.tokens)
-_TK = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+from .sql_fragments import TK as _TK  # single SQL-side tokenizer definition
 
 
 @register(

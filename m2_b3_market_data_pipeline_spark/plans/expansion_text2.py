@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from ..functions.textfns import tokens
 from .registry import load, register
 
-_TK = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')"
+from .sql_fragments import TK as _TK  # single SQL-side tokenizer definition
 
 
 @register(
@@ -155,8 +155,7 @@ BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
     oracle=f"""
 WITH t AS (SELECT doc_id, text,
                   regexp_extract_all(text, '{BPE_PATTERN}') AS bpe,
-                  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                              x -> x <> '') AS ws
+                  {_TK} AS ws
            FROM documents)
 SELECT doc_id,
        CAST(len(bpe) AS INT)            AS n_bpe_tokens,

@@ -26,6 +26,7 @@ from ..operators.dedup import containment_pairs
 from ..operators.layout import zorder_key, zorder_key_sql
 from ..operators.text import trigram_lm_scores
 from .registry import load, register
+from .sql_fragments import TK
 
 CONTAIN_NGRAM = 5
 CONTAIN_THRESHOLD = 0.6
@@ -70,7 +71,7 @@ def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH t AS (
     SELECT doc_id,
-           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+           {TK} AS tk
     FROM documents
 ),
 sh AS (

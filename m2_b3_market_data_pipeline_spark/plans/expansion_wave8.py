@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .registry import load, register
+from .sql_fragments import NTOK
 
 FUZZY_MAX_DIST = 2
 JSON_BAD_MOD = 13
@@ -328,11 +329,10 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_mixture",
-    oracle="""
+    oracle=f"""
 WITH t AS (
     SELECT source, lang,
-           len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                           x -> x <> '')) AS n_tok
+           {NTOK} AS n_tok
     FROM documents
 ),
 g AS (

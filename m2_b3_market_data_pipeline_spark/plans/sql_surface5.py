@@ -407,10 +407,13 @@ def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "exact_users",
+            # multiplication form (|hll-exact|*20 <= exact): exact
+            # integer arithmetic AND well-defined for exact=0 (an
+            # all-NULL-user group) where the division form yields NULL
+            # against the oracle's literal TRUE
             (
-                F.abs(F.col("hll_users") - F.col("exact_users"))
-                / F.col("exact_users")
-                <= 0.05
+                F.abs(F.col("hll_users") - F.col("exact_users")) * 20
+                <= F.col("exact_users")
             ).alias("within_5pct"),
         )
         .orderBy("event_type")

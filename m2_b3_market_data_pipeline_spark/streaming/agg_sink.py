@@ -96,21 +96,32 @@ def _read_marker(path: str) -> tuple[int, str | None]:
     """(applied batch id, checkpoint id) from a snapshot dir; (-1, None)
     if absent OR unparseable. A torn/partial marker must read as
     'staging incomplete', never raise: the marker certifies completeness,
-    so garbage content means the write did not finish — raising here
-    would make the recovery path itself unrecoverable."""
+    so garbage CONTENT means the write did not finish — raising on it
+    would make the recovery path itself unrecoverable.
+
+    IO failures are a different matter: an EXISTING marker that cannot
+    be READ (EACCES/EIO — not torn, merely unreadable) must raise, not
+    read as 'never applied'. Swallowing it would return -1 for an
+    already-merged state dir, so a replayed batch re-merges
+    (non-idempotent: counts double) and the foreign-checkpoint identity
+    guard is bypassed. Only a delete race (FileNotFound between the
+    exists check and the open) reads as absent."""
     marker = os.path.join(path, _APPLIED_MARKER)
     if not os.path.exists(marker):
         return -1, None
     try:
         with open(marker) as fh:
             raw = fh.read().strip()
+    except FileNotFoundError:
+        return -1, None
+    try:
         payload = json.loads(raw)
         return int(payload["batch_id"]), payload.get("checkpoint_id")
-    except (OSError, TypeError, KeyError, ValueError):
+    except (TypeError, KeyError, ValueError):
         try:
             return int(raw), None  # legacy plain-int marker
-        except (NameError, ValueError):
-            return -1, None
+        except ValueError:
+            return -1, None  # torn/garbage content == incomplete staging
 
 
 def _write_marker(path: str, *, batch_id: int, checkpoint_id: str | None) -> None:

@@ -34,7 +34,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.dedup import _cross_pairs_from_signed, fan_out, with_minhash
+from ..operators.dedup import (
+    _cross_pairs_from_signed,
+    fan_out,
+    require_numeric_minhash,
+    with_minhash,
+)
 from .agg_sink import (
     _checkpoint_identity,
     _read_marker,
@@ -105,6 +110,9 @@ def run_incremental_dedup_stream(
             has_corpus = os.path.exists(state_path)
             if has_corpus:
                 corpus_sigs = read_signatures(spark, state_path)
+                # A pre-numeric-hash store would silently NULL out of the
+                # banding join under unionByName type coercion — fail loudly.
+                require_numeric_minhash(corpus_sigs, where=f"signature store {state_path}")
                 pairs = _cross_pairs_from_signed(
                     d_signed, corpus_sigs, id_col=id_col, threshold=threshold
                 )

@@ -109,3 +109,73 @@ def test_frame_energy_planted_contrast(spark):
     for i in range(8, 16):
         assert rows[i].energy == expect, rows[i]
     assert all(rows[i].n_bytes == 8 for i in rows)
+
+
+def test_quality_gate_funnel_counts_zero_token_docs(spark):
+    """Stage 0 must count EVERY input doc — empty, whitespace-only and
+    NULL-text docs fail the gates but may not vanish from the funnel's
+    input row (explode drops empty arrays; the union branch restores
+    them)."""
+    from m2_b3_market_data_pipeline_spark.plans.expansion_round6 import (
+        quality_gate_funnel,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(25))), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    # The query reads via registry.load; point it at the planted frame.
+    import m2_b3_market_data_pipeline_spark.plans.expansion_round6 as r6
+    from m2_b3_market_data_pipeline_spark.plans import registry
+
+    orig_load = registry.load
+    try:
+        registry.load = lambda spark_, sf_, table: docs  # type: ignore[assignment]
+        r6.load = registry.load
+        out = {r.stage: (r.docs, r.tokens) for r in quality_gate_funnel(spark, "ignored").collect()}
+    finally:
+        registry.load = orig_load
+        r6.load = orig_load
+    assert out[0] == (4, 25)  # all four docs counted; only doc 1 has tokens
+    assert out[1] == (1, 25) and out[2] == (1, 25) and out[3] == (1, 25)
+
+
+def test_read_marker_raises_on_unreadable_marker(tmp_path):
+    """An EXISTING marker that cannot be read (here: it is a directory,
+    raising IsADirectoryError) must raise — treating it as 'never
+    applied' would re-merge an already-applied batch (non-idempotent)
+    and bypass the checkpoint-identity guard."""
+    import os
+
+    import pytest as _pytest
+
+    from m2_b3_market_data_pipeline_spark.streaming.agg_sink import (
+        _APPLIED_MARKER,
+        _read_marker,
+    )
+
+    snap = tmp_path / "snap"
+    os.makedirs(snap / _APPLIED_MARKER)  # marker path exists but unreadable
+    with _pytest.raises(OSError):
+        _read_marker(str(snap))
+
+
+def test_legacy_string_signature_store_rejected(spark):
+    """A pre-numeric-hash signature store (md5 STRING mh columns) must
+    be refused loudly: a string/bigint union would NULL every legacy
+    signature out of LSH banding and silently destroy the store."""
+    import pytest as _pytest
+
+    from m2_b3_market_data_pipeline_spark.operators.dedup import (
+        minhash_incremental_pairs_presigned,
+        require_numeric_minhash,
+    )
+
+    legacy = spark.createDataFrame(
+        [(1, ["a b c"], "ff00aa")], "doc_id long, sh array<string>, mh0 string"
+    )
+    with _pytest.raises(RuntimeError, match="legacy md5-string"):
+        require_numeric_minhash(legacy, where="test")
+    delta = spark.createDataFrame([(2, "some text here")], "doc_id long, text string")
+    with _pytest.raises(RuntimeError, match="legacy md5-string"):
+        minhash_incremental_pairs_presigned(delta, legacy)
