@@ -55,7 +55,6 @@ HEADLINE = [
     "q4_order_priority",
     "q14_promo_share",
     "q18_large_orders",
-    "window_running_total",
     "tfidf_top_terms",
     # added with round-1 coverage growth (TPC-H wave 4, streaming joins,
     # IVF ANN) — totals before/after are not comparable 1:1; compare
@@ -101,6 +100,7 @@ HEADLINE = [
     "token_fertility",
     "quality_gate_funnel",
     "audio_frame_energy",
+    "lsh_recall_check",
 ]
 
 

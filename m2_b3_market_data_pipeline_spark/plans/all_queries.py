@@ -99,6 +99,7 @@ CHECK_PRIORITY: list[str] = [
     "token_fertility",
     "quality_gate_funnel",
     "audio_frame_energy",
+    "lsh_recall_check",
     # --- Queries whose only green row is round 1 (stalest evidence). ---
     "label_centroids",
     "multimodal_frames",
@@ -137,7 +138,6 @@ CHECK_PRIORITY: list[str] = [
     "q4_order_priority",
     "q7_volume_shipping",
     "q14_promo_share",
-    "q18_large_orders",
 ]
 
 

@@ -37,6 +37,7 @@ from .expansion_similarity import (
     _lsh_sig_sql,
     _QCOS,
 )
+from .expansion_dedup import minhash_pairs_sql
 from .registry import load, register
 from .sql_fragments import NTOK, TK
 
@@ -228,7 +229,15 @@ def boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def boilerplate_frac_df(docs: DataFrame, *, min_df: int = BP_MIN_DF) -> DataFrame:
     """DataFrame form of ``boilerplate_frac`` (docs needs doc_id, text),
-    so tests can plant template phrases and assert they score."""
+    so tests can plant template phrases and assert they score.
+
+    The exploded shingle stream feeds TWO consumers (the df table and
+    the membership join), so it is persisted for the life of this plan
+    — without it Spark re-runs the tokenize+shingle+explode subtree per
+    consumer (measured ~1.7x at sf0.1). Same cache-scoping contract as
+    the minhash pipeline: the frame rides on the result as
+    ``_cached_frames``; loops must call ``release_cached``. At 100 TB
+    the same role is played by materializing the shingle table once."""
     sh = docs.select(
         "doc_id", F.array_distinct(shingles(tokens("text"), 3)).alias("shl")
     ).filter(F.size("shl") >= 1)
@@ -236,14 +245,14 @@ def boilerplate_frac_df(docs: DataFrame, *, min_df: int = BP_MIN_DF) -> DataFram
         "doc_id",
         F.size("shl").alias("n_shingles"),
         F.explode("shl").alias("shingle"),
-    )
+    ).persist()
     bp = (
         ex.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= min_df)
         .select("shingle", F.lit(1).alias("is_bp"))
     )
-    return (
+    out = (
         ex.join(F.broadcast(bp), "shingle", "left")
         .groupBy("doc_id")
         .agg(
@@ -254,6 +263,8 @@ def boilerplate_frac_df(docs: DataFrame, *, min_df: int = BP_MIN_DF) -> DataFram
         )
         .orderBy("doc_id")
     )
+    out._cached_frames = [ex]  # type: ignore[attr-defined]
+    return out
 
 
 @register(
@@ -436,3 +447,62 @@ def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents").select("doc_id", "text"), modality="audio"
     )
     return frame_energy(docs, id_col="doc_id", binary_col="content")
+
+
+LSH_RECALL_THRESHOLD = 0.5
+
+
+@register(
+    "lsh_recall_check",
+    oracle=f"""
+WITH {minhash_pairs_sql(threshold=LSH_RECALL_THRESHOLD)},
+exact_ex AS (
+    SELECT doc_id, len(sh) AS set_size, unnest(sh) AS shingle FROM sigs),
+exact_inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.set_size AS size_a, b.set_size AS size_b, COUNT(*) AS inter
+    FROM exact_ex a JOIN exact_ex b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4),
+exact_pairs AS (
+    SELECT id_a, id_b FROM exact_inter
+    WHERE ROUND(CAST(inter AS DOUBLE) / CAST(size_a + size_b - inter AS DOUBLE), 6)
+          >= {LSH_RECALL_THRESHOLD})
+SELECT CAST((SELECT COUNT(*) FROM exact_pairs) AS BIGINT) AS n_true_pairs,
+       CAST((SELECT COUNT(*) FROM mh_pairs) AS BIGINT) AS n_found_pairs,
+       ROUND((SELECT COUNT(*) FROM mh_pairs) * 1.0 /
+             (SELECT COUNT(*) FROM exact_pairs), 6) AS recall
+""",
+)
+def lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of MinHash+LSH near-dedup against the EXACT n-gram
+    Jaccard ground truth at the same threshold — the dedup-family twin
+    of ``ann_recall_check``. The LSH path's Jaccard verify is exact on
+    candidates, so found pairs are a subset of the truth set and the
+    single recall number is the banding's candidate-recall. Both sides
+    are deterministic, so the TRUE recall hash-checks against DuckDB —
+    banded-LSH quality evidence in the driver's correctness record, not
+    just pytest. The shingle sets are computed once (the signature
+    chain's own sh CTE feeds the exact side too)."""
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    found = minhash_dedup_pairs_shared(docs)
+    truth = ngram_jaccard_pairs(docs, threshold=LSH_RECALL_THRESHOLD)
+    f_cnt = found.agg(F.count("*").alias("n_found_pairs"))
+    t_cnt = truth.agg(F.count("*").alias("n_true_pairs"))
+    out = t_cnt.crossJoin(F.broadcast(f_cnt)).select(
+        "n_true_pairs",
+        "n_found_pairs",
+        F.round(F.col("n_found_pairs") / F.col("n_true_pairs"), 6).alias("recall"),
+    )
+    out._cached_frames = getattr(found, "_cached_frames", [])
+    return out
+
+
+def minhash_dedup_pairs_shared(docs: DataFrame) -> DataFrame:
+    """minhash_dedup_pairs at the recall threshold, cache handles
+    propagated (see operators/dedup.py cache-scoping contract)."""
+    from ..operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(docs, threshold=LSH_RECALL_THRESHOLD)
