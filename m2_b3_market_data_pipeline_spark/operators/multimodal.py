@@ -151,6 +151,34 @@ def sample_frames(
 AUDIO_FRAMES = 16
 
 
+def _bytes_in_segments(
+    df: DataFrame, *, id_col: str, binary_col: str, segments: int
+) -> DataFrame:
+    """(id, __len, __pos, __v, __seg) rows: every byte of the payload
+    parsed EXACTLY once (one hex transform + one posexplode) and
+    pigeonholed into ``segments`` equal windows — the shared byte-parse
+    front end of ``perceptual_hash`` (64 segments) and ``frame_energy``
+    (16 frames). Payloads shorter than ``segments`` bytes are skipped
+    (too short to sample)."""
+    return (
+        df.select(id_col, binary_col)
+        .withColumn("__hx", F.hex(F.col(binary_col)))
+        .withColumn("__len", F.length(F.col(binary_col)).cast("bigint"))
+        .filter(F.col("__len") >= segments)
+        .select(
+            id_col,
+            "__len",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, cast(__len as int)), "
+                    "i -> cast(conv(substr(__hx, (i - 1) * 2 + 1, 2), 16, 10) as bigint))"
+                )
+            ).alias("__pos", "__v"),
+        )
+        .withColumn("__seg", F.expr(f"cast(({segments} * __pos) div __len as int)"))
+    )
+
+
 def frame_energy(
     df: DataFrame,
     *,
@@ -175,26 +203,12 @@ def frame_energy(
     output edge, identically on both engines. Payloads shorter than
     ``frames`` bytes are skipped (same contract as phash/frame
     sampling)."""
-    per_byte = (
-        df.select(id_col, binary_col)
-        .withColumn("__hx", F.hex(F.col(binary_col)))
-        .withColumn("__len", F.length(F.col(binary_col)).cast("bigint"))
-        .filter(F.col("__len") >= frames)
-        .select(
-            id_col,
-            "__len",
-            F.posexplode(
-                F.expr(
-                    "transform(sequence(1, cast(__len as int)), "
-                    "i -> cast(conv(substr(__hx, (i - 1) * 2 + 1, 2), 16, 10) as bigint))"
-                )
-            ).alias("__pos", "__v"),
-        )
-        .withColumn("__frame", F.expr(f"cast(({frames} * __pos) div __len as int)"))
+    per_byte = _bytes_in_segments(
+        df, id_col=id_col, binary_col=binary_col, segments=frames
     )
     dev = F.col("__v") - 128
     return (
-        per_byte.groupBy(id_col, F.col("__frame").alias("frame_idx"))
+        per_byte.groupBy(id_col, F.col("__seg").alias("frame_idx"))
         .agg(
             F.count("*").alias("n_bytes"),
             F.round(F.sum(dev * dev) / F.count("*"), 6).alias("energy"),
@@ -234,22 +248,8 @@ def perceptual_hash(
     decoded pixel luma; the byte-domain stand-in keeps identical
     signature/join plumbing.
     """
-    per_byte = (
-        df.select(id_col, binary_col)
-        .withColumn("__hx", F.hex(F.col(binary_col)))
-        .withColumn("__len", F.length(F.col(binary_col)).cast("bigint"))
-        .filter(F.col("__len") >= PHASH_SAMPLES)
-        .select(
-            id_col,
-            "__len",
-            F.posexplode(
-                F.expr(
-                    "transform(sequence(1, cast(__len as int)), "
-                    "i -> cast(conv(substr(__hx, (i - 1) * 2 + 1, 2), 16, 10) as bigint))"
-                )
-            ).alias("__pos", "__v"),
-        )
-        .withColumn("__seg", F.expr("cast((64 * __pos) div __len as int)"))
+    per_byte = _bytes_in_segments(
+        df, id_col=id_col, binary_col=binary_col, segments=PHASH_SAMPLES
     )
     # Partial aggregation collapses the byte stream to <= 64 rows per doc
     # before the shuffle; the per-doc totals ride a window over those
