@@ -58,11 +58,12 @@ from .registry import ORACLES, QUERIES
 #   dedup/text/similarity re-proof — all 48 oracle slots PASS
 #   (CORRECTNESS_r05.json; the 2 non-green were no_oracle sketches);
 # - round 6 (this order): the 8 round-5 additions landed BEHIND the
-#   window and have no driver row yet — they go first, with the 16 new
-#   round-6 queries (literal partsupp TPC-H graphs, sketch accuracy
-#   checks replacing the no_oracle rows, ANN recall, mixture
-#   enforcement, boilerplate, fertility, funnel, ORC + audio
-#   round trips). Then the stalest
+#   window and have no driver row yet — they go first, with the 18 new
+#   round-6 queries (literal partsupp TPC-H graphs incl. the real Q9
+#   profit measure, sketch accuracy checks replacing the no_oracle
+#   rows, ANN + LSH recall evidence, mixture enforcement, boilerplate,
+#   fertility, funnel, ORC round trip, audio frame energy). Then the
+#   stalest
 #   evidence: the 14 queries whose only green row is round 1, the
 #   rotation-due indicator, the streaming windows (last green r4), the
 #   PQ/k-means family (last green r3), the anchor, and the TPC-H

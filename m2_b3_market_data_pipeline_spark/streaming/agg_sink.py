@@ -190,9 +190,16 @@ def run_incremental_agg_stream(
     keys: list[str],
     value_col: str,
     available_now: bool = True,
+    transform=None,
 ) -> StreamingQuery:
     """Start the incremental-aggregation stream: file source over
-    ``updates_path`` -> per-batch partial merge into ``state_path``."""
+    ``updates_path`` -> per-batch partial merge into ``state_path``.
+
+    ``transform`` (DataFrame -> DataFrame, optional) runs on each
+    micro-batch BEFORE the partial aggregation — the per-batch
+    feature-derivation hook (e.g. text -> token counts for the mixture
+    sink) so raw landings stream straight into a derived materialized
+    view without a separate staging table."""
     stream = (
         spark.readStream.schema(schema)
         .option("recursiveFileLookup", "true")
@@ -200,6 +207,8 @@ def run_incremental_agg_stream(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if transform is not None:
+            batch_df = transform(batch_df)
         _recover_state(state_path)
         ckpt_id = _checkpoint_identity(checkpoint_path)
         applied, applied_ckpt = _read_marker(state_path)

@@ -651,3 +651,67 @@ def test_bounded_dedup_drops_replays_within_horizon(spark, tmp_path):
     q.awaitTermination(120)
     ids = sorted(r.event_id for r in spark.sql(f"SELECT event_id FROM {name}").collect())
     assert ids == [1, 2, 3], ids
+
+
+def test_streaming_mixture_matches_batch_corpus_mixture(spark, sf_dir, tmp_path):
+    """Draining document batches through the mixture sink converges to
+    EXACTLY the one-shot corpus_mixture table over the union of all
+    batches — the streaming materialized-view twin of the mixture
+    report, with the per-batch transform hook doing the tokenization."""
+    from pyspark.sql import types as T
+
+    from m2_b3_market_data_pipeline_spark.functions.textfns import token_count
+    from m2_b3_market_data_pipeline_spark.streaming.mixture_sink import (
+        read_mixture,
+        run_incremental_mixture_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    updates = str(tmp_path / "mix_updates")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    b1.write.parquet(f"{updates}/b1")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    state = str(tmp_path / "mix_state")
+    ckpt = str(tmp_path / "mix_ckpt")
+
+    def drain():
+        run_incremental_mixture_stream(
+            spark,
+            updates_path=updates,
+            state_path=state,
+            checkpoint_path=ckpt,
+            schema=schema,
+        ).awaitTermination(120)
+
+    drain()
+    b2.write.parquet(f"{updates}/b2")
+    drain()
+
+    got = {
+        (r.source, r.lang): (r.n_docs, r.n_tokens, r.token_share)
+        for r in read_mixture(spark, state).collect()
+    }
+    t = docs.select("source", "lang", token_count(F.col("text")).alias("n_tok"))
+    g = t.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    from pyspark.sql import Window as W
+
+    direct = {
+        (r.source, r.lang): (r.n_docs, r.n_tokens, r.token_share)
+        for r in g.withColumn(
+            "token_share",
+            F.round(F.col("n_tokens").cast("double") / F.sum("n_tokens").over(W.partitionBy()), 6),
+        ).collect()
+    }
+    assert got == direct
