@@ -34,6 +34,10 @@ from m2_b3_market_data_pipeline_spark.session import get_spark, sf_dir
 # (<0.4s) family-duplicates rotate out when new operators join (their
 # historical per-query numbers persist in the BENCH_r*.json records).
 # test_bench_line_fits_driver_capture pins the worst-case line size.
+# Round-6b rotation: quality_score / q14_promo_share / zorder_keys out
+# (<0.4s best-known, families still covered by text_stats+tfidf,
+# q1..q21+partsupp, and the zorder plan pin), semdedup_prune and
+# dup_ngram_spans in.
 HEADLINE = [
     "refined_pipeline",
     "q1_pricing_summary",
@@ -51,9 +55,7 @@ HEADLINE = [
     "simhash_signatures",
     "cosine_topk",
     "text_stats",
-    "quality_score",
     "q4_order_priority",
-    "q14_promo_share",
     "q18_large_orders",
     "tfidf_top_terms",
     # added with round-1 coverage growth (TPC-H wave 4, streaming joins,
@@ -76,7 +78,6 @@ HEADLINE = [
     # round-4 wave 6
     "trigram_lm_score",
     "containment_pairs",
-    "zorder_keys",
     "phash_near_dups",
     "twap_daily",
     "markov_transitions",
@@ -101,6 +102,10 @@ HEADLINE = [
     "quality_gate_funnel",
     "audio_frame_energy",
     "lsh_recall_check",
+    # round-6 second wave: semantic dedup + duplicated-span coverage
+    # (frame_dedup rides the already-benched multimodal_frames path)
+    "semdedup_prune",
+    "dup_ngram_spans",
 ]
 
 

@@ -593,3 +593,97 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def dup_ngram_coverage(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span coverage at n-gram granularity —
+    the distributed approximation of exact-substring dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better":
+    spans repeated verbatim across documents are memorization fuel and
+    should be down-weighted or cut). A position-aware complement of the
+    set-based families above: ``boilerplate_frac`` scores DISTINCT
+    shingles, this one measures how much of each document's token
+    STREAM sits inside a duplicated span.
+
+    Per doc: ``dup_positions`` = n-gram start positions whose gram
+    occurs in >= ``min_df`` distinct docs; ``covered_tokens`` = distinct
+    token indices under any such gram (overlapping gram windows union,
+    not sum — the interval-union step of span dedup); ``dup_frac`` =
+    covered / n_tok. Docs shorter than ``n`` tokens report zeros.
+
+    Scale shape: positional grams are one explode (O(tokens) rows, the
+    zip_with shingle chain — never O(tokens·n) regex work); the gram
+    document-frequency table is one (doc,gram)-distinct + one gram
+    aggregate; duplicated grams flow back via a shuffle EQUI-JOIN on
+    gram — NOT a broadcast, because at corpus scale the duplicated-gram
+    set grows with the corpus (unlike boilerplate's chrome-sized df>=5
+    set). The coverage explode multiplies only the DUPLICATED positions
+    by n, and the two count-distincts expand only that subset. The gram
+    stream feeds two consumers (df table + membership join), so it is
+    persisted for the life of the plan — ``_cached_frames`` contract as
+    minhash (release via ``release_cached``); at 100 TB the same role
+    is played by materializing the positional-gram table once."""
+    base = df.select(
+        F.col(id_col), tokens(text_col).alias("__tk")
+    ).select(
+        id_col,
+        "__tk",
+        F.coalesce(F.size("__tk"), F.lit(0)).cast("bigint").alias("n_tok"),
+    )
+    grams = base.filter(F.col("n_tok") >= n).select(
+        id_col,
+        F.posexplode(shingles(F.col("__tk"), n, distinct=False)).alias(
+            "__pos", "__gram"
+        ),
+    ).persist()
+    dup = (
+        grams.select(id_col, "__gram")
+        .distinct()
+        .groupBy("__gram")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__gram")
+    )
+    occ = grams.join(dup, "__gram").select(id_col, "__pos")
+    cov = (
+        occ.select(
+            id_col,
+            "__pos",
+            F.explode(F.sequence(F.col("__pos"), F.col("__pos") + (n - 1))).alias(
+                "__idx"
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("__pos").alias("dup_positions"),
+            F.countDistinct("__idx").alias("covered_tokens"),
+        )
+    )
+    out = (
+        base.select(id_col, "n_tok")
+        .join(cov, id_col, "left")
+        .select(
+            id_col,
+            "n_tok",
+            F.coalesce("dup_positions", F.lit(0)).alias("dup_positions"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.when(
+                F.col("n_tok") > 0,
+                F.round(
+                    F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tok"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+        .orderBy(id_col)
+    )
+    out._cached_frames = [grams]  # type: ignore[attr-defined]
+    return out

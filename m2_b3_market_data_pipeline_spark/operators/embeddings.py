@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import as_double, norm
+from .similarity import as_double, cosine, norm
 
 
 def l2_normalize(
@@ -144,6 +144,59 @@ def kmeans_iterate(
         F.col("__id").alias(id_col),
         "centroid_id",
         F.round(F.col("__dist"), 6).alias("sq_dist"),
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space with k-means, then prune — within each cluster only —
+    every vector whose cosine similarity to a LOWER-id cluster-mate
+    reaches ``threshold`` (the deterministic stand-in for the paper's
+    keep-one-representative rule). Returns (id, centroid_id, pruned),
+    one row per input vector.
+
+    This is THE scale trick of semantic dedup: the quadratic pairwise
+    cosine runs per-cluster, never corpus-wide — k is chosen so clusters
+    average n/k vectors and the pair count is n²/k, not n² (the paper
+    uses k ~ 10^4-10^5 at billion-doc scale; the in-cluster join here
+    shuffles on centroid_id, so a runaway cluster is a skew key — AQE
+    skew-join splits it, and the k-means objective itself keeps clusters
+    balanced). Cosines are rounded to 6dp BEFORE the threshold compare
+    so no float-boundary vector flips between engines."""
+    assigned = kmeans_iterate(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
+    vectors = df.select(F.col(id_col), as_double(vec_col).alias("__v"))
+    withv = assigned.select(id_col, "centroid_id").join(vectors, id_col)
+    left = withv.select(
+        F.col(id_col).alias("__id_a"), "centroid_id", F.col("__v").alias("__va")
+    )
+    right = withv.select(
+        F.col(id_col).alias("__id_b"), "centroid_id", F.col("__v").alias("__vb")
+    )
+    pruned = (
+        left.join(right, "centroid_id")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .withColumn("__cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+        .withColumn("__pruned", F.lit(True))
+    )
+    return (
+        withv.join(pruned, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            F.coalesce(F.col("__pruned"), F.lit(False)).alias("pruned"),
+        )
+        .orderBy(id_col)
     )
 
 

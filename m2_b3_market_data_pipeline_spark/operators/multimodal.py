@@ -277,3 +277,32 @@ def perceptual_hash(
         F.sum(F.expr(bit.format(cmp="< 32", off=""))).alias("simhash_lo"),
         F.sum(F.expr(bit.format(cmp=">= 32", off="- 32"))).alias("simhash_hi"),
     )
+
+
+def frame_dedup(
+    frames: DataFrame, *, id_col: str = "doc_id", hash_col: str = "frame_hash",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicate-frame detection over the output of
+    ``sample_frames``: group the sampled frames by content hash and keep
+    hashes seen in >= ``min_docs`` distinct payloads — the video-corpus
+    analog of exact text dedup (intro cards, logo stings, and re-uploads
+    share identical frames long before whole files match).
+
+    One shuffle on the 16-byte frame hash — at 100 TB the frames
+    relation is ``n_frames`` rows per video of a few dozen bytes each,
+    so this aggregates orders of magnitude less data than the payloads
+    themselves; the count-distinct expands the hash groups 2x (doc-id
+    dedup within group), bounded by n_frames x docs. Downstream, the
+    surviving hash set joins back to prune or cluster the source videos
+    (same composition as exact_dedup -> clusters)."""
+    return (
+        frames.groupBy(hash_col)
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("min_doc_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(hash_col)
+    )

@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     expansion_dedup,
     expansion_embeddings,
     expansion_round6,
+    expansion_round6b,
     expansion_similarity,
     expansion_text,
     expansion_text2,
@@ -101,6 +102,13 @@ CHECK_PRIORITY: list[str] = [
     "quality_gate_funnel",
     "audio_frame_energy",
     "lsh_recall_check",
+    # --- Round-6 second wave (this session): semantic dedup, duplicated
+    # n-gram span coverage, duplicate-frame detection. New queries go in
+    # the window (the round-5 lesson); the TPC-H core re-proofs
+    # q4/q7/q14 rotate out to make room — their r2/r3 rows stand. ---
+    "semdedup_prune",
+    "dup_ngram_spans",
+    "frame_dedup",
     # --- Queries whose only green row is round 1 (stalest evidence). ---
     "label_centroids",
     "multimodal_frames",
@@ -132,13 +140,6 @@ CHECK_PRIORITY: list[str] = [
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---
     "refined_pipeline",
-    # --- TPC-H relational core re-proof (last green r2/r3). The
-    # q11/q16/q20 lineitem re-expressions rotate out to make room for
-    # the round-6 additions above — their r2/r3 rows stand, and their
-    # literal partsupp siblings cover the same shapes in this window. ---
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q14_promo_share",
 ]
 
 

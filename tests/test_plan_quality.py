@@ -398,7 +398,7 @@ def test_surface_wide_aggregate_and_join_lint(spark, sf_dir):
         # struct-argmin / first-last buffers
         "pq_codes", "pq_ann_topk", "resample_ohlc", "streaming_dedup",
         # collect_list over the BOUNDED k x dim centroid rebuild frame
-        "kmeans_clusters",
+        "kmeans_clusters", "semdedup_prune",
     }
     offenders = {}
     for name, fn in all_queries.QUERIES.items():
@@ -413,6 +413,34 @@ def test_surface_wide_aggregate_and_join_lint(spark, sf_dir):
         if "CartesianProduct" in hits or (hits and name not in INTRINSIC):
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_semdedup_in_cluster_join_is_equi_join(spark, sf_dir):
+    """SemDeDup's whole point is bounding the pairwise cosine to
+    in-cluster pairs: the pair join must key on centroid_id (hash or
+    sort-merge equi-join), never a nested-loop over the corpus. The
+    id_a < id_b constraint stays a residual on that join. (The
+    BroadcastNestedLoopJoins in the plan are kmeans_iterate's argmin
+    assigns — K broadcast centroids against the corpus, by design.)"""
+    plan = _plan(all_queries.QUERIES["semdedup_prune"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"keys \[1\]: \[centroid_id#\d+", plan), plan
+
+
+def test_dup_ngram_spans_persists_shared_gram_stream(spark, sf_dir):
+    """The positional-gram stream feeds two consumers (document-
+    frequency table + membership join); without the persist Spark
+    re-runs the tokenize+shingle+explode subtree per consumer — the
+    boilerplate_frac lesson. The duplicated-gram set joins back via a
+    shuffle equi-join (it scales with the corpus; broadcast would OOM
+    at 100 TB)."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+
+    df = all_queries.QUERIES["dup_ngram_spans"](spark, sf_dir)
+    plan = _plan(df)
+    release_cached(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_fuzzy_match_blocks_via_hash_join(spark, sf_dir):
