@@ -83,7 +83,6 @@ HEADLINE = [
     "markov_transitions",
     "fuzzy_name_match",
     "json_parse_audit",
-    "snapshot_diff",
     # round-5 incremental-curation wave
     "incremental_near_dedup",
     # round-6: literal partsupp TPC-H graphs + sketch accuracy checks
@@ -95,17 +94,20 @@ HEADLINE = [
     "approx_distinct_check",
     "approx_quantile_check",
     "ann_recall_check",
-    "mixture_rebalance",
     "boilerplate_frac",
     "orc_roundtrip",
     "token_fertility",
     "quality_gate_funnel",
     "audio_frame_energy",
     "lsh_recall_check",
-    # round-6 second wave: semantic dedup + duplicated-span coverage
-    # (frame_dedup rides the already-benched multimodal_frames path)
+    # round-6 second wave: semantic dedup, duplicated-span coverage,
+    # DSIR importance weights, LM quality deciles (frame_dedup rides the
+    # already-benched multimodal_frames path; snapshot_diff and
+    # mixture_rebalance rotate out — <0.4s, families still covered)
     "semdedup_prune",
     "dup_ngram_spans",
+    "dsir_weights",
+    "lm_quality_buckets",
 ]
 
 

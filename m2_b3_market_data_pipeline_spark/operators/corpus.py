@@ -289,3 +289,74 @@ def contamination_overlap(
             (F.coalesce("n_overlap_grams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+DSIR_SEED = 31
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    *,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every document by how target-like it is under hashed-n-gram
+    multinomial models. Features are word unigrams + bigrams hashed
+    into ``n_buckets``; the target and raw bucket distributions are
+    Laplace-smoothed counts (target = rows where ``target`` is true,
+    raw = the whole corpus); each doc's ``log_weight`` is the summed
+    log2 likelihood ratio of its feature occurrences — the sampling
+    weight importance resampling draws against.
+
+    Scale shape: ONE explode of the feature stream (persisted — it
+    feeds the bucket-count aggregate and the scoring join; at 100 TB
+    materialize it, or the bucket table, once); both n-gram models
+    together are one ``n_buckets``-row table (two counts per bucket in
+    a single map-side-combined aggregate — the hashing trick is exactly
+    what makes the model broadcastable at any corpus size, vs an
+    unbounded vocabulary); totals ride a 1-row broadcast; scoring joins
+    the broadcast model back onto the stream. All counts are exact
+    integers; the only floats are the final log2s, summed per doc and
+    rounded at the edge. Docs with zero features (empty/NULL text) have
+    no defined weight and drop out — the caller's funnel accounts for
+    them upstream (quality_gate_funnel stage 0).
+    """
+    from ..functions.textfns import seeded_hash60
+
+    toks = tokens(text_col)
+    feats = F.concat(toks, shingles(toks, 2, distinct=False))
+    ex = (
+        df.select(
+            F.col(id_col), target.alias("__is_t"), F.explode(feats).alias("__feat")
+        )
+        .withColumn("__b", seeded_hash60(F.col("__feat"), DSIR_SEED) % n_buckets)
+        .persist()
+    )
+    buckets = ex.groupBy("__b").agg(
+        F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__nt"),
+        F.count("*").alias("__nr"),
+    )
+    totals = buckets.agg(
+        F.sum("__nt").alias("__tt"), F.sum("__nr").alias("__tr")
+    )
+    model = buckets.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log2((F.col("__nt") + 1) / (F.col("__tt") + n_buckets))
+            - F.log2((F.col("__nr") + 1) / (F.col("__tr") + n_buckets))
+        ).alias("__lr"),
+    )
+    out = (
+        ex.join(F.broadcast(model), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("__lr"), 6).alias("log_weight"),
+        )
+        .orderBy(id_col)
+    )
+    out._cached_frames = [ex]  # type: ignore[attr-defined]
+    return out

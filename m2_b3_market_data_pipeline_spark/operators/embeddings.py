@@ -173,7 +173,12 @@ def semdedup(
     so no float-boundary vector flips between engines."""
     assigned = kmeans_iterate(df, id_col=id_col, vec_col=vec_col, k=k, iters=iters)
     vectors = df.select(F.col(id_col), as_double(vec_col).alias("__v"))
-    withv = assigned.select(id_col, "centroid_id").join(vectors, id_col)
+    # (id, centroid, vector) feeds THREE consumers — both sides of the
+    # pair join and the final output join. Without the persist each one
+    # replays the whole k-means DAG (measured 3x the work at sf0.1);
+    # _cached_frames contract as minhash — release via release_cached.
+    # At 100 TB the same role is played by materializing the assignment.
+    withv = assigned.select(id_col, "centroid_id").join(vectors, id_col).persist()
     left = withv.select(
         F.col(id_col).alias("__id_a"), "centroid_id", F.col("__v").alias("__va")
     )
@@ -189,7 +194,7 @@ def semdedup(
         .distinct()
         .withColumn("__pruned", F.lit(True))
     )
-    return (
+    out = (
         withv.join(pruned, id_col, "left")
         .select(
             id_col,
@@ -198,6 +203,8 @@ def semdedup(
         )
         .orderBy(id_col)
     )
+    out._cached_frames = [withv]  # type: ignore[attr-defined]
+    return out
 
 
 def assign_centroids(

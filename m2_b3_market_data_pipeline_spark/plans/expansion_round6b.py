@@ -168,3 +168,124 @@ def frame_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(attach_binary(docs)), n_frames=4, frame_bytes=16
     )
     return frame_dedup(frames)
+
+
+DSIR_BUCKETS = 256
+DSIR_SEED = 31  # mirrors operators/corpus.py::DSIR_SEED
+
+
+@register(
+    "dsir_weights",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang = 'en' AS is_t, {TK} AS tk FROM documents),
+f AS (
+    SELECT doc_id, is_t,
+           unnest(tk || list_transform(range(len(tk) - 1),
+                  i -> tk[i+1] || ' ' || tk[i+2])) AS feat
+    FROM t),
+fb AS (
+    SELECT doc_id, is_t,
+           CAST(('0x' || substr(md5('{DSIR_SEED}|' || feat), 1, 15)) AS BIGINT)
+             % {DSIR_BUCKETS} AS b
+    FROM f),
+bk AS (
+    SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt, COUNT(*) AS nr
+    FROM fb GROUP BY b),
+tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS tt, CAST(SUM(nr) AS BIGINT) AS tr FROM bk),
+m AS (
+    SELECT b, log2((nt + 1.0) / (tt + {DSIR_BUCKETS}))
+            - log2((nr + 1.0) / (tr + {DSIR_BUCKETS})) AS lr
+    FROM bk CROSS JOIN tot)
+SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       ROUND(SUM(m.lr), 6) AS log_weight
+FROM fb JOIN m USING (b)
+GROUP BY fb.doc_id
+ORDER BY fb.doc_id
+""",
+)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) with lang='en' as the
+    target distribution: hashed unigram+bigram multinomials
+    (Laplace-smoothed, {DSIR_BUCKETS} buckets — the hashing trick that
+    keeps the model broadcast-sized at any corpus scale), per-doc
+    summed log2 likelihood ratio. Exact integer counts; the only
+    floats are the final log2s, rounded at the edge
+    (operators/corpus.py::dsir_log_weights)."""
+    from ..operators.corpus import dsir_log_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_log_weights(
+        docs, target=F.col("lang") == "en", n_buckets=DSIR_BUCKETS
+    )
+
+
+# Decile boundaries as exact interpolated percentiles of the ROUNDED
+# score: rounding first makes the multiset engine-identical (the
+# trigram_lm_score hash-match is the proof), so the boundaries agree.
+LM_DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def _trigram_oracle() -> str:
+    from . import expansion_wave6  # noqa: F401  (registers trigram_lm_score)
+    from .registry import ORACLES
+
+    return ORACLES["trigram_lm_score"]
+
+
+@register(
+    "lm_quality_buckets",
+    oracle=f"""
+WITH sc AS ({_trigram_oracle()}),
+b AS (SELECT quantile_cont(avg_logp, {LM_DECILES}) AS bs FROM sc),
+a AS (
+    SELECT sc.doc_id, sc.n_trigrams, sc.avg_logp,
+           CAST(len(list_filter(b.bs, x -> sc.avg_logp > x)) AS BIGINT) AS bucket
+    FROM sc CROSS JOIN b)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(avg_logp), 6) AS avg_score,
+       ROUND(MIN(avg_logp), 6) AS min_score,
+       ROUND(MAX(avg_logp), 6) AS max_score,
+       CAST(SUM(n_trigrams) AS BIGINT) AS total_trigrams
+FROM a GROUP BY bucket ORDER BY bucket
+""",
+)
+def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: split the corpus into deciles
+    of the char-trigram LM score (head/middle/tail quality tiers a
+    curation run keeps, down-weights, or drops). Scale-honest global
+    quantiles: decile boundaries come from ONE exact-percentile
+    aggregate (the TypedImperativeAggregate sketch family — at 100 TB
+    swap in approx_percentile, same shape), broadcast back as 9 values;
+    bucket assignment is a codegen'd fold per row — NO global sort, NO
+    single-partition NTILE window. Spark ``percentile`` interpolates
+    identically to DuckDB ``quantile_cont`` (exact_percentiles is the
+    standing proof)."""
+    from ..operators.text import trigram_lm_scores
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scores = trigram_lm_scores(docs)
+    qs = ", ".join(str(q) for q in LM_DECILES)
+    bounds = scores.agg(
+        F.expr(f"percentile(avg_logp, array({qs}))").alias("bs")
+    )
+    assigned = scores.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.expr(
+            "CAST(aggregate(bs, 0, (acc, x) -> acc + "
+            "CASE WHEN avg_logp > x THEN 1 ELSE 0 END) AS BIGINT)"
+        ),
+    )
+    out = (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("avg_logp"), 6).alias("avg_score"),
+            F.round(F.min("avg_logp"), 6).alias("min_score"),
+            F.round(F.max("avg_logp"), 6).alias("max_score"),
+            F.sum("n_trigrams").alias("total_trigrams"),
+        )
+        .orderBy("bucket")
+    )
+    out._cached_frames = getattr(scores, "_cached_frames", [])
+    return out

@@ -394,7 +394,7 @@ def test_surface_wide_aggregate_and_join_lint(spark, sf_dir):
     INTRINSIC = {
         # percentile / approx_percentile sketch buffers
         "exact_percentiles", "approx_quantiles", "approx_quantile_check",
-        "percentile_binning", "mad_outliers",
+        "percentile_binning", "mad_outliers", "lm_quality_buckets",
         # struct-argmin / first-last buffers
         "pq_codes", "pq_ann_topk", "resample_ohlc", "streaming_dedup",
         # collect_list over the BOUNDED k x dim centroid rebuild frame

@@ -104,3 +104,51 @@ def test_frame_dedup_finds_planted_duplicate_payloads(spark):
     assert out, "planted duplicate payloads must surface"
     for r in out:
         assert r.n_docs == 2 and r.min_doc_id == 1 and r.n_frames == 2
+
+
+def test_dsir_upweights_target_like_docs(spark):
+    # Target docs (is_t) are built from a disjoint "target vocabulary";
+    # a held-out doc written in that vocabulary must out-weight a doc
+    # written in the raw-only vocabulary.
+    from m2_b3_market_data_pipeline_spark.operators.corpus import dsir_log_weights
+    from pyspark.sql import functions as F
+
+    target_text = "alpha beta gamma delta alpha beta gamma delta"
+    raw_text = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(i, "t", target_text) for i in range(5)]
+        + [(10 + i, "r", raw_text) for i in range(5)]
+        + [(100, "q", "alpha beta gamma delta"), (101, "q", "one two three four")],
+        "doc_id long, grp string, text string",
+    )
+    out = dsir_log_weights(docs, target=F.col("grp") == "t", n_buckets=64)
+    got = {r.doc_id: r.log_weight for r in out.collect()}
+    release_cached(out)
+    assert got[100] > got[101], (got[100], got[101])
+    # weights are per-occurrence sums: the pure-target doc scores above 0
+    # (its features are over-represented in the target distribution)
+    assert got[100] > 0 > got[101]
+
+
+def test_lm_quality_buckets_partition_the_corpus(spark, sf_dir):
+    from m2_b3_market_data_pipeline_spark.plans.expansion_round6b import (
+        lm_quality_buckets,
+    )
+
+    df = lm_quality_buckets(spark, sf_dir)
+    rows = df.collect()
+    release_cached(df)
+    assert [r.bucket for r in rows] == sorted(r.bucket for r in rows)
+    assert 2 <= len(rows) <= 10  # deciles (ties can merge buckets)
+    # buckets are score-ordered and non-overlapping
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_score <= hi.min_score
+    # every scored doc lands in exactly one bucket
+    from m2_b3_market_data_pipeline_spark.operators.text import trigram_lm_scores
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = trigram_lm_scores(docs)
+    n = scored.count()
+    release_cached(scored)
+    assert sum(r.n_docs for r in rows) == n
