@@ -360,3 +360,78 @@ def dsir_log_weights(
     )
     out._cached_frames = [ex]  # type: ignore[attr-defined]
     return out
+
+
+def bigram_pmi(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Collocation mining via pointwise mutual information: the top-k
+    adjacent token pairs whose joint frequency most exceeds what their
+    marginals predict — the classic signal for multi-word expressions,
+    tokenizer merge candidates (BPE seeds), and template detection.
+
+    PMI(w1,w2) = log2 P(w1 w2) - log2 P(w1) - log2 P(w2), with the pair
+    probability under the bigram-occurrence total and the marginals
+    under the token-occurrence total; pairs below ``min_count`` are cut
+    first (PMI's low-frequency pathology). Computed as separate log2s of
+    double ratios — the integer cross-product form would overflow BIGINT
+    at corpus scale (N² with N ~ 10^12 tokens at 100 TB).
+
+    Scale shape: one explode each for unigram and bigram occurrence
+    counts (both map-side combined); the two totals are 1-row
+    broadcasts; the bigram->marginal lookups are shuffle EQUI-JOINS on
+    the token (the vocabulary scales with the corpus — broadcast would
+    not survive web-scale vocab; the frequency cut shrinks the left
+    side first); the top-k compiles to TakeOrderedAndProject. Ordering
+    is total: (pmi desc, w1, w2) on the 6dp-rounded score."""
+    toks = tokens(text_col)
+    # Both count tables feed two consumers each (their total + the
+    # scoring join): persist them so each corpus explode runs ONCE.
+    # They are vocab-sized (unigram) / pair-vocab-sized (bigram), so
+    # the cache cost is bounded by the vocabulary, not the corpus.
+    # _cached_frames contract as minhash — release via release_cached.
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+        .persist()
+    )
+    bi_counts = (
+        df.select(F.explode(_bigrams(toks)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("n_pair"))
+        .persist()
+    )
+    totals = uni.agg(F.sum("n_w").alias("n_tok")).crossJoin(
+        bi_counts.agg(F.sum("n_pair").alias("n_bi"))
+    )
+    bi = (
+        bi_counts.filter(F.col("n_pair") >= min_count)
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    scored = (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log2(F.col("n_pair") / F.col("n_bi"))
+                - F.log2(F.col("n_w1") / F.col("n_tok"))
+                - F.log2(F.col("n_w2") / F.col("n_tok")),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    out = scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)
+    out._cached_frames = [uni, bi_counts]  # type: ignore[attr-defined]
+    return out

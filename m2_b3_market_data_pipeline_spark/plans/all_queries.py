@@ -73,10 +73,11 @@ from .registry import ORACLES, QUERIES
 # Queries already green in a prior round rotate past slot 50 — their
 # evidence is on record in those CORRECTNESS files.
 #
-# ROUND-7 FRONT-LOAD DUE: ``dsir_weights`` and ``lm_quality_buckets``
-# landed after this round's window filled (local oracle PASS at sf0.01
-# and sf0.1, tools/check_oracle.py); they go FIRST next round, ahead of
-# any rotation re-proofs.
+# ROUND-7 FRONT-LOAD DUE: ``dsir_weights``, ``lm_quality_buckets``,
+# ``bigram_pmi``, and ``source_overlap_matrix`` landed after this
+# round's window filled (local oracle PASS at sf0.01 and sf0.1,
+# tools/check_oracle.py); they go FIRST next round, ahead of any
+# rotation re-proofs.
 CHECK_PRIORITY: list[str] = [
     # --- Round-5 additions with no driver row yet (registered behind
     # the r5 window; verified locally, now due for driver evidence). ---

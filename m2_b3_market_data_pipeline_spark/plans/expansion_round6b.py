@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import dup_ngram_coverage, fan_out
 from ..operators.embeddings import semdedup
 from ..operators.multimodal import attach_binary, frame_dedup, sample_frames
+from .expansion_dedup import minhash_pairs_sql
 from .expansion_embeddings import (
     KMEANS_ITERS,
     N_CENTROIDS,
@@ -288,4 +289,95 @@ def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
     )
     out._cached_frames = getattr(scores, "_cached_frames", [])
+    return out
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+@register(
+    "bigram_pmi",
+    oracle=f"""
+WITH t AS (SELECT {TK} AS tk FROM documents),
+uni AS (SELECT tok AS w, COUNT(*) AS n_w
+        FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY tok),
+bic AS (SELECT bg, COUNT(*) AS n_pair FROM (
+            SELECT unnest(list_transform(range(len(tk) - 1),
+                          i -> tk[i+1] || ' ' || tk[i+2])) AS bg
+            FROM t) GROUP BY bg),
+tot AS (SELECT (SELECT SUM(n_w) FROM uni) AS n_tok,
+               (SELECT SUM(n_pair) FROM bic) AS n_bi),
+scored AS (
+    SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           ROUND(log2(n_pair * 1.0 / n_bi)
+                 - log2(u1.n_w * 1.0 / n_tok)
+                 - log2(u2.n_w * 1.0 / n_tok), 6) AS pmi
+    FROM bic CROSS JOIN tot
+    JOIN uni u1 ON u1.w = split_part(bg, ' ', 1)
+    JOIN uni u2 ON u2.w = split_part(bg, ' ', 2)
+    WHERE n_pair >= {PMI_MIN_COUNT})
+SELECT w1, w2, n_pair, pmi FROM scored
+ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP_K}
+""",
+)
+def bigram_pmi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP_K} collocations by pointwise mutual information —
+    multi-word-expression / BPE-merge-candidate mining over the corpus
+    (operators/corpus.py::bigram_pmi). Marginal lookups are equi-joins
+    on the token (vocabulary scales with the corpus; never broadcast),
+    totals are 1-row broadcasts, top-k compiles to
+    TakeOrderedAndProject."""
+    from ..operators.corpus import bigram_pmi
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_pmi(docs, min_count=PMI_MIN_COUNT, k=PMI_TOP_K)
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+WITH {minhash_pairs_sql()}
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(p.jaccard), 6) AS avg_jaccard
+FROM mh_pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup provenance matrix: verified MinHash+LSH
+    pairs folded by (source, source) with canonical ordering — the
+    table that answers 'which crawls/feeds duplicate each other', the
+    input to licensing and mixture decisions. Complements
+    ``dedup_rate_by_source`` (per-source rate) with the PAIRWISE view.
+    Costs two corpus-keyed equi-joins (doc -> source lookup) over the
+    already-banded pair set plus a source²-bounded fold — nothing
+    quadratic in docs."""
+    docs = load(spark, sf_dir, "documents")
+    from ..operators.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(docs)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb"))
+    out = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+    out._cached_frames = getattr(pairs, "_cached_frames", [])
     return out

@@ -152,3 +152,35 @@ def test_lm_quality_buckets_partition_the_corpus(spark, sf_dir):
     n = scored.count()
     release_cached(scored)
     assert sum(r.n_docs for r in rows) == n
+
+
+def test_bigram_pmi_ranks_fixed_collocation_first(spark):
+    # "hong kong" always co-occur (and never apart); "the cat" co-occur
+    # but both words also appear independently everywhere else.
+    docs = spark.createDataFrame(
+        [(i, "hong kong visit the cat and the dog saw the bird") for i in range(6)],
+        "doc_id long, text string",
+    )
+    from m2_b3_market_data_pipeline_spark.operators.corpus import bigram_pmi
+
+    out = bigram_pmi(docs, min_count=5, k=10)
+    rows = out.collect()
+    release_cached(out)
+    by_pair = {(r.w1, r.w2): r.pmi for r in rows}
+    # exclusive pairs (e.g. hong+kong, both words only in this pair) tie
+    # at max PMI; pairs involving the 3x-more-frequent "the" score lower
+    assert by_pair[("hong", "kong")] == max(by_pair.values())
+    assert by_pair[("hong", "kong")] > by_pair[("the", "cat")]
+
+
+def test_source_overlap_matrix_crosses_sources(spark, sf_dir):
+    from m2_b3_market_data_pipeline_spark.plans.expansion_round6b import (
+        source_overlap_matrix,
+    )
+
+    df = source_overlap_matrix(spark, sf_dir)
+    rows = df.collect()
+    release_cached(df)
+    for r in rows:
+        assert r.source_a <= r.source_b  # canonical ordering
+        assert r.n_pairs >= 1 and 0.0 <= r.avg_jaccard <= 1.0
