@@ -443,6 +443,33 @@ def test_dup_ngram_spans_persists_shared_gram_stream(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_bigram_pmi_topk_and_shared_counts(spark, sf_dir):
+    """The top-k must compile to TakeOrderedAndProject (never a global
+    sort of the scored pairs) and the persisted count tables must feed
+    both their totals and the scoring joins (InMemoryTableScan)."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+
+    df = all_queries.QUERIES["bigram_pmi"](spark, sf_dir)
+    plan = _plan(df)
+    release_cached(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_dsir_model_broadcasts_and_stream_is_shared(spark, sf_dir):
+    """The bucket model (n_buckets rows) must broadcast onto the
+    feature stream — a shuffle join keyed on bucket would move the
+    whole corpus for a 256-row lookup — and the exploded feature
+    stream must be persisted (two consumers)."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+
+    df = all_queries.QUERIES["dsir_weights"](spark, sf_dir)
+    plan = _plan(df)
+    release_cached(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
 def test_fuzzy_match_blocks_via_hash_join(spark, sf_dir):
     """The COMPOSITE blocking key (first char, length band) must become
     the hash-join key with levenshtein as a residual — a nested-loop
