@@ -435,3 +435,56 @@ def bigram_pmi(
     out = scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)
     out._cached_frames = [uni, bi_counts]  # type: ignore[attr-defined]
     return out
+
+
+def quality_gate_stats(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document quality-gate flags — the shared front end of the
+    batch funnel (plans/expansion_round6.py::quality_gate_funnel) and
+    the streaming funnel sink (streaming/funnel_sink.py), so both
+    surfaces gate identically by construction.
+
+    (id, n_tok, g1, g2, g3) with CUMULATIVE gates: (1) length >= 20
+    tokens, (2) >= 90% tokens of sane length 2-12 chars, (3) top token
+    <= 20% of the doc. Thresholds compare in exact integer arithmetic
+    (cross-multiplied). Zero-token and NULL-text docs survive as
+    all-False rows (explode drops empty arrays; they re-enter via the
+    union branch) — a funnel whose stage-0 count is wrong is useless."""
+    tk = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("__tk"),
+    ).select(
+        id_col,
+        "__tk",
+        F.when(F.col("__tk").isNull(), F.lit(0))
+        .otherwise(F.size("__tk"))
+        .alias("n_tok"),
+    )
+    per_tok = tk.filter(F.col("n_tok") > 0).select(
+        id_col, "n_tok", F.explode("__tk").alias("__tok")
+    )
+    counts = per_tok.groupBy(id_col, "n_tok", "__tok").agg(
+        F.count("*").alias("__cnt")
+    )
+    per_doc = counts.groupBy(id_col, "n_tok").agg(
+        F.max("__cnt").alias("__top_tok_cnt"),
+        F.sum(
+            F.when(F.length("__tok").between(2, 12), F.col("__cnt")).otherwise(
+                F.lit(0)
+            )
+        ).alias("__ok_len_toks"),
+    ).unionByName(
+        tk.filter(F.col("n_tok") == 0).select(
+            id_col,
+            "n_tok",
+            F.lit(0).cast("long").alias("__top_tok_cnt"),
+            F.lit(0).cast("long").alias("__ok_len_toks"),
+        )
+    )
+    g1 = F.col("n_tok") >= 20
+    g2 = g1 & (F.col("__ok_len_toks") * 10 >= F.col("n_tok") * 9)
+    g3 = g2 & (F.col("__top_tok_cnt") * 5 <= F.col("n_tok"))
+    return per_doc.select(
+        id_col, "n_tok", g1.alias("g1"), g2.alias("g2"), g3.alias("g3")
+    )

@@ -360,38 +360,18 @@ def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero-token and NULL-text docs MUST still count in stage 0 (they
     fail every gate, but a funnel whose input row count is wrong is
     useless): explode drops empty arrays, so those docs re-enter via
-    the union branch with all-zero stats."""
-    tk = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        tokens("text").alias("tk"),
-    ).select(
-        "doc_id",
-        "tk",
-        F.when(F.col("tk").isNull(), F.lit(0)).otherwise(F.size("tk")).alias("n_tok"),
+    the union branch with all-zero stats.
+
+    The per-doc gate computation is the SHARED
+    ``operators/corpus.py::quality_gate_stats`` — the streaming funnel
+    sink (streaming/funnel_sink.py) gates through the same code, so the
+    continuously-maintained funnel cannot drift from this oracle-checked
+    batch form."""
+    from ..operators.corpus import quality_gate_stats
+
+    gated = quality_gate_stats(load(spark, sf_dir, "documents")).select(
+        "n_tok", "g1", "g2", "g3"
     )
-    per_tok = tk.filter(F.col("n_tok") > 0).select(
-        "doc_id", "n_tok", F.explode("tk").alias("tok")
-    )
-    counts = per_tok.groupBy("doc_id", "n_tok", "tok").agg(
-        F.count("*").alias("cnt")
-    )
-    per_doc = counts.groupBy("doc_id", "n_tok").agg(
-        F.max("cnt").alias("top_tok_cnt"),
-        F.sum(
-            F.when(F.length("tok").between(2, 12), F.col("cnt")).otherwise(F.lit(0))
-        ).alias("ok_len_toks"),
-    ).unionByName(
-        tk.filter(F.col("n_tok") == 0).select(
-            "doc_id",
-            "n_tok",
-            F.lit(0).cast("long").alias("top_tok_cnt"),
-            F.lit(0).cast("long").alias("ok_len_toks"),
-        )
-    )
-    g1 = F.col("n_tok") >= 20
-    g2 = g1 & (F.col("ok_len_toks") * 10 >= F.col("n_tok") * 9)
-    g3 = g2 & (F.col("top_tok_cnt") * 5 <= F.col("n_tok"))
-    gated = per_doc.select("n_tok", g1.alias("g1"), g2.alias("g2"), g3.alias("g3"))
     agg = gated.agg(
         F.count("*").alias("d0"),
         F.sum("n_tok").alias("t0"),

@@ -184,3 +184,15 @@ def test_source_overlap_matrix_crosses_sources(spark, sf_dir):
     for r in rows:
         assert r.source_a <= r.source_b  # canonical ordering
         assert r.n_pairs >= 1 and 0.0 <= r.avg_jaccard <= 1.0
+
+
+def test_dup_ngram_coverage_null_text_counts_as_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "one two three four five six"), (3, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    out = dup_ngram_coverage(docs, n=5, min_df=2)
+    got = {r.doc_id: r for r in out.collect()}
+    release_cached(out)
+    assert got[1].n_tok == 0 and got[1].covered_tokens == 0 and got[1].dup_frac == 0.0
+    assert got[2].covered_tokens == 6  # the planted twins still match

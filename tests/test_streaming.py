@@ -715,3 +715,66 @@ def test_streaming_mixture_matches_batch_corpus_mixture(spark, sf_dir, tmp_path)
         ).collect()
     }
     assert got == direct
+
+
+def test_streaming_funnel_matches_batch_quality_gate_funnel(spark, sf_dir, tmp_path):
+    """Draining document batches through the funnel sink converges to
+    EXACTLY the one-shot quality-gate funnel over the union of all
+    batches — the streaming materialized-view twin of the curation
+    funnel, gating through the SHARED quality_gate_stats code path
+    (zero-token docs included in stage 0)."""
+    from pyspark.sql import types as T
+
+    from m2_b3_market_data_pipeline_spark.operators.corpus import quality_gate_stats
+    from m2_b3_market_data_pipeline_spark.streaming.funnel_sink import (
+        read_funnel,
+        run_incremental_funnel_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # plant a zero-token and a NULL-text doc: they must count in stage 0
+    extra = spark.createDataFrame(
+        [(900001, "   "), (900002, None)], "doc_id long, text string"
+    )
+    docs = docs.unionByName(extra)
+    updates = str(tmp_path / "fn_updates")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{updates}/b1")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    state = str(tmp_path / "fn_state")
+    ckpt = str(tmp_path / "fn_ckpt")
+
+    def drain():
+        run_incremental_funnel_stream(
+            spark,
+            updates_path=updates,
+            state_path=state,
+            checkpoint_path=ckpt,
+            schema=schema,
+        ).awaitTermination(120)
+
+    drain()
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(f"{updates}/b2")
+    drain()
+
+    got = {r.stage: (r.docs, r.tokens) for r in read_funnel(spark, state).collect()}
+    g = quality_gate_stats(docs)
+    agg = g.agg(
+        F.count("*").alias("d0"), F.sum("n_tok").alias("t0"),
+        F.count(F.when(F.col("g1"), 1)).alias("d1"),
+        F.coalesce(F.sum(F.when(F.col("g1"), F.col("n_tok"))), F.lit(0)).alias("t1"),
+        F.count(F.when(F.col("g2"), 1)).alias("d2"),
+        F.coalesce(F.sum(F.when(F.col("g2"), F.col("n_tok"))), F.lit(0)).alias("t2"),
+        F.count(F.when(F.col("g3"), 1)).alias("d3"),
+        F.coalesce(F.sum(F.when(F.col("g3"), F.col("n_tok"))), F.lit(0)).alias("t3"),
+    ).collect()[0]
+    expected = {
+        0: (agg.d0, agg.t0), 1: (agg.d1, agg.t1),
+        2: (agg.d2, agg.t2), 3: (agg.d3, agg.t3),
+    }
+    assert got == expected
+    # total row count sanity: stage 0 counts EVERY landed doc
+    assert got[0][0] == docs.count()
