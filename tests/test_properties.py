@@ -277,3 +277,90 @@ def test_seeded_hash60_matches_python_md5_prefix_property(spark, values):
             want = int(hashlib.md5(f"{seed}|{v}".encode()).hexdigest()[:15], 16)
             assert got[v] == want
             assert 0 <= got[v] < 1 << 60
+
+
+words6 = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+docs_texts = st.lists(
+    st.lists(words6, min_size=0, max_size=14).map(" ".join),
+    min_size=1,
+    max_size=10,
+)
+
+
+@_slow
+@given(texts=docs_texts)
+def test_dup_ngram_coverage_invariants_property(spark, texts):
+    """Structural invariants of duplicated-span coverage on random
+    small-vocab corpora (tiny vocab => heavy gram collisions, the
+    adversarial case): coverage never exceeds the token stream, the
+    interval union never exceeds dup_positions * n, positions are
+    bounded by the gram count, and an exact duplicate of a long-enough
+    doc is covered END TO END."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import (
+        dup_ngram_coverage,
+        release_cached,
+    )
+
+    n = 3
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # plant an exact duplicate of the first doc
+    rows.append((1000, texts[0]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dup_ngram_coverage(docs, n=n, min_df=2)
+    got = {r.doc_id: r for r in out.collect()}
+    release_cached(out)
+    assert len(got) == len(rows)
+    for r in got.values():
+        assert 0 <= r.covered_tokens <= r.n_tok
+        assert r.covered_tokens <= r.dup_positions * n
+        assert r.dup_positions <= max(0, r.n_tok - n + 1)
+        if r.dup_positions:  # each position covers at least one new-ish token
+            assert r.covered_tokens >= n  # a single gram covers n tokens
+    first_len = len([w for w in texts[0].split() if w])
+    if first_len >= n:
+        assert got[1000].covered_tokens == first_len  # exact dup fully covered
+        assert got[0].covered_tokens == first_len
+
+
+@_slow
+@given(
+    seeds=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=4, max_size=12, unique=True
+    )
+)
+def test_semdedup_witness_property(spark, seeds):
+    """Every pruned vector has a LOWER-id cluster-mate within the
+    threshold (a witness); every kept vector has none. Checked against
+    an exact recomputation of in-cluster cosines on random vectors plus
+    a planted duplicate pair."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+    from m2_b3_market_data_pipeline_spark.operators.embeddings import semdedup
+
+    def vec(s: int) -> list[float]:
+        return [math.sin(s * 7.3 + d * 1.7) + 0.1 * s for d in range(6)]
+
+    rows = [(i, vec(s)) for i, s in enumerate(sorted(seeds))]
+    rows.append((500, rows[0][1]))  # exact duplicate of vec 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tau = 0.995
+    out = semdedup(emb, k=2, iters=1, threshold=tau)
+    got = {r.vec_id: r for r in out.collect()}
+    release_cached(out)
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(num / (na * nb), 6)
+
+    by_id = dict(rows)
+    assert got[500].pruned  # the planted duplicate always prunes
+    for vid, r in got.items():
+        witnesses = [
+            o
+            for o, ro in got.items()
+            if o < vid
+            and ro.centroid_id == r.centroid_id
+            and cos(by_id[o], by_id[vid]) >= tau
+        ]
+        assert bool(witnesses) == bool(r.pruned), (vid, witnesses, r.pruned)
