@@ -136,18 +136,13 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_coverage(docs, n=DUP_NGRAM_N, min_df=DUP_NGRAM_MIN_DF)
 
 
+from .expansion_similarity import FRAMES_CTE_SQL  # noqa: E402  (shared sampling stand-in)
+
+
 @register(
     "frame_dedup",
-    oracle="""
-WITH sized AS (
-    SELECT doc_id, text, length(text) AS len
-    FROM documents WHERE length(text) >= 64
-),
-f AS (SELECT doc_id, len, text, unnest([0, 1, 2, 3]) AS frame_idx FROM sized),
-fr AS (
-    SELECT doc_id, frame_idx,
-           md5(substring(text, frame_idx * ((len - 16) // 3) + 1, 16)) AS frame_hash
-    FROM f)
+    oracle=f"""
+WITH {FRAMES_CTE_SQL}
 SELECT frame_hash,
        CAST(COUNT(*) AS BIGINT) AS n_frames,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
@@ -171,8 +166,9 @@ def frame_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_dedup(frames)
 
 
+from ..operators.corpus import DSIR_SEED  # noqa: E402  (oracle must hash with the operator's seed)
+
 DSIR_BUCKETS = 256
-DSIR_SEED = 31  # mirrors operators/corpus.py::DSIR_SEED
 
 
 @register(
@@ -265,7 +261,12 @@ def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import trigram_lm_scores
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    scores = trigram_lm_scores(docs)
+    # The scores frame feeds TWO consumers (the percentile bounds and
+    # the bucket assignment); without its own persist the broadcast-
+    # model scoring join and per-doc fold replay per consumer (the
+    # semdedup lesson) — only the gram explode inside trigram_lm_scores
+    # is persisted by the operator itself.
+    scores = trigram_lm_scores(docs).persist()
     qs = ", ".join(str(q) for q in LM_DECILES)
     bounds = scores.agg(
         F.expr(f"percentile(avg_logp, array({qs}))").alias("bs")
@@ -288,7 +289,7 @@ def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
-    out._cached_frames = getattr(scores, "_cached_frames", [])
+    out._cached_frames = [scores, *getattr(scores, "_cached_frames", [])]
     return out
 
 

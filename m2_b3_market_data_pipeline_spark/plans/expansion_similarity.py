@@ -297,17 +297,27 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_frames",
-    oracle="""
-WITH sized AS (
+# Shared frame-sampling CTE chain (ends in ``fr``): the byte-window
+# stand-in for the stubbed codec decode (4 evenly-spaced 16-byte
+# frames, payloads >= 64 bytes). ONE definition — the frame_dedup
+# oracle (plans/expansion_round6b.py) folds the same relation, so the
+# sampling stand-in cannot drift between the two checks.
+FRAMES_CTE_SQL = """sized AS (
     SELECT doc_id, text, length(text) AS len
     FROM documents WHERE length(text) >= 64
 ),
-f AS (SELECT doc_id, len, text, unnest([0, 1, 2, 3]) AS frame_idx FROM sized)
-SELECT doc_id, frame_idx,
-       md5(substring(text, frame_idx * ((len - 16) // 3) + 1, 16)) AS frame_hash
-FROM f
+f AS (SELECT doc_id, len, text, unnest([0, 1, 2, 3]) AS frame_idx FROM sized),
+fr AS (
+    SELECT doc_id, frame_idx,
+           md5(substring(text, frame_idx * ((len - 16) // 3) + 1, 16)) AS frame_hash
+    FROM f)"""
+
+
+@register(
+    "multimodal_frames",
+    oracle=f"""
+WITH {FRAMES_CTE_SQL}
+SELECT doc_id, frame_idx, frame_hash FROM fr
 """,
 )
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -73,10 +73,18 @@ def run_incremental_funnel_stream(
 def read_funnel(spark: SparkSession, state_path: str) -> DataFrame:
     """The queryable funnel: (stage, docs, tokens) — identical shape to
     the batch ``quality_gate_funnel`` query, derived from the merged
-    partials at read time."""
+    partials at read time. The batch form emits all 4 stages even when
+    a gate passes nothing (``stack(4, ...)`` with zero counts), so the
+    state — which only has rows for stages some doc REACHED — is
+    left-joined onto the 0..3 stage spine with zero fills."""
     p = spark.read.parquet(state_path)
-    return p.select(
-        "stage",
-        F.col("p_cnt").alias("docs"),
-        F.col("p_sum").alias("tokens"),
-    ).orderBy("stage")
+    spine = spark.range(4).select(F.col("id").alias("stage"))
+    return (
+        spine.join(p, "stage", "left")
+        .select(
+            "stage",
+            F.coalesce(F.col("p_cnt"), F.lit(0)).alias("docs"),
+            F.coalesce(F.col("p_sum"), F.lit(0)).alias("tokens"),
+        )
+        .orderBy("stage")
+    )

@@ -778,3 +778,36 @@ def test_streaming_funnel_matches_batch_quality_gate_funnel(spark, sf_dir, tmp_p
     assert got == expected
     # total row count sanity: stage 0 counts EVERY landed doc
     assert got[0][0] == docs.count()
+
+
+def test_streaming_funnel_emits_all_stages_when_gates_pass_nothing(spark, tmp_path):
+    """When no document passes any gate, the state holds only stage 0 —
+    read_funnel must still return all 4 stages with zero fills, matching
+    the batch twin's stack(4, ...) shape."""
+    from pyspark.sql import types as T
+
+    from m2_b3_market_data_pipeline_spark.streaming.funnel_sink import (
+        read_funnel,
+        run_incremental_funnel_stream,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "also tiny"), (3, None)],
+        "doc_id long, text string",
+    )
+    updates = str(tmp_path / "zf_updates")
+    docs.write.parquet(f"{updates}/b1")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    run_incremental_funnel_stream(
+        spark,
+        updates_path=updates,
+        state_path=str(tmp_path / "zf_state"),
+        checkpoint_path=str(tmp_path / "zf_ckpt"),
+        schema=schema,
+    ).awaitTermination(120)
+    rows = read_funnel(spark, str(tmp_path / "zf_state")).collect()
+    assert [(r.stage, r.docs, r.tokens) for r in rows] == [
+        (0, 3, 4), (1, 0, 0), (2, 0, 0), (3, 0, 0),
+    ]
