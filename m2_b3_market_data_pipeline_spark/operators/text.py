@@ -11,7 +11,7 @@ Each operator has a DuckDB oracle twin in plans/expansion_text.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import normalized_text, token_count, tokens
@@ -181,4 +181,89 @@ def trigram_lm_scores(
         )
     )
     out._cached_frames = [grams]  # type: ignore[attr-defined]
+    return out
+
+
+LANG_SEG_TOKENS = 20
+
+
+def lang_segments(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = LANG_SEG_TOKENS,
+) -> DataFrame:
+    """Code-switching / mixed-language detection: the token stream is
+    cut into fixed ``seg_tokens`` windows, each window votes a language
+    through the SAME marker contract as ``predict_lang`` (deterministic
+    argmax, 'und' on zero votes), and each doc reports its segment
+    count, majority language, agreement fraction, and the number of
+    adjacent-segment language SWITCHES — the signal that separates a
+    genuinely multilingual doc (few long runs, few switches) from
+    noisy code-switched text (many switches), which per-doc lang-ID
+    alone cannot see. Docs with zero tokens have no segments and drop
+    out (the funnel accounts for them upstream).
+
+    Scale shape: one token explode with map-side-combined per-(doc,
+    segment) marker sums (the segment relation is corpus/seg_tokens
+    rows); the argmax is a projection; switches are one lag window and
+    the majority vote one row_number window, both partitioned by doc
+    over the SEGMENT relation, never the token stream. The segment-
+    language frame feeds three consumers -> plan-scoped persist
+    (release via ``dedup.release_cached``). Integer votes only — no
+    float boundary can flip a segment between engines."""
+    toks = tokens(text_col)
+    per_tok = df.select(
+        F.col(id_col), F.posexplode(toks).alias("__pos", "__tok")
+    ).withColumn("__seg", F.expr(f"__pos div {seg_tokens}"))
+    votes = per_tok.groupBy(id_col, "__seg").agg(
+        *[
+            F.sum(F.regexp_count(F.col("__tok"), F.lit(pat))).alias(f"s_{lang}")
+            for lang, pat in LANG_MARKERS.items()
+        ]
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS])
+    seg_vote: Column = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        seg_vote = F.when(
+            (F.col(f"s_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(seg_vote)
+    seg_lang = votes.select(id_col, "__seg", seg_vote.alias("__lang")).persist()
+    w = Window.partitionBy(id_col).orderBy("__seg")
+    per_doc = (
+        seg_lang.withColumn("__prev", F.lag("__lang").over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(
+                F.when(
+                    F.col("__prev").isNotNull()
+                    & (F.col("__prev") != F.col("__lang")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_switches"),
+        )
+    )
+    counts = seg_lang.groupBy(id_col, "__lang").agg(F.count("*").alias("__cnt"))
+    w2 = Window.partitionBy(id_col).orderBy(
+        F.col("__cnt").desc(), F.col("__lang").asc()
+    )
+    major = (
+        counts.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("__lang").alias("majority_lang"), "__cnt")
+    )
+    out = (
+        per_doc.join(major, id_col)
+        .select(
+            id_col,
+            "n_segments",
+            "majority_lang",
+            F.round(F.col("__cnt") / F.col("n_segments"), 6).alias("agree_frac"),
+            "n_switches",
+        )
+        .orderBy(id_col)
+    )
+    out._cached_frames = [seg_lang]  # type: ignore[attr-defined]
     return out

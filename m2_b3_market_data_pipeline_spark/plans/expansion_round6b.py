@@ -382,3 +382,63 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._cached_frames = getattr(pairs, "_cached_frames", [])
     return out
+
+
+from ..operators.text import LANG_MARKERS, LANG_SEG_TOKENS  # noqa: E402
+
+
+def _lang_segments_oracle(seg_tokens: int = LANG_SEG_TOKENS) -> str:
+    """The segment-voting chain rendered from the SAME marker constants
+    as operators/text.py::lang_segments (one definition, two engines —
+    the expansion_text.py::_lang_case_sql pattern)."""
+    sums = ", ".join(
+        f"CAST(SUM(len(regexp_extract_all(tok, '{pat}'))) AS BIGINT) AS s_{lang}"
+        for lang, pat in LANG_MARKERS.items()
+    )
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+    whens = " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {TK} AS tk FROM documents),
+p AS (
+    SELECT doc_id, pos, tk[pos] AS tok
+    FROM (SELECT doc_id, tk,
+                 unnest(generate_series(1, CAST(len(tk) AS INT))) AS pos
+          FROM t WHERE len(tk) >= 1)),
+v AS (SELECT doc_id, (pos - 1) // {seg_tokens} AS seg, {sums}
+      FROM p GROUP BY doc_id, seg),
+b AS (SELECT *, {greatest} AS best FROM v),
+sl AS (SELECT doc_id, seg, CASE {whens} ELSE 'und' END AS lang FROM b),
+sw AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+    FROM (SELECT doc_id, lang,
+                 LAG(lang) OVER (PARTITION BY doc_id ORDER BY seg) AS prev
+          FROM sl)
+    GROUP BY doc_id),
+mc AS (SELECT doc_id, lang, COUNT(*) AS cnt FROM sl GROUP BY 1, 2),
+mj AS (
+    SELECT doc_id, lang AS majority_lang, cnt FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, lang) AS rn
+        FROM mc) WHERE rn = 1)
+SELECT s.doc_id, s.n_segments, m.majority_lang,
+       ROUND(m.cnt * 1.0 / s.n_segments, 6) AS agree_frac, s.n_switches
+FROM sw s JOIN mj m ON m.doc_id = s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@register("lang_segments", oracle=_lang_segments_oracle())
+def lang_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching detection: {LANG_SEG_TOKENS}-token segments each
+    vote a language through the predict_lang marker contract; docs
+    report segment count, majority language, agreement fraction, and
+    adjacent-segment switch count — the mixed-language curation signal
+    per-doc lang-ID cannot see (operators/text.py::lang_segments)."""
+    from ..operators.text import lang_segments
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return lang_segments(docs)

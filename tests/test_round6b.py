@@ -196,3 +196,25 @@ def test_dup_ngram_coverage_null_text_counts_as_zero(spark):
     release_cached(out)
     assert got[1].n_tok == 0 and got[1].covered_tokens == 0 and got[1].dup_frac == 0.0
     assert got[2].covered_tokens == 6  # the planted twins still match
+
+
+def test_lang_segments_detects_code_switch(spark):
+    # 20 en-marker tokens then 20 de-marker tokens => 2 segments,
+    # majority tie broken lexicographically... en/de each 1 segment;
+    # deterministic tiebreak = count desc then lang asc => 'de'.
+    en = " ".join(["the", "and", "of", "to"] * 5)
+    de = " ".join(["der", "die", "und", "ist"] * 5)
+    docs = spark.createDataFrame(
+        [(1, f"{en} {de}"), (2, en), (3, "zz qq ww ee rr tt")],
+        "doc_id long, text string",
+    )
+    from m2_b3_market_data_pipeline_spark.operators.text import lang_segments
+
+    out = lang_segments(docs, seg_tokens=20)
+    got = {r.doc_id: r for r in out.collect()}
+    release_cached(out)
+    assert got[1].n_segments == 2 and got[1].n_switches == 1
+    assert got[1].majority_lang == "de" and abs(got[1].agree_frac - 0.5) < 1e-9
+    assert got[2].n_segments == 1 and got[2].majority_lang == "en"
+    assert got[2].n_switches == 0
+    assert got[3].majority_lang == "und"  # no markers anywhere
