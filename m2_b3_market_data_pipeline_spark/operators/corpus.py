@@ -437,6 +437,14 @@ def bigram_pmi(
     return out
 
 
+# Cumulative gate flags quality_gate_stats emits, in funnel order. THE
+# stage-count definition: the batch funnel's stack, the streaming
+# sink's stage fan-out, and read_funnel's zero-fill spine all derive
+# from this — adding a gate updates every surface at once.
+GATE_COLS = ["g1", "g2", "g3"]
+N_GATE_STAGES = len(GATE_COLS) + 1  # + stage 0 (every landed doc)
+
+
 def quality_gate_stats(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -39,18 +39,22 @@ def lang_scores(text: str | Column) -> dict[str, Column]:
     return {lang: marker_count(text, pat) for lang, pat in LANG_MARKERS.items()}
 
 
-def predict_lang(text: str | Column) -> Column:
-    """Deterministic argmax over marker counts: first language (in
-    LANG_MARKERS order) with the strictly-highest vote; 'und' when all
-    votes are zero. Integer comparisons only — bit-stable across engines.
-    """
-    scores = lang_scores(text)
-    langs = list(scores)
+def vote_argmax(scores: dict[str, Column]) -> Column:
+    """THE deterministic marker-vote rule, defined once: first language
+    (in dict order) with the strictly-highest vote; 'und' when all votes
+    are zero. Integer comparisons only — bit-stable across engines.
+    Shared by ``predict_lang`` (whole-doc) and ``lang_segments``
+    (per-segment), so the two cannot drift."""
     best = F.greatest(*scores.values())
     expr: Column = F.lit("und")
-    for lang in reversed(langs):
+    for lang in reversed(list(scores)):
         expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
     return expr
+
+
+def predict_lang(text: str | Column) -> Column:
+    """Deterministic argmax over marker counts (see ``vote_argmax``)."""
+    return vote_argmax(lang_scores(text))
 
 
 def with_text_stats(df: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -210,7 +214,8 @@ def lang_segments(
     rows); the argmax is a projection; switches are one lag window and
     the majority vote one row_number window, both partitioned by doc
     over the SEGMENT relation, never the token stream. The segment-
-    language frame feeds three consumers -> plan-scoped persist
+    language frame feeds two consumers (switch aggregate + majority
+    count) -> plan-scoped persist
     (release via ``dedup.release_cached``). Integer votes only — no
     float boundary can flip a segment between engines."""
     toks = tokens(text_col)
@@ -223,12 +228,7 @@ def lang_segments(
             for lang, pat in LANG_MARKERS.items()
         ]
     )
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS])
-    seg_vote: Column = F.lit("und")
-    for lang in reversed(list(LANG_MARKERS)):
-        seg_vote = F.when(
-            (F.col(f"s_{lang}") == best) & (best > 0), F.lit(lang)
-        ).otherwise(seg_vote)
+    seg_vote = vote_argmax({lang: F.col(f"s_{lang}") for lang in LANG_MARKERS})
     seg_lang = votes.select(id_col, "__seg", seg_vote.alias("__lang")).persist()
     w = Window.partitionBy(id_col).orderBy("__seg")
     per_doc = (

@@ -391,14 +391,13 @@ def _lang_segments_oracle(seg_tokens: int = LANG_SEG_TOKENS) -> str:
     """The segment-voting chain rendered from the SAME marker constants
     as operators/text.py::lang_segments (one definition, two engines —
     the expansion_text.py::_lang_case_sql pattern)."""
+    from .expansion_text import lang_vote_sql
+
     sums = ", ".join(
         f"CAST(SUM(len(regexp_extract_all(tok, '{pat}'))) AS BIGINT) AS s_{lang}"
         for lang, pat in LANG_MARKERS.items()
     )
-    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
-    whens = " ".join(
-        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in LANG_MARKERS
-    )
+    greatest, whens = lang_vote_sql()
     return f"""
 WITH t AS (SELECT doc_id, {TK} AS tk FROM documents),
 p AS (

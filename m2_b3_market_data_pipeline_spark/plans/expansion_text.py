@@ -59,15 +59,25 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_vote_sql(prefix: str = "s_") -> tuple[str, str]:
+    """(greatest_expr, when_chain) of the marker-vote argmax — the SQL
+    twin of ``operators/text.py::vote_argmax``, defined ONCE and shared
+    with the ``lang_segments`` oracle (expansion_round6b.py) so the
+    vote contract cannot drift between queries."""
+    greatest = "greatest(" + ", ".join(f"{prefix}{lang}" for lang in LANG_MARKERS) + ")"
+    whens = " ".join(
+        f"WHEN {prefix}{lang} = best AND best > 0 THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    return greatest, whens
+
+
 def _lang_case_sql() -> str:
     score_cols = ", ".join(
         f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS INT) AS s_{lang}"
         for lang, pat in LANG_MARKERS.items()
     )
-    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
-    whens = "\n       ".join(
-        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in LANG_MARKERS
-    )
+    greatest, whens = lang_vote_sql()
     return f"""
 WITH s AS (SELECT doc_id, lang, {score_cols} FROM documents),
 b AS (SELECT *, {greatest} AS best FROM s)

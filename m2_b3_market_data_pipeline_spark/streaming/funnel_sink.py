@@ -28,18 +28,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from ..operators.corpus import quality_gate_stats
+from ..operators.corpus import GATE_COLS, N_GATE_STAGES, quality_gate_stats
 from .agg_sink import run_incremental_agg_stream
 
 
 def _stage_rows(batch: DataFrame) -> DataFrame:
-    """(stage, n_tok) — one row per stage each document reaches."""
+    """(stage, n_tok) — one row per stage each document reaches. Built
+    from GATE_COLS so a new gate flows through without edits here."""
     g = quality_gate_stats(batch)
     stages = F.array(
         F.struct(F.lit(0).cast("bigint").alias("stage"), F.lit(True).alias("ok")),
-        F.struct(F.lit(1).cast("bigint").alias("stage"), F.col("g1").alias("ok")),
-        F.struct(F.lit(2).cast("bigint").alias("stage"), F.col("g2").alias("ok")),
-        F.struct(F.lit(3).cast("bigint").alias("stage"), F.col("g3").alias("ok")),
+        *[
+            F.struct(
+                F.lit(i + 1).cast("bigint").alias("stage"), F.col(c).alias("ok")
+            )
+            for i, c in enumerate(GATE_COLS)
+        ],
     )
     return g.select(
         "n_tok", F.explode(F.filter(stages, lambda s: s["ok"])).alias("__s")
@@ -78,7 +82,7 @@ def read_funnel(spark: SparkSession, state_path: str) -> DataFrame:
     state — which only has rows for stages some doc REACHED — is
     left-joined onto the 0..3 stage spine with zero fills."""
     p = spark.read.parquet(state_path)
-    spine = spark.range(4).select(F.col("id").alias("stage"))
+    spine = spark.range(N_GATE_STAGES).select(F.col("id").alias("stage"))
     return (
         spine.join(p, "stage", "left")
         .select(
