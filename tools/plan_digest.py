@@ -1,0 +1,91 @@
+"""Physical-plan fingerprints for every registered query.
+
+Writes PLAN_DIGEST.json: per query, a normalized plan hash plus the
+scale-relevant node counts (exchanges, joins by type, cartesians,
+non-codegen aggregates). The round-6 `simhash_signatures` regression
+was diagnosed by comparing plan hashes across rounds by hand — this
+makes that instrument standing: a future round diffs two digests and
+sees exactly which queries' PLANS changed (vs mere wall-clock noise,
+which never changes a hash).
+
+Usage: python tools/plan_digest.py [sf_dir] [out.json]
+Compare: python tools/plan_digest.py --diff old.json new.json
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+import sys
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+NODES = [
+    "Exchange",
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "Window",
+    "InMemoryTableScan",
+    "TakeOrderedAndProject",
+]
+
+
+def _digest(plan: str) -> dict:
+    # normalize expr ids / plan ids so equal shapes hash equal
+    tree = plan.split("\n\n")[0]
+    norm = re.sub(r"#\d+[L]?", "#", tree)
+    norm = re.sub(r"\(\d+\)", "(n)", norm)
+    counts = {k: len(re.findall(rf"\b{k}\b", tree)) for k in NODES}
+    return {
+        "hash": hashlib.md5(norm.encode()).hexdigest()[:16],
+        **{k: v for k, v in counts.items() if v},
+    }
+
+
+def main() -> int:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--diff":
+        old = json.load(open(sys.argv[2]))
+        new = json.load(open(sys.argv[3]))
+        changed = sorted(
+            q
+            for q in old.keys() & new.keys()
+            if old[q]["hash"] != new[q]["hash"]
+        )
+        added = sorted(new.keys() - old.keys())
+        removed = sorted(old.keys() - new.keys())
+        print(json.dumps({"changed": changed, "added": added, "removed": removed}))
+        return 1 if changed or removed else 0
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else f"{REPO}/PLAN_DIGEST.json"
+
+    from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+    from m2_b3_market_data_pipeline_spark.plans import all_queries
+    from m2_b3_market_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("plan-digest", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    digests = {}
+    for name, fn in all_queries.QUERIES.items():
+        df = fn(spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        release_cached(df)
+        digests[name] = _digest(plan)
+    with open(out_path, "w") as fh:
+        json.dump(digests, fh, indent=1, sort_keys=True)
+    print(f"{len(digests)} plans -> {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
