@@ -444,3 +444,66 @@ def pq_ann_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "adist", "rn")
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training triplet mining: for each query vector, the
+    nearest SAME-label neighbor (the positive) and the nearest
+    DIFFERENT-label neighbor (the hard negative — the close-but-wrong
+    example contrastive and retrieval training needs; random negatives
+    are too easy to carry gradient). One row per query:
+    (query_id, label, pos_id, pos_cos, neg_id, neg_cos); queries with
+    no same-label counterpart drop out (no positive exists to anchor a
+    triplet).
+
+    Scale shape: identical to ``brute_force_topk`` — the query side is
+    broadcast, the corpus never shuffles for the join, and the two
+    argmax windows partition by query with WindowGroupLimit O(1) state.
+    Candidate generation swaps in the banded-LSH or IVF path at corpus
+    scale exactly as for top-k (the mining rule only needs the
+    candidate cosines, however they were produced)."""
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(label_col).alias("__clabel"),
+        as_double(vec_col).alias("__cvec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("label"),
+        as_double(vec_col).alias("__qvec"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("__cid"))
+        .withColumn("__cos", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
+        .select("query_id", "label", "__cid", "__clabel", "__cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("__cid"))
+    pos = (
+        scored.filter(F.col("__clabel") == F.col("label"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            "label",
+            F.col("__cid").alias("pos_id"),
+            F.col("__cos").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("__clabel") != F.col("label"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col("__cid").alias("neg_id"),
+            F.col("__cos").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "query_id").orderBy("query_id")

@@ -136,7 +136,10 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_coverage(docs, n=DUP_NGRAM_N, min_df=DUP_NGRAM_MIN_DF)
 
 
-from .expansion_similarity import FRAMES_CTE_SQL  # noqa: E402  (shared sampling stand-in)
+from .expansion_similarity import (  # noqa: E402  (shared fragments/constants)
+    FRAMES_CTE_SQL,
+    QUERY_MOD,
+)
 
 
 @register(
@@ -441,3 +444,44 @@ def lang_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return lang_segments(docs)
+
+
+@register(
+    "hard_negatives",
+    oracle=f"""
+WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM c
+      WHERE vec_id % {QUERY_MOD} = 0),
+s AS (
+    SELECT q.query_id, q.qlabel, c.vec_id AS cid, c.label AS clabel,
+           ROUND(list_inner_product(q.qv, c.v) /
+                 (sqrt(list_inner_product(q.qv, q.qv)) *
+                  sqrt(list_inner_product(c.v, c.v))), 6) AS cos
+    FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+pos AS (
+    SELECT query_id, qlabel AS label, cid AS pos_id, cos AS pos_cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cid) AS rn
+        FROM s WHERE clabel = qlabel) WHERE rn = 1),
+neg AS (
+    SELECT query_id, cid AS neg_id, cos AS neg_cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cid) AS rn
+        FROM s WHERE clabel <> qlabel) WHERE rn = 1)
+SELECT p.query_id, p.label, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+FROM pos p JOIN neg n ON n.query_id = p.query_id
+ORDER BY p.query_id
+""",
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining over the labeled embedding corpus:
+    per query, the nearest same-label positive and the nearest
+    different-label HARD negative — the close-but-wrong examples
+    retrieval/contrastive training needs (random negatives carry no
+    gradient). Broadcast-query shape, corpus never shuffles
+    (operators/similarity.py::hard_negative_mining)."""
+    from ..operators.similarity import hard_negative_mining
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return hard_negative_mining(emb, queries)
