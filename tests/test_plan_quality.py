@@ -470,6 +470,17 @@ def test_dsir_model_broadcasts_and_stream_is_shared(spark, sf_dir):
     assert "InMemoryTableScan" in plan, plan
 
 
+def test_hard_negatives_broadcasts_queries_not_corpus(spark, sf_dir):
+    """Triplet mining inherits brute_force_topk's posture: the query
+    side broadcasts (BroadcastNestedLoopJoin on the != residual), the
+    corpus never shuffles for candidate generation, and both argmax
+    windows compile to WindowGroupLimit."""
+    plan = _plan(all_queries.QUERIES["hard_negatives"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_fuzzy_match_blocks_via_hash_join(spark, sf_dir):
     """The COMPOSITE blocking key (first char, length band) must become
     the hash-join key with levenshtein as a residual — a nested-loop
