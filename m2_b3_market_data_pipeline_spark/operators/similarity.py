@@ -459,16 +459,24 @@ def hard_negative_mining(
     DIFFERENT-label neighbor (the hard negative — the close-but-wrong
     example contrastive and retrieval training needs; random negatives
     are too easy to carry gradient). One row per query:
-    (query_id, label, pos_id, pos_cos, neg_id, neg_cos); queries with
-    no same-label counterpart drop out (no positive exists to anchor a
-    triplet).
+    (query_id, label, pos_id, pos_cos, neg_id, neg_cos); queries whose
+    candidate set lacks EITHER side — no same-label counterpart (no
+    positive to anchor) or no different-label candidate (no negative to
+    contrast) — drop out, since a triplet needs both.
 
-    Scale shape: identical to ``brute_force_topk`` — the query side is
-    broadcast, the corpus never shuffles for the join, and the two
-    argmax windows partition by query with WindowGroupLimit O(1) state.
-    Candidate generation swaps in the banded-LSH or IVF path at corpus
-    scale exactly as for top-k (the mining rule only needs the
-    candidate cosines, however they were produced)."""
+    Scale shape: the query side is broadcast and the corpus never
+    shuffles for the join (as ``brute_force_topk``); BOTH argmaxes then
+    fold in ONE aggregation pass over the scored candidates —
+    ``max(when(same, struct(cos, -id)))`` / ``max(when(diff, ...))`` —
+    so the pair set is enumerated once and partial-aggregated map-side
+    (a per-branch row_number window would instead shuffle the full
+    scored set twice; same struct-argmax trade as ``pq_codes``, at the
+    accepted cost of the struct buffer's SortAggregate). The negated id
+    in the struct makes ties break to the LOWEST id, matching the
+    deterministic (cos desc, id asc) order. Candidate generation swaps
+    in the banded-LSH or IVF path at corpus scale exactly as for top-k
+    (the mining rule only needs the candidate cosines, however they
+    were produced)."""
     c = corpus.select(
         F.col(id_col).alias("__cid"),
         F.col(label_col).alias("__clabel"),
@@ -484,26 +492,25 @@ def hard_negative_mining(
         .withColumn("__cos", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
         .select("query_id", "label", "__cid", "__clabel", "__cos")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("__cid"))
-    pos = (
-        scored.filter(F.col("__clabel") == F.col("label"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+    same = F.col("__clabel") == F.col("label")
+    best = lambda cond: F.max(  # noqa: E731 - struct-argmax, lowest-id tiebreak
+        F.when(
+            cond,
+            F.struct(F.col("__cos").alias("c"), (-F.col("__cid")).alias("nid")),
+        )
+    )
+    agg = scored.groupBy("query_id", "label").agg(
+        best(same).alias("__p"), best(~same).alias("__n")
+    )
+    return (
+        agg.filter(F.col("__p").isNotNull() & F.col("__n").isNotNull())
         .select(
             "query_id",
             "label",
-            F.col("__cid").alias("pos_id"),
-            F.col("__cos").alias("pos_cos"),
+            (-F.col("__p.nid")).alias("pos_id"),
+            F.col("__p.c").alias("pos_cos"),
+            (-F.col("__n.nid")).alias("neg_id"),
+            F.col("__n.c").alias("neg_cos"),
         )
+        .orderBy("query_id")
     )
-    neg = (
-        scored.filter(F.col("__clabel") != F.col("label"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "query_id",
-            F.col("__cid").alias("neg_id"),
-            F.col("__cos").alias("neg_cos"),
-        )
-    )
-    return pos.join(neg, "query_id").orderBy("query_id")

@@ -397,6 +397,7 @@ def test_surface_wide_aggregate_and_join_lint(spark, sf_dir):
         "percentile_binning", "mad_outliers", "lm_quality_buckets",
         # struct-argmin / first-last buffers
         "pq_codes", "pq_ann_topk", "resample_ohlc", "streaming_dedup",
+        "hard_negatives",
         # collect_list over the BOUNDED k x dim centroid rebuild frame
         "kmeans_clusters", "semdedup_prune",
     }
@@ -470,15 +471,16 @@ def test_dsir_model_broadcasts_and_stream_is_shared(spark, sf_dir):
     assert "InMemoryTableScan" in plan, plan
 
 
-def test_hard_negatives_broadcasts_queries_not_corpus(spark, sf_dir):
-    """Triplet mining inherits brute_force_topk's posture: the query
-    side broadcasts (BroadcastNestedLoopJoin on the != residual), the
-    corpus never shuffles for candidate generation, and both argmax
-    windows compile to WindowGroupLimit."""
+def test_hard_negatives_broadcasts_queries_and_folds_once(spark, sf_dir):
+    """Triplet mining: the query side broadcasts
+    (BroadcastNestedLoopJoin on the != residual), the corpus never
+    shuffles for candidate generation, and BOTH argmaxes fold in one
+    aggregation pass — no per-branch window may re-shuffle the full
+    scored pair set (the struct-argmax trade pq_codes documents)."""
     plan = _plan(all_queries.QUERIES["hard_negatives"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert "WindowGroupLimit" in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_fuzzy_match_blocks_via_hash_join(spark, sf_dir):

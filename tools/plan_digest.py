@@ -39,10 +39,18 @@ NODES = [
 
 
 def _digest(plan: str) -> dict:
-    # normalize expr ids / plan ids so equal shapes hash equal
-    tree = plan.split("\n\n")[0]
-    norm = re.sub(r"#\d+[L]?", "#", tree)
+    """Hash the WHOLE formatted output — summary tree, node details,
+    and subquery sections — so subquery-plan and node-argument
+    regressions change the hash, not just main-tree shape changes.
+    Normalized out: expr/plan ids, and filesystem paths (round-trip
+    queries write through fresh temp dirs every run; a path is not a
+    plan property)."""
+    norm = re.sub(r"#\d+[L]?", "#", plan)
     norm = re.sub(r"\(\d+\)", "(n)", norm)
+    norm = re.sub(r"\[plan_id=\d+\]", "[plan_id=]", norm)  # session-global counter
+    norm = re.sub(r"file:[^\s,\]\)]+", "file:<path>", norm)
+    norm = re.sub(r"/(tmp|root)/[^\s,\]\)]*", "<path>", norm)
+    tree = plan.split("\n\n")[0]
     counts = {k: len(re.findall(rf"\b{k}\b", tree)) for k in NODES}
     return {
         "hash": hashlib.md5(norm.encode()).hexdigest()[:16],
@@ -52,8 +60,13 @@ def _digest(plan: str) -> dict:
 
 def main() -> int:
     if len(sys.argv) >= 2 and sys.argv[1] == "--diff":
-        old = json.load(open(sys.argv[2]))
-        new = json.load(open(sys.argv[3]))
+        if len(sys.argv) != 4:
+            print("usage: plan_digest.py --diff <old.json> <new.json>")
+            return 2
+        with open(sys.argv[2]) as fh:
+            old = json.load(fh)
+        with open(sys.argv[3]) as fh:
+            new = json.load(fh)
         changed = sorted(
             q
             for q in old.keys() & new.keys()
