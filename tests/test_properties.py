@@ -364,3 +364,48 @@ def test_semdedup_witness_property(spark, seeds):
             and cos(by_id[o], by_id[vid]) >= tau
         ]
         assert bool(witnesses) == bool(r.pruned), (vid, witnesses, r.pruned)
+
+
+@_slow
+@given(
+    seeds=st.lists(
+        st.integers(min_value=0, max_value=60), min_size=6, max_size=14, unique=True
+    )
+)
+def test_hard_negatives_are_true_argmaxes_property(spark, seeds):
+    """On random labeled vectors, every emitted triplet's positive must
+    be the true nearest same-label candidate and its negative the true
+    nearest different-label candidate (checked against an exact python
+    recompute, same rounding and tiebreak); queries missing either side
+    must be absent."""
+    from pyspark.sql import functions as F
+
+    from m2_b3_market_data_pipeline_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    def vec(s: int) -> list[float]:
+        return [math.sin(s * 3.7 + d * 2.3) for d in range(5)]
+
+    rows = [(i, "L" + str(s % 3), vec(s)) for i, s in enumerate(sorted(seeds))]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") % 2 == 0)
+    got = {r.query_id: r for r in hard_negative_mining(emb, queries).collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return round(num / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))), 6)
+
+    by_id = {i: (lab, v) for i, lab, v in rows}
+    for qid, (qlab, qv) in by_id.items():
+        if qid % 2 != 0:
+            continue
+        cands = [(cos(qv, v), -cid, cid, lab) for cid, (lab, v) in by_id.items() if cid != qid]
+        pos = max(((c, n, cid) for c, n, cid, lab in cands if lab == qlab), default=None)
+        neg = max(((c, n, cid) for c, n, cid, lab in cands if lab != qlab), default=None)
+        if pos is None or neg is None:
+            assert qid not in got, f"query {qid} lacks a side but emitted a triplet"
+            continue
+        r = got[qid]
+        assert (r.pos_id, r.pos_cos) == (pos[2], pos[0]), (qid, r, pos)
+        assert (r.neg_id, r.neg_cos) == (neg[2], neg[0]), (qid, r, neg)
