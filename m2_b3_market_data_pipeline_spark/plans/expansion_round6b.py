@@ -17,7 +17,7 @@ coverage, and duplicate-frame detection.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import dup_ngram_coverage, fan_out
@@ -485,3 +485,97 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     return hard_negative_mining(emb, queries)
+
+
+KNN_K = 5
+KNN_QUERY_MOD = 10  # evaluation sample: every 10th vector
+
+
+@register(
+    "knn_label_accuracy",
+    oracle=f"""
+WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM c
+      WHERE vec_id % {KNN_QUERY_MOD} = 0),
+nn AS (
+    SELECT query_id, qlabel, clabel FROM (
+        SELECT q.query_id, q.qlabel, c.label AS clabel,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                   ROUND(list_inner_product(q.qv, c.v) /
+                         (sqrt(list_inner_product(q.qv, q.qv)) *
+                          sqrt(list_inner_product(c.v, c.v))), 6) DESC,
+                   c.vec_id) AS rn
+        FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+    ) WHERE rn <= {KNN_K}),
+votes AS (
+    SELECT query_id, qlabel, clabel, COUNT(*) AS cnt
+    FROM nn GROUP BY 1, 2, 3),
+pred AS (
+    SELECT query_id, qlabel, clabel AS predicted FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cnt DESC, clabel) AS rn
+        FROM votes) WHERE rn = 1)
+SELECT qlabel AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) FILTER (predicted = qlabel) AS BIGINT) AS n_correct,
+       ROUND(COUNT(*) FILTER (predicted = qlabel) * 1.0 / COUNT(*), 6) AS accuracy
+FROM pred GROUP BY qlabel ORDER BY qlabel
+""",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality probe: k-NN label agreement — for every
+    {KNN_QUERY_MOD}-th vector, the majority label among its {KNN_K}
+    nearest neighbors (deterministic tiebreak: vote count desc, label
+    asc) versus its own label, reported per label class. THE standard
+    cheap evaluation of an embedding table before it drives semantic
+    dedup or retrieval mining — if k-NN can't recover labels, cosine
+    structure is noise and SemDeDup/ANN decisions built on it are too.
+
+    Scale shape: broadcast evaluation sample, corpus never shuffles
+    (brute_force_topk posture — swap in IVF/LSH candidates at scale);
+    the vote and accuracy folds run on the k-rows-per-query relation.
+    """
+    from ..operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    nn = brute_force_topk(emb, queries, k=KNN_K).select("query_id", "neighbor_id")
+    labels = emb.select("vec_id", "label")
+    nn_lab = (
+        nn.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("clabel")
+            ),
+            "neighbor_id",
+        )
+    )
+    votes = nn_lab.groupBy("query_id", "qlabel", "clabel").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cnt").desc(), F.col("clabel"))
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", "qlabel", F.col("clabel").alias("predicted"))
+    )
+    return (
+        pred.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.count(F.when(F.col("predicted") == F.col("qlabel"), 1)).alias(
+                "n_correct"
+            ),
+            F.round(
+                F.count(F.when(F.col("predicted") == F.col("qlabel"), 1))
+                / F.count("*"),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

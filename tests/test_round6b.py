@@ -248,3 +248,23 @@ def test_hard_negative_mining_planted_geometry(spark):
         [(0, "A", q), (1, "B", near)], "vec_id long, label string, embedding array<double>"
     )
     assert hard_negative_mining(lonely, lonely.filter(F.col("vec_id") == 0)).count() == 0
+
+
+def test_knn_label_accuracy_perfect_on_separated_clusters(spark, monkeypatch, tmp_path):
+    # Two well-separated label clusters: every query's 2 nearest
+    # neighbors share its label => accuracy 1.0 for both classes.
+    import m2_b3_market_data_pipeline_spark.plans.expansion_round6b as r6b
+
+    a = [(i, "A", [10.0 + 0.01 * i, 0.0, 0.0]) for i in range(0, 8, 2)]
+    b = [(i, "B", [0.0, 10.0 + 0.01 * i, 0.0]) for i in range(10, 18, 2)]
+    emb = spark.createDataFrame(
+        a + b, "vec_id long, label string, embedding array<double>"
+    )
+    path = str(tmp_path)
+    emb.write.parquet(f"{path}/embeddings.parquet")
+    monkeypatch.setattr(r6b, "KNN_K", 2)
+    monkeypatch.setattr(r6b, "KNN_QUERY_MOD", 2)  # every vector is a query
+    rows = r6b.knn_label_accuracy(spark, path).collect()
+    got = {r.label: r for r in rows}
+    assert got["A"].accuracy == 1.0 and got["B"].accuracy == 1.0
+    assert got["A"].n_queries == 4 and got["B"].n_queries == 4
