@@ -1,6 +1,6 @@
-"""Round-6 second curation wave: semantic dedup, duplicated-span
-coverage, and duplicate-frame detection.
+"""Round-6 second curation wave.
 
+In the driver window this round:
 - ``semdedup_prune``: SemDeDup (Abbas et al. 2023) — k-means cluster the
   embedding space, prune vectors cosine-close to a lower-id cluster-mate
   WITHIN their cluster only (pairs are n²/k, never n²). The oracle
@@ -13,6 +13,25 @@ coverage, and duplicate-frame detection.
 - ``frame_dedup``: corpus-wide duplicate frames over the sampled-frame
   relation (multimodal family): frame hashes seen in >= 2 distinct
   payloads, with occurrence counts and a deterministic representative.
+
+Landed post-window (round-7 front-load due; all locally hash-checked at
+sf0.01 AND sf0.1):
+- ``dsir_weights``: DSIR hashed-n-gram importance weights (Xie et al.
+  2023) — broadcast-sized smoothed multinomials, per-doc log2
+  likelihood-ratio sums.
+- ``lm_quality_buckets``: CCNet-style LM-score deciles via ONE exact-
+  percentile aggregate + broadcast boundaries (no global sort/NTILE).
+- ``bigram_pmi``: PMI collocation mining (BPE-merge candidates).
+- ``source_overlap_matrix``: pairwise cross-source near-dup provenance
+  over the banded MinHash pair set.
+- ``lang_segments``: code-switch detection — fixed token segments vote
+  through the predict_lang marker contract.
+- ``hard_negatives``: contrastive triplet mining (nearest same-label
+  positive + nearest different-label HARD negative, single-pass
+  struct-argmax).
+- ``knn_label_accuracy``: k-NN label-agreement probe of embedding
+  quality (the gate before semantic dedup / retrieval mining trusts
+  the cosine structure).
 """
 
 from __future__ import annotations
