@@ -74,7 +74,7 @@ from .registry import ORACLES, QUERIES
 # evidence is on record in those CORRECTNESS files.
 #
 # ROUND-7 FRONT-LOAD DUE: ``dsir_weights``, ``lm_quality_buckets``,
-# ``bigram_pmi``, ``source_overlap_matrix``, ``lang_segments``, and
+# ``bigram_pmi``, ``source_overlap_matrix``, ``lang_segments``,
 # ``hard_negatives``, and ``knn_label_accuracy`` landed after this
 # round's window filled (local oracle PASS at sf0.01 and sf0.1,
 # tools/check_oracle.py); they go FIRST next round, ahead of any

@@ -590,11 +590,9 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("predicted") == F.col("qlabel"), 1)).alias(
                 "n_correct"
             ),
-            F.round(
-                F.count(F.when(F.col("predicted") == F.col("qlabel"), 1))
-                / F.count("*"),
-                6,
-            ).alias("accuracy"),
+        )
+        .withColumn(
+            "accuracy", F.round(F.col("n_correct") / F.col("n_queries"), 6)
         )
         .orderBy("label")
     )

@@ -48,6 +48,7 @@ def _digest(plan: str) -> dict:
     norm = re.sub(r"#\d+[L]?", "#", plan)
     norm = re.sub(r"\(\d+\)", "(n)", norm)
     norm = re.sub(r"\[plan_id=\d+\]", "[plan_id=]", norm)  # session-global counter
+    norm = re.sub(r"RDD\[\d+\]", "RDD[]", norm)  # session-global RDD ids (ExistingRDD scans)
     norm = re.sub(r"file:[^\s,\]\)]+", "file:<path>", norm)
     norm = re.sub(r"/(tmp|root)/[^\s,\]\)]*", "<path>", norm)
     tree = plan.split("\n\n")[0]
