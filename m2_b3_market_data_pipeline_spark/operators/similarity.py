@@ -289,27 +289,53 @@ def ann_topk(
     n_bits: int = 16,
     band_bits: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: LSH-bucket candidates, then exact cosine + per-
-    query top-k on the candidate set only."""
-    signed_c = lsh_signatures(corpus, vec_col=vec_col, dim=dim, n_bits=n_bits).select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec"), "lsh_sig"
-    )
-    signed_q = lsh_signatures(queries, vec_col=vec_col, dim=dim, n_bits=n_bits).select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec"), F.col("lsh_sig").alias("qsig")
-    )
+    """Approximate top-k: LSH band candidates via an exploded-band HASH
+    equi-join, then exact cosine + per-query top-k on candidates only.
+
+    Plan shape (the 100 TB path): each side's signature explodes into
+    n_bands (band_id, band_val) rows — a zero-shuffle projection — and
+    candidates come from a broadcast hash join on that key, never from a
+    band-match DISJUNCTION. An OR of band equalities has no single hash
+    key, so Spark plans it as BroadcastNestedLoopJoin — |corpus| ×
+    |queries| predicate evaluations, which degrades quadratically as the
+    query count grows. With the exploded form the candidate set is
+    IDENTICAL (a pair survives iff ANY band matches) but the join is
+    O(matching band rows). A pair matching in m bands is scored m times
+    (cheaper than a pre-score distinct, which would shuffle the vectors)
+    and collapsed by a map-side-combinable groupBy — the cos values are
+    identical per pair, so max() is a pure dedup — leaving one exchange
+    row per candidate pair before the per-query top-k window."""
     n_bands = n_bits // band_bits
     mask = (1 << band_bits) - 1
-    match_any_band = None
-    for c in range(n_bands):
-        cond = (
-            F.shiftright(F.col("lsh_sig"), c * band_bits).bitwiseAND(F.lit(mask))
-            == F.shiftright(F.col("qsig"), c * band_bits).bitwiseAND(F.lit(mask))
-        )
-        match_any_band = cond if match_any_band is None else (match_any_band | cond)
+
+    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        signed = lsh_signatures(df, vec_col=vec_col, dim=dim, n_bits=n_bits)
+        return signed.select(
+            F.col(id_col).alias(id_alias),
+            as_double(vec_col).alias(vec_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("band_id"),
+                            F.shiftright(F.col("lsh_sig"), c * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("band_val"),
+                        )
+                        for c in range(n_bands)
+                    ]
+                )
+            ).alias("b"),
+        ).select(id_alias, vec_alias, "b.band_id", "b.band_val")
+
+    banded_c = banded(corpus, "neighbor_id", "cvec")
+    banded_q = banded(queries, "query_id", "qvec")
     scored = (
-        signed_c.join(F.broadcast(signed_q), match_any_band & (F.col("query_id") != F.col("neighbor_id")))
+        banded_c.join(F.broadcast(banded_q), ["band_id", "band_val"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
-        .select("query_id", "neighbor_id", "cos")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cos").alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

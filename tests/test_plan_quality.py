@@ -378,6 +378,28 @@ def test_ann_recall_check_no_cartesian(spark, sf_dir):
     set (corpus never shuffles for it)."""
     plan = _plan(all_queries.QUERIES["ann_recall_check"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
+    # Exactly one BNLJ node — the brute-force EXACT baseline's non-equi
+    # (query != neighbor) broadcast join, which is the definition of
+    # brute force. The ANN candidate side must be a hash equi-join.
+    # (formatted explain prints each node in tree + detail sections, so
+    # count the numbered detail entries.)
+    bnlj_nodes = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    assert len(bnlj_nodes) == 1, plan
+
+
+def test_ann_topk_candidates_via_hash_equi_join(spark, sf_dir):
+    """The r6 verdict's one 'weak' plan: ann_topk used a band-match
+    DISJUNCTION, which has no hash key and planned as
+    BroadcastNestedLoopJoin (|corpus| x |queries| predicate evals). The
+    r7 rewrite explodes bands and equi-joins on (band_id, band_val) —
+    pin that no BNLJ ever returns and the candidate join is a
+    BroadcastHashJoin, with the pair-dedup running as a partial
+    (map-side) aggregate before its exchange."""
+    plan = _plan(all_queries.QUERIES["ann_topk_lsh"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"HashAggregate.*partial_max", plan) or "partial_max" in plan, plan
 
 
 def test_surface_wide_aggregate_and_join_lint(spark, sf_dir):
