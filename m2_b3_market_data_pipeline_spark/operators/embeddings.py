@@ -207,6 +207,114 @@ def semdedup(
     return out
 
 
+def assign_with_vector(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Nearest-centroid assignment that KEEPS the vector column:
+    (id, centroid_id, vector-as-double). This is the ADMISSION layout of
+    incremental semantic dedup — each vector is assigned once, on entry,
+    and the store is partitioned by centroid_id so later delta joins are
+    cluster-local. Same broadcast-argmin shape as ``assign_centroids``
+    (centroids broadcast, corpus never shuffles for the join, lowest-id
+    tiebreak)."""
+    cents = centroids.select(
+        F.col(centroid_id_col).alias("centroid_id"),
+        as_double(centroid_vec_col).alias("__c"),
+    )
+    vecs = df.select(F.col(id_col).alias("__id"), as_double(vec_col).alias("__v"))
+    out = _argmin_assign(vecs, cents, id_col="__id")
+    return out.select(
+        F.col("__id").alias(id_col), "centroid_id", F.col("__v").alias(vec_col)
+    )
+
+
+def semdedup_prune_assigned(
+    delta_assigned: DataFrame,
+    corpus_assigned: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Cell-local delta-vs-corpus prune over two ``assign_with_vector``
+    frames: a delta vector is pruned iff its 6dp-rounded cosine to ANY
+    corpus vector in the SAME cell reaches ``threshold``. Returns
+    (id, centroid_id, pruned) per delta row. This single function is
+    the prune rule for BOTH the batch operator (``semdedup_incremental``)
+    and the streaming sink (streaming/semdedup_sink.py) — one code path,
+    drift-proof by construction (the funnel-sink precedent)."""
+    d = delta_assigned.select(
+        F.col(id_col).alias("__id"), "centroid_id", as_double(vec_col).alias("__v")
+    )
+    corp = corpus_assigned.select(
+        "centroid_id", F.col(id_col).alias("__cid"), as_double(vec_col).alias("__cv")
+    )
+    hits = (
+        d.join(corp, "centroid_id")
+        .filter(F.col("__cid") != F.col("__id"))
+        .withColumn("__cos", F.round(cosine(F.col("__v"), F.col("__cv")), 6))
+        .filter(F.col("__cos") >= threshold)
+        .select("__id")
+        .distinct()
+        .withColumn("__pruned", F.lit(True))
+    )
+    return d.select("__id", "centroid_id").join(hits, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "centroid_id",
+        F.coalesce(F.col("__pruned"), F.lit(False)).alias("pruned"),
+    )
+
+
+def semdedup_incremental(
+    delta: DataFrame,
+    corpus_assigned: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Delta-vs-corpus semantic dedup: prune each NEW vector whose cosine
+    to ANY already-admitted corpus vector in its cell reaches
+    ``threshold``. Returns (id, centroid_id, pruned) per delta row — the
+    continuous-crawl counterpart of ``semdedup`` (which dedups a static
+    corpus against itself).
+
+    Scale shape: centroids broadcast for the delta's argmin assignment;
+    the verify join is an EQUI-join on centroid_id, so only same-cell
+    (delta x corpus) pairs are enumerated — |delta| x |cell| rows, never
+    |delta| x |corpus| and never corpus x corpus (admitted vectors are
+    compared against at most once per incoming vector). The corpus side
+    arrives pre-assigned in the ``assign_with_vector`` layout; stored
+    partitioned by centroid_id (as the streaming sink does), the join
+    reads only the delta's touched cells. Cosines round to 6dp before
+    the threshold compare, as everywhere, so no float-boundary vector
+    flips between engines."""
+    delta_assigned = assign_with_vector(
+        delta,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+    )
+    return semdedup_prune_assigned(
+        delta_assigned,
+        corpus_assigned,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+    )
+
+
 def assign_centroids(
     df: DataFrame,
     centroids: DataFrame,

@@ -493,16 +493,17 @@ def hard_negative_mining(
     Scale shape: the query side is broadcast and the corpus never
     shuffles for the join (as ``brute_force_topk``); BOTH argmaxes then
     fold in ONE aggregation pass over the scored candidates —
-    ``max(when(same, struct(cos, -id)))`` / ``max(when(diff, ...))`` —
+    ``min(when(same, struct(-cos, id)))`` / ``min(when(diff, ...))`` —
     so the pair set is enumerated once and partial-aggregated map-side
     (a per-branch row_number window would instead shuffle the full
     scored set twice; same struct-argmax trade as ``pq_codes``, at the
-    accepted cost of the struct buffer's SortAggregate). The negated id
-    in the struct makes ties break to the LOWEST id, matching the
-    deterministic (cos desc, id asc) order. Candidate generation swaps
-    in the banded-LSH or IVF path at corpus scale exactly as for top-k
-    (the mining rule only needs the candidate cosines, however they
-    were produced)."""
+    accepted cost of the struct buffer's SortAggregate). Negating the
+    COSINE (not the id) and taking min gives the deterministic
+    (cos desc, id asc) order for ANY orderable id type — numeric or
+    string doc ids alike (negating the id, the previous form, assumed a
+    numeric id). Candidate generation swaps in the banded-LSH or IVF
+    path at corpus scale exactly as for top-k (the mining rule only
+    needs the candidate cosines, however they were produced)."""
     c = corpus.select(
         F.col(id_col).alias("__cid"),
         F.col(label_col).alias("__clabel"),
@@ -519,24 +520,103 @@ def hard_negative_mining(
         .select("query_id", "label", "__cid", "__clabel", "__cos")
     )
     same = F.col("__clabel") == F.col("label")
-    best = lambda cond: F.max(  # noqa: E731 - struct-argmax, lowest-id tiebreak
-        F.when(
-            cond,
-            F.struct(F.col("__cos").alias("c"), (-F.col("__cid")).alias("nid")),
-        )
-    )
     agg = scored.groupBy("query_id", "label").agg(
-        best(same).alias("__p"), best(~same).alias("__n")
+        _best_by_cos(same).alias("__p"), _best_by_cos(~same).alias("__n")
     )
     return (
         agg.filter(F.col("__p").isNotNull() & F.col("__n").isNotNull())
         .select(
             "query_id",
             "label",
-            (-F.col("__p.nid")).alias("pos_id"),
-            F.col("__p.c").alias("pos_cos"),
-            (-F.col("__n.nid")).alias("neg_id"),
-            F.col("__n.c").alias("neg_cos"),
+            F.col("__p.cid").alias("pos_id"),
+            (-F.col("__p.nc")).alias("pos_cos"),
+            F.col("__n.cid").alias("neg_id"),
+            (-F.col("__n.nc")).alias("neg_cos"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _best_by_cos(cond: Column) -> Column:
+    """Struct-argmax over candidates satisfying ``cond``: highest
+    ``__cos``, ties to the LOWEST ``__cid``. min(struct(-cos, id)) — the
+    cosine is negated (an exact FP operation), never the id, so the
+    tiebreak works for any orderable id type; rows failing ``cond``
+    yield NULL structs, which min() skips."""
+    return F.min(
+        F.when(
+            cond,
+            F.struct((-F.col("__cos")).alias("nc"), F.col("__cid").alias("cid")),
+        )
+    )
+
+
+def wave_triplet_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    wave_col: str = "wave",
+    n_waves: int = 3,
+) -> DataFrame:
+    """Growing-corpus triplet mining — the batch semantics of the
+    streaming triplet sink. The corpus arrives in WAVES (ingestion
+    batches); each query mines its positive / hard negative against
+    only the waves admitted BEFORE its own (candidate.wave <
+    query.wave), exactly what a continuous mining job sees: early
+    queries face a smaller corpus. Queries in wave 0 have no candidates
+    and drop out, as do queries lacking either a same-label positive or
+    a different-label negative among their admitted candidates.
+
+    Plan shape: the raw `candidate.wave < query.wave` predicate has no
+    hash key and would plan as BroadcastNestedLoopJoin — the same trap
+    as the pre-r7 ann_topk band disjunction. Instead each (broadcast)
+    query EXPLODES into its admitted wave ids [0, wave) and the join is
+    a hash EQUI-join on the wave id; a candidate belongs to exactly one
+    wave, so pairs are enumerated once and both argmaxes fold in the
+    single struct-argmax pass of ``hard_negative_mining``."""
+    c = corpus.select(
+        F.col(wave_col).alias("__w"),
+        F.col(id_col).alias("__cid"),
+        F.col(label_col).alias("__clabel"),
+        as_double(vec_col).alias("__cvec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("label"),
+        F.col(wave_col).alias("wave"),
+        as_double(vec_col).alias("__qvec"),
+    ).withColumn(
+        "__w",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(0).cast("bigint"), F.lit(n_waves - 1).cast("bigint")),
+                lambda w: w < F.col("wave"),
+            )
+        ),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__w")
+        .filter(F.col("query_id") != F.col("__cid"))
+        .withColumn("__cos", F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6))
+        .select("query_id", "label", "wave", "__cid", "__clabel", "__cos")
+    )
+    same = F.col("__clabel") == F.col("label")
+    agg = scored.groupBy("query_id", "label", "wave").agg(
+        _best_by_cos(same).alias("__p"), _best_by_cos(~same).alias("__n")
+    )
+    return (
+        agg.filter(F.col("__p").isNotNull() & F.col("__n").isNotNull())
+        .select(
+            "query_id",
+            "label",
+            "wave",
+            F.col("__p.cid").alias("pos_id"),
+            (-F.col("__p.nc")).alias("pos_cos"),
+            F.col("__n.cid").alias("neg_id"),
+            (-F.col("__n.nc")).alias("neg_cos"),
         )
         .orderBy("query_id")
     )

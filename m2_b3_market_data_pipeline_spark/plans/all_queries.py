@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     expansion_embeddings,
     expansion_round6,
     expansion_round6b,
+    expansion_round7,
     expansion_similarity,
     expansion_text,
     expansion_text2,
@@ -73,76 +74,75 @@ from .registry import ORACLES, QUERIES
 # Queries already green in a prior round rotate past slot 50 — their
 # evidence is on record in those CORRECTNESS files.
 #
-# ROUND-7 FRONT-LOAD DUE: ``dsir_weights``, ``lm_quality_buckets``,
-# ``bigram_pmi``, ``source_overlap_matrix``, ``lang_segments``,
-# ``hard_negatives``, and ``knn_label_accuracy`` landed after this
-# round's window filled (local oracle PASS at sf0.01 and sf0.1,
-# tools/check_oracle.py); they go FIRST next round, ahead of any
-# rotation re-proofs.
+# Round 7 (this order): the 7 queries that landed after the r6 window
+# filled go FIRST (their only verification so far is local + the r6
+# judge's independent re-run; the driver row is the hard evidence).
+# Then the two ANN queries whose PHYSICAL PLAN changed this round (the
+# exploded-band equi-join rewrite of ann_topk) — plan changes get a
+# fresh driver row on principle, even though r6 rows exist. Then the
+# stalest evidence: all 33 queries whose newest green row is r3
+# (TPC-H relational core q2/q4/q6..q22, as-of/band joins, indicators,
+# resampling, skew/salting, splits), keeping max row age <= 3 rounds.
+# The remaining slots take the oldest r4-era rows alphabetically; new
+# round-7 queries displace those fills as they land (the round-5
+# lesson: new queries go in the window the round they are born).
 CHECK_PRIORITY: list[str] = [
-    # --- Round-5 additions with no driver row yet (registered behind
-    # the r5 window; verified locally, now due for driver evidence). ---
-    "rolling_median",
-    "incremental_near_dedup",
-    "cluster_size_histogram",
-    "dedup_rate_by_source",
-    "text_canonicalize",
-    "csv_roundtrip",
-    "jsonl_roundtrip",
-    "balanced_sample",
-    # --- New in round 6: literal TPC-H join graphs over the derived
-    # partsupp, hash-checkable sketch accuracy bounds, ANN recall
-    # evidence, token-budget mixture enforcement, boilerplate scoring,
-    # and the ORC round trip. ---
-    "q2_partsupp",
-    "q9_partsupp",
-    "q11_partsupp",
-    "q16_partsupp",
-    "q20_partsupp",
-    "approx_distinct_check",
-    "approx_quantile_check",
+    # --- Post-r6-window queries: no driver row yet. ---
+    "dsir_weights",
+    "lm_quality_buckets",
+    "bigram_pmi",
+    "source_overlap_matrix",
+    "lang_segments",
+    "hard_negatives",
+    "knn_label_accuracy",
+    # --- Plan changed in r7 (ann_topk hash equi-join rewrite): re-prove. ---
+    "ann_topk_lsh",
     "ann_recall_check",
-    "mixture_rebalance",
-    "boilerplate_frac",
-    "orc_roundtrip",
-    "token_fertility",
-    "quality_gate_funnel",
-    "audio_frame_energy",
-    "lsh_recall_check",
-    # --- Round-6 second wave (this session): semantic dedup, duplicated
-    # n-gram span coverage, duplicate-frame detection. New queries go in
-    # the window (the round-5 lesson); the TPC-H core re-proofs
-    # q4/q7/q14 rotate out to make room — their r2/r3 rows stand. ---
-    "semdedup_prune",
-    "dup_ngram_spans",
-    "frame_dedup",
-    # --- Queries whose only green row is round 1 (stalest evidence). ---
-    "label_centroids",
-    "multimodal_frames",
-    "multimodal_meta",
-    "normalized_vectors",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "rollup_lineitem",
-    "semi_anti_join",
-    "tfidf_top_terms",
-    "token_count_bpe",
-    "top_customers",
-    "vocabulary_stats",
-    "window_rank",
-    # --- Rotation-due indicator (last green r3). ---
-    "indicator_vwap_drawdown",
-    # --- Streaming windows (last green r4). ---
-    "tumbling_window",
-    "session_window",
-    "stream_stream_join",
-    "streaming_dedup",
-    # --- Embedding hygiene / PQ family (last green r3). ---
-    "pq_codes",
-    "pq_ann_topk",
-    "kmeans_clusters",
-    "embed_quantize",
+    # --- New in round 7 (registered this session; window the round they
+    # are born). ---
+    "incremental_semdedup",
+    "streaming_triplets",
+    # --- Stalest evidence: newest green row is r3. ---
+    "asof_join_quotes",
+    "band_join_revenue",
+    "distinct_agg",
+    "except_op",
+    "gap_fill_locf",
+    "indicator_bollinger",
+    "indicator_ewma",
+    "lead_lag",
+    "multimodal_features",
+    "q10_returned_revenue",
+    "q11_important_value",
+    "q12_priority_by_status",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_sole_returned_supplier",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "resample_ohlc",
+    "rolling_mean_time_range",
+    "salted_skew_agg",
+    "set_ops",
+    "train_test_split",
+    # --- Oldest r4-era rows (alphabetical fill; displaced by any
+    # further round-7 additions). ---
+    "array_functions",
+    "cdc_merge_upsert",
+    "centroid_assign",
+    "char_entropy",
+    "corpus_pipeline",
     # --- Anchor: flagship reference pipeline, in the window every
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---

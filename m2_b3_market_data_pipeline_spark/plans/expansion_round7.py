@@ -1,0 +1,129 @@
+"""Round-7 expansion: incremental (delta-vs-corpus) SEMANTIC dedup and
+growing-corpus triplet mining — the batch semantics behind the two new
+streaming sinks (streaming/semdedup_sink.py, streaming/triplet_sink.py).
+
+Both are deterministic end-to-end (fixed coarse codebook, 6dp-rounded
+cosines, explicit tiebreaks), so even these "streaming" semantics are
+hash-checked against DuckDB. The sinks themselves are pinned by
+batch-equivalence tests: draining the stream reproduces these exact
+frames (tests/test_streaming_round7.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.embeddings import assign_with_vector, semdedup_incremental
+from ..operators.similarity import wave_triplet_mining
+from .registry import load, register
+
+DELTA_MOD = 4  # delta = every 4th vector; corpus = the rest
+SEM_CENTROID_MOD = 50  # deterministic coarse codebook: every 50th vector
+SEM_THRESHOLD = 0.45
+N_WAVES = 3  # ingestion waves: wave = vec_id % 3
+TRIPLET_QUERY_MOD = 20  # mining queries: every 20th vector
+
+_SEM_DIST = (
+    "list_inner_product({a}, {a}) - 2 * list_inner_product({a}, {b})"
+    " + list_inner_product({b}, {b})"
+)
+_SEM_COS = (
+    "ROUND(list_inner_product({a}, {b}) / "
+    "(sqrt(list_inner_product({a}, {a})) * sqrt(list_inner_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "incremental_semdedup",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {SEM_CENTROID_MOD} = 0),
+corp AS (SELECT vec_id, v FROM e WHERE vec_id % {DELTA_MOD} <> 0),
+delta AS (SELECT vec_id, v FROM e WHERE vec_id % {DELTA_MOD} = 0),
+casg AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT c.vec_id, c.v, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                   ORDER BY {_SEM_DIST.format(a="c.v", b="cent.cv")}, cent.cid) AS rn
+        FROM corp c CROSS JOIN cent) WHERE rn = 1),
+dasg AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT d.vec_id, d.v, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                   ORDER BY {_SEM_DIST.format(a="d.v", b="cent.cv")}, cent.cid) AS rn
+        FROM delta d CROSS JOIN cent) WHERE rn = 1),
+hits AS (
+    SELECT DISTINCT d.vec_id
+    FROM dasg d JOIN casg c ON c.cid = d.cid AND c.vec_id <> d.vec_id
+    WHERE {_SEM_COS.format(a="d.v", b="c.v")} >= {SEM_THRESHOLD})
+SELECT d.vec_id, d.cid AS centroid_id, (h.vec_id IS NOT NULL) AS pruned
+FROM dasg d LEFT JOIN hits h ON h.vec_id = d.vec_id
+ORDER BY d.vec_id
+""",
+)
+def incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-vs-corpus semantic dedup (operators/embeddings.py::
+    semdedup_incremental): every {DELTA_MOD}-th vector arrives as the
+    delta and is pruned iff cosine-similar (>= {SEM_THRESHOLD}) to an
+    already-admitted corpus vector in its coarse cell. The fixed
+    every-{SEM_CENTROID_MOD}-th-vector codebook keeps the whole path
+    deterministic, hence hash-checked — unlike trained k-means. Corpus
+    never pairs with itself; the verify join is cell-local."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % SEM_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    corpus = assign_with_vector(
+        emb.filter(F.col("vec_id") % DELTA_MOD != 0), centroids
+    )
+    delta = emb.filter(F.col("vec_id") % DELTA_MOD == 0)
+    return semdedup_incremental(
+        delta, corpus, centroids, threshold=SEM_THRESHOLD
+    ).orderBy("vec_id")
+
+
+@register(
+    "streaming_triplets",
+    oracle=f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                  vec_id % {N_WAVES} AS wave
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, wave AS qwave
+      FROM e WHERE vec_id % {TRIPLET_QUERY_MOD} = 0 AND wave >= 1),
+s AS (
+    SELECT q.query_id, q.qlabel, q.qwave, c.vec_id AS cid, c.label AS clabel,
+           {_SEM_COS.format(a="q.qv", b="c.v")} AS cos
+    FROM e c JOIN q ON c.wave < q.qwave AND c.vec_id <> q.query_id),
+pos AS (
+    SELECT query_id, qlabel AS label, qwave AS wave, cid AS pos_id, cos AS pos_cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cid) AS rn
+        FROM s WHERE clabel = qlabel) WHERE rn = 1),
+neg AS (
+    SELECT query_id, cid AS neg_id, cos AS neg_cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cid) AS rn
+        FROM s WHERE clabel <> qlabel) WHERE rn = 1)
+SELECT p.query_id, p.label, p.wave, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos
+FROM pos p JOIN neg n ON n.query_id = p.query_id
+ORDER BY p.query_id
+""",
+)
+def streaming_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growing-corpus triplet mining (operators/similarity.py::
+    wave_triplet_mining): the corpus arrives in {N_WAVES} ingestion
+    waves (wave = vec_id % {N_WAVES}); every {TRIPLET_QUERY_MOD}-th
+    vector mines its nearest same-label positive and nearest
+    different-label hard negative against ONLY the waves admitted
+    before its own — what a continuous mining job actually sees. The
+    non-equi wave predicate is rewritten as explode-admitted-waves +
+    hash equi-join (the ann_topk lesson); the streaming sink replays
+    these exact semantics batch-by-batch."""
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "wave", F.col("vec_id") % N_WAVES
+    )
+    queries = emb.filter(
+        (F.col("vec_id") % TRIPLET_QUERY_MOD == 0) & (F.col("wave") >= 1)
+    )
+    return wave_triplet_mining(emb, queries, n_waves=N_WAVES)
