@@ -438,9 +438,12 @@ def bigram_pmi(
 
 
 # Cumulative gate flags quality_gate_stats emits, in funnel order. THE
-# stage-count definition: the batch funnel's stack, the streaming
+# stage-count definition: the batch funnel's aggregate/stack and its
+# oracle's stage union (plans/expansion_round6.py), the streaming
 # sink's stage fan-out, and read_funnel's zero-fill spine all derive
-# from this — adding a gate updates every surface at once.
+# from this. Adding a gate means defining its predicate in TWO places —
+# quality_gate_stats below and the oracle's `gated` CTE (the SQL twin
+# of the semantics) — after which every stage fan-out updates itself.
 GATE_COLS = ["g1", "g2", "g3"]
 N_GATE_STAGES = len(GATE_COLS) + 1  # + stage 0 (every landed doc)
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.textfns import shingles, token_count, tokens
+from ..operators.corpus import GATE_COLS, N_GATE_STAGES
 from ..operators.similarity import ann_topk, brute_force_topk
 from .expansion_similarity import (
     EMBED_DIM,
@@ -307,6 +308,24 @@ def token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The stage fan-out of the funnel derives from GATE_COLS on BOTH
+# engines — adding a gate to quality_gate_stats (and its SQL twin in
+# the `gated` CTE below, which IS the gate semantics and must be edited
+# in lockstep) automatically grows the report, the stack, and the
+# oracle's union by one stage.
+_FUNNEL_STAGES_SQL = "\nUNION ALL\n".join(
+    [
+        "SELECT 0 AS stage, CAST(COUNT(*) AS BIGINT) AS docs,\n"
+        "       CAST(SUM(n_tok) AS BIGINT) AS tokens FROM gated"
+    ]
+    + [
+        f"SELECT {i}, CAST(COUNT(*) FILTER ({g}) AS BIGINT),\n"
+        f"       CAST(COALESCE(SUM(n_tok) FILTER ({g}), 0) AS BIGINT) FROM gated"
+        for i, g in enumerate(GATE_COLS, start=1)
+    ]
+)
+
+
 @register(
     "quality_gate_funnel",
     oracle=f"""
@@ -332,17 +351,7 @@ gated AS (
                AND top_tok_cnt * 5 <= n_tok AS g3
     FROM per_doc
 )
-SELECT 0 AS stage, CAST(COUNT(*) AS BIGINT) AS docs,
-       CAST(SUM(n_tok) AS BIGINT) AS tokens FROM gated
-UNION ALL
-SELECT 1, CAST(COUNT(*) FILTER (g1) AS BIGINT),
-       CAST(COALESCE(SUM(n_tok) FILTER (g1), 0) AS BIGINT) FROM gated
-UNION ALL
-SELECT 2, CAST(COUNT(*) FILTER (g2) AS BIGINT),
-       CAST(COALESCE(SUM(n_tok) FILTER (g2), 0) AS BIGINT) FROM gated
-UNION ALL
-SELECT 3, CAST(COUNT(*) FILTER (g3) AS BIGINT),
-       CAST(COALESCE(SUM(n_tok) FILTER (g3), 0) AS BIGINT) FROM gated
+{_FUNNEL_STAGES_SQL}
 ORDER BY stage
 """,
 )
@@ -370,21 +379,20 @@ def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import quality_gate_stats
 
     gated = quality_gate_stats(load(spark, sf_dir, "documents")).select(
-        "n_tok", "g1", "g2", "g3"
+        "n_tok", *GATE_COLS
     )
-    agg = gated.agg(
-        F.count("*").alias("d0"),
-        F.sum("n_tok").alias("t0"),
-        F.count(F.when(F.col("g1"), 1)).alias("d1"),
-        F.coalesce(F.sum(F.when(F.col("g1"), F.col("n_tok"))), F.lit(0)).alias("t1"),
-        F.count(F.when(F.col("g2"), 1)).alias("d2"),
-        F.coalesce(F.sum(F.when(F.col("g2"), F.col("n_tok"))), F.lit(0)).alias("t2"),
-        F.count(F.when(F.col("g3"), 1)).alias("d3"),
-        F.coalesce(F.sum(F.when(F.col("g3"), F.col("n_tok"))), F.lit(0)).alias("t3"),
-    )
+    aggs = [F.count("*").alias("d0"), F.sum("n_tok").alias("t0")]
+    for i, g in enumerate(GATE_COLS, start=1):
+        aggs.append(F.count(F.when(F.col(g), 1)).alias(f"d{i}"))
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col(g), F.col("n_tok"))), F.lit(0)).alias(
+                f"t{i}"
+            )
+        )
+    agg = gated.agg(*aggs)
+    stack_args = ", ".join(f"{i}L, d{i}, t{i}" for i in range(N_GATE_STAGES))
     return agg.selectExpr(
-        "stack(4, 0L, d0, t0, 1L, d1, t1, 2L, d2, t2, 3L, d3, t3) "
-        "AS (stage, docs, tokens)"
+        f"stack({N_GATE_STAGES}, {stack_args}) AS (stage, docs, tokens)"
     ).orderBy("stage")
 
 

@@ -1,0 +1,98 @@
+"""Round-7 additions: planted mega-cluster skew probe for SemDeDup and
+invariants of the new incremental operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from m2_b3_market_data_pipeline_spark.operators.embeddings import (
+    assign_with_vector,
+    semdedup,
+    semdedup_incremental,
+)
+
+
+def _planted_skew_frame(spark, n=2000, dim=16, heavy_frac=0.8):
+    """n vectors, heavy_frac of them in one tight blob around +10 on
+    axis 0 (the mega k-means cluster), the rest around -10. Vectors 0
+    and 1 are the k=2 seeds, one per blob. Deterministic jitter keeps
+    runs stable and gives the blob internal near-duplicates."""
+    n_heavy = int(n * heavy_frac)
+    rows = []
+    for i in range(n):
+        heavy = i < n_heavy
+        base = 10.0 if heavy else -10.0
+        vec = [base] + [((i * 37 + d * 11) % 97) / 970.0 for d in range(dim - 1)]
+        rows.append((i, vec))
+    # seeds: id 0 is heavy (blob A), id 1 must be the other blob
+    rows[1] = (1, [-10.0] + [((1 * 37 + d * 11) % 97) / 970.0 for d in range(dim - 1)])
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_mega_cluster_aqe_skew_split(spark):
+    """SemDeDup's in-cluster pair join relies on AQE to split a runaway
+    cluster (operators/embeddings.py docstring). Plant one cluster with
+    80% of the corpus, lower the AQE skew thresholds to test scale, and
+    assert (a) the join completes and prunes inside the mega cluster,
+    and (b) the finalized adaptive plan actually engaged the skew-join
+    rewrite (``skew=true`` on the sort-merge join)."""
+    confs = {
+        # force the in-cluster join off broadcast so skew handling applies
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        # coalescing can merge the planted skew away before detection
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = _planted_skew_frame(spark)
+        out = semdedup(df, k=2, iters=1, threshold=0.999)
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        out._cached_frames[0].unpersist()
+
+        assert len(rows) == 2000
+        by_centroid: dict[int, int] = {}
+        pruned_in = set()
+        for r in rows:
+            by_centroid[r.centroid_id] = by_centroid.get(r.centroid_id, 0) + 1
+            if r.pruned:
+                pruned_in.add(r.centroid_id)
+        sizes = sorted(by_centroid.values())
+        assert sizes[-1] >= 1500, sizes  # the planted mega cluster held
+        assert pruned_in, "tight blob must contain cosine near-dups"
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_semdedup_incremental_never_prunes_corpus_and_is_monotone(spark):
+    """Invariants of the delta-vs-corpus form: only delta rows appear in
+    the output; a delta identical to a corpus vector is pruned; a delta
+    orthogonal to everything survives."""
+    corpus_raw = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    centroids = corpus_raw.select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    corpus = assign_with_vector(corpus_raw, centroids)
+    delta = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.pruned
+        for r in semdedup_incremental(delta, corpus, centroids, threshold=0.9).collect()
+    }
+    assert got == {10: True, 11: False}
