@@ -108,6 +108,12 @@ HEADLINE = [
     "dup_ngram_spans",
     "dsir_weights",
     "lm_quality_buckets",
+    # round-7: the rewritten exploded-band ANN path (was BNLJ; measure
+    # the hash-join shape directly, not only via ann_recall_check) and
+    # the incremental semantic-dedup / growing-corpus mining wave
+    "ann_topk_lsh",
+    "incremental_semdedup",
+    "streaming_triplets",
 ]
 
 
