@@ -299,20 +299,24 @@ def ann_topk(
     key, so Spark plans it as BroadcastNestedLoopJoin — |corpus| ×
     |queries| predicate evaluations, which degrades quadratically as the
     query count grows. With the exploded form the candidate set is
-    IDENTICAL (a pair survives iff ANY band matches) but the join is
-    O(matching band rows). A pair matching in m bands is scored m times
-    (cheaper than a pre-score distinct, which would shuffle the vectors)
-    and collapsed by a map-side-combinable groupBy — the cos values are
-    identical per pair, so max() is a pure dedup — leaving one exchange
-    row per candidate pair before the per-query top-k window."""
+    IDENTICAL (a pair survives iff ANY band matches) and the join is
+    O(matching band rows).
+
+    A pair matching in m bands would surface m times; the FIRST-MATCH
+    filter (emit only at the lowest matching band — both full
+    signatures ride the join, so "no earlier band also matches" is a
+    post-join bit comparison) makes each pair surface exactly once.
+    That kills the dedup aggregation a groupBy would need, so the only
+    exchange in the whole operator is the per-query top-k window's."""
     n_bands = n_bits // band_bits
     mask = (1 << band_bits) - 1
 
-    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    def banded(df: DataFrame, id_alias: str, vec_alias: str, sig_alias: str) -> DataFrame:
         signed = lsh_signatures(df, vec_col=vec_col, dim=dim, n_bits=n_bits)
         return signed.select(
             F.col(id_col).alias(id_alias),
             as_double(vec_col).alias(vec_alias),
+            F.col("lsh_sig").alias(sig_alias),
             F.explode(
                 F.array(
                     *[
@@ -326,16 +330,23 @@ def ann_topk(
                     ]
                 )
             ).alias("b"),
-        ).select(id_alias, vec_alias, "b.band_id", "b.band_val")
+        ).select(id_alias, vec_alias, sig_alias, "b.band_id", "b.band_val")
 
-    banded_c = banded(corpus, "neighbor_id", "cvec")
-    banded_q = banded(queries, "query_id", "qvec")
+    def band_of(sig: str, e: int) -> Column:
+        return F.shiftright(F.col(sig), e * band_bits).bitwiseAND(F.lit(mask))
+
+    banded_c = banded(corpus, "neighbor_id", "cvec", "__csig")
+    banded_q = banded(queries, "query_id", "qvec", "__qsig")
+    first_match = F.lit(True)
+    for e in range(n_bands - 1):
+        first_match = first_match & (
+            (F.col("band_id") <= e) | (band_of("__csig", e) != band_of("__qsig", e))
+        )
     scored = (
         banded_c.join(F.broadcast(banded_q), ["band_id", "band_val"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter((F.col("query_id") != F.col("neighbor_id")) & first_match)
         .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.max("cos").alias("cos"))
+        .select("query_id", "neighbor_id", "cos")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

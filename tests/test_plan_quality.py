@@ -391,15 +391,17 @@ def test_ann_topk_candidates_via_hash_equi_join(spark, sf_dir):
     """The r6 verdict's one 'weak' plan: ann_topk used a band-match
     DISJUNCTION, which has no hash key and planned as
     BroadcastNestedLoopJoin (|corpus| x |queries| predicate evals). The
-    r7 rewrite explodes bands and equi-joins on (band_id, band_val) —
-    pin that no BNLJ ever returns and the candidate join is a
-    BroadcastHashJoin, with the pair-dedup running as a partial
-    (map-side) aggregate before its exchange."""
+    r7 rewrite explodes bands and equi-joins on (band_id, band_val),
+    with the FIRST-MATCH bit filter making each pair surface exactly
+    once — pin that no BNLJ ever returns, the candidate join is a
+    BroadcastHashJoin, and the only exchange is the top-k window's (no
+    dedup aggregation ever reappears)."""
     plan = _plan(all_queries.QUERIES["ann_topk_lsh"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
-    assert re.search(r"HashAggregate.*partial_max", plan) or "partial_max" in plan, plan
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(exchanges) == 1, plan
 
 
 def test_surface_wide_aggregate_and_join_lint(spark, sf_dir):
