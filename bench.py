@@ -55,8 +55,6 @@ HEADLINE = [
     "simhash_signatures",
     "cosine_topk",
     "text_stats",
-    "q4_order_priority",
-    "q18_large_orders",
     "tfidf_top_terms",
     # added with round-1 coverage growth (TPC-H wave 4, streaming joins,
     # IVF ANN) — totals before/after are not comparable 1:1; compare
@@ -73,7 +71,6 @@ HEADLINE = [
     "centroid_assign",
     # round-2 event-log analytics + CDC wave
     "sessionize_stats",
-    "retention_cohorts",
     "cdc_merge_upsert",
     # round-4 wave 6
     "trigram_lm_score",
@@ -110,7 +107,12 @@ HEADLINE = [
     "lm_quality_buckets",
     # round-7: the rewritten exploded-band ANN path (was BNLJ; measure
     # the hash-join shape directly, not only via ann_recall_check) and
-    # the incremental semantic-dedup / growing-corpus mining wave
+    # the incremental semantic-dedup / growing-corpus mining wave.
+    # Rotated out to stay under the driver's 2000-byte tail capture
+    # (test_bench_line_fits_driver_capture): q4_order_priority,
+    # q18_large_orders (TPC-H family keeps 10 headline reps),
+    # retention_cohorts (0.34s; events family keeps sessionize_stats) —
+    # historical numbers in BENCH_r01-r06/BENCH_FULL.
     "ann_topk_lsh",
     "incremental_semdedup",
     "streaming_triplets",

@@ -239,6 +239,26 @@ def lsh_signatures(
     return corpus.withColumn("lsh_sig", sig)
 
 
+def _first_match_filter(
+    sig_a: str, sig_b: str, n_bands: int, band_bits: int
+) -> Column:
+    """Post-join filter that keeps a banded candidate row only at the
+    pair's LOWEST matching band: XOR the two signatures once, then the
+    row survives iff every band BEFORE the joined one has a non-zero
+    XOR group (i.e. differs). Each pair thus surfaces exactly once —
+    the collapse a distinct()/groupBy would otherwise buy with a full
+    shuffle of the candidate set. Measured at 10x corpus volume
+    (46M candidate pairs): 5.8s for the distinct form vs 1.0s for this
+    filter (BASELINE.md round-7 note)."""
+    mask = (1 << band_bits) - 1
+    diff = F.col(sig_a).bitwiseXOR(F.col(sig_b))
+    keep = F.lit(True)
+    for e in range(n_bands - 1):
+        grp = F.shiftright(diff, e * band_bits).bitwiseAND(F.lit(mask))
+        keep = keep & ((F.col("band_id") <= e) | (grp != 0))
+    return keep
+
+
 def lsh_candidates(
     signed: DataFrame,
     *,
@@ -246,11 +266,18 @@ def lsh_candidates(
     n_bits: int = 16,
     band_bits: int = 4,
 ) -> DataFrame:
-    """Bucket-join on signature bands -> candidate pairs (id_a < id_b)."""
+    """Bucket-join on signature bands -> candidate pairs (id_a < id_b),
+    each pair emitted EXACTLY ONCE: both signatures ride the join and
+    the first-match bit filter keeps a pair only at its LOWEST matching
+    band, replacing the distinct() a multi-band match otherwise needs —
+    one fewer exchange over the candidate set (the same rewrite as
+    ``ann_topk``; at 100 TB the removed distinct is a full shuffle of
+    every candidate pair)."""
     n_bands = n_bits // band_bits
     mask = (1 << band_bits) - 1
     banded = signed.select(
         id_col,
+        "lsh_sig",
         F.explode(
             F.array(
                 *[
@@ -264,17 +291,21 @@ def lsh_candidates(
                 ]
             )
         ).alias("b"),
-    ).select(id_col, "b.band_id", "b.band_val")
-    a, b = banded.alias("a"), banded.alias("b")
+    ).select(id_col, "lsh_sig", "b.band_id", "b.band_val")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("lsh_sig").alias("__siga"),
+        "band_id", "band_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("lsh_sig").alias("__sigb"),
+        "band_id", "band_val",
+    )
+
+    first_match = _first_match_filter("__siga", "__sigb", n_bands, band_bits)
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+        a.join(b, ["band_id", "band_val"])
+        .filter((F.col("id_a") < F.col("id_b")) & first_match)
+        .select("id_a", "id_b")
     )
 
 
@@ -332,16 +363,9 @@ def ann_topk(
             ).alias("b"),
         ).select(id_alias, vec_alias, sig_alias, "b.band_id", "b.band_val")
 
-    def band_of(sig: str, e: int) -> Column:
-        return F.shiftright(F.col(sig), e * band_bits).bitwiseAND(F.lit(mask))
-
     banded_c = banded(corpus, "neighbor_id", "cvec", "__csig")
     banded_q = banded(queries, "query_id", "qvec", "__qsig")
-    first_match = F.lit(True)
-    for e in range(n_bands - 1):
-        first_match = first_match & (
-            (F.col("band_id") <= e) | (band_of("__csig", e) != band_of("__qsig", e))
-        )
+    first_match = _first_match_filter("__csig", "__qsig", n_bands, band_bits)
     scored = (
         banded_c.join(F.broadcast(banded_q), ["band_id", "band_val"])
         .filter((F.col("query_id") != F.col("neighbor_id")) & first_match)
