@@ -123,24 +123,41 @@ def band_signatures(
     id_col: str = "doc_id",
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
+    keep_all_bands: bool = False,
 ) -> DataFrame:
     """Explode a signature frame to (id, band_id, band_hash) rows — the
     LSH bucket keys. Docs with empty shingle sets (NULL minhash) are
     dropped so they never collide. Shared by the self-join
     (``lsh_candidate_pairs``) and the cross-relation incremental join
-    (``minhash_incremental_pairs``)."""
+    (``minhash_incremental_pairs``).
+
+    ``keep_all_bands=True`` additionally carries the full per-doc band
+    array (``__bands``) on every exploded row, which is what lets the
+    candidate joins apply the FIRST-MATCH filter (emit a pair only at
+    its lowest matching band) instead of a distinct() over the
+    candidate set — at corpus scale that distinct is a full shuffle of
+    every candidate pair (6x measured at 10x volume, BASELINE.md
+    round-7 A/B); the array costs n_bands hashes per row, bounded by
+    the signature size."""
     n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("", *cols)).alias("band_hash"))
-        )
-    return (
-        signed.filter(F.col("mh0").isNotNull())
-        .select(F.col(id_col), F.explode(F.array(*bands)).alias("band"))
-        .select(id_col, "band.band_id", "band.band_hash")
+    hash_arr = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+                )
+            )
+            for b in range(n_bands)
+        ]
     )
+    out = (
+        signed.filter(F.col("mh0").isNotNull())
+        .select(F.col(id_col), hash_arr.alias("__bands"))
+        .select(
+            id_col, "__bands", F.posexplode("__bands").alias("band_id", "band_hash")
+        )
+    )
+    return out if keep_all_bands else out.drop("__bands")
 
 
 def lsh_candidate_pairs(
@@ -151,9 +168,16 @@ def lsh_candidate_pairs(
     band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_id, band_hash):
-    distinct candidate pairs (id_a < id_b)."""
+    candidate pairs (id_a < id_b), each emitted EXACTLY ONCE via the
+    first-match band filter (see ``band_signatures`` keep_all_bands) —
+    no distinct() shuffle over the candidate set."""
+    n_bands = num_hashes // band_size
     banded = band_signatures(
-        signed, id_col=id_col, num_hashes=num_hashes, band_size=band_size
+        signed,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        keep_all_bands=True,
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -164,9 +188,25 @@ def lsh_candidate_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .filter(
+            _band_first_match(
+                F.col("a.__bands"), F.col("b.__bands"), F.col("a.band_id"), n_bands
+            )
+        )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
+
+
+def _band_first_match(
+    a_bands: Column, b_bands: Column, band_id: Column, n_bands: int
+) -> Column:
+    """Keep a banded candidate row only if no EARLIER band also matches
+    — the dedup-free "emit once" rule shared with the simhash pigeonhole
+    and hyperplane-LSH joins."""
+    keep = F.lit(True)
+    for e in range(n_bands - 1):
+        keep = keep & ((band_id <= F.lit(e)) | (a_bands[e] != b_bands[e]))
+    return keep
 
 
 def jaccard_verify(
@@ -281,16 +321,27 @@ def _cross_pairs_from_signed(
     (``with_minhash`` output: sh + mh0..mhK). Shared by the from-text
     and stored-signature-table incremental paths and the streaming
     sink; persist lifecycle belongs to the callers."""
-    d_bands = band_signatures(d_signed, id_col=id_col).withColumnRenamed(
-        id_col, "delta_id"
+    n_bands = NUM_HASHES // BAND_SIZE
+    d_bands = band_signatures(d_signed, id_col=id_col, keep_all_bands=True).select(
+        F.col(id_col).alias("delta_id"),
+        F.col("__bands").alias("__dbands"),
+        "band_id",
+        "band_hash",
     )
-    c_bands = band_signatures(c_signed, id_col=id_col).withColumnRenamed(
-        id_col, "corpus_id"
+    c_bands = band_signatures(c_signed, id_col=id_col, keep_all_bands=True).select(
+        F.col(id_col).alias("corpus_id"),
+        F.col("__bands").alias("__cbands"),
+        "band_id",
+        "band_hash",
     )
     cand = (
         d_bands.join(c_bands, ["band_id", "band_hash"])
+        .filter(
+            _band_first_match(
+                F.col("__dbands"), F.col("__cbands"), F.col("band_id"), n_bands
+            )
+        )
         .select("delta_id", "corpus_id")
-        .distinct()
     )
     sets_d = d_signed.select(F.col(id_col).alias("delta_id"), F.col("sh").alias("sh_a"))
     sets_c = c_signed.select(F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_b"))
@@ -499,7 +550,16 @@ def simhash_near_pairs(
     per chunk instead of a cross join. bit_count over both halves
     verifies exactly. At the default max_hamming=3 the chunks are 16
     bits wide (the Manku et al. WWW'07 layout): 65k bucket values per
-    chunk keeps bucket population ~|corpus|/65k."""
+    chunk keeps bucket population ~|corpus|/65k.
+
+    A pair agreeing on m chunks would surface m times; the FIRST-MATCH
+    filter — both signatures already ride the join for the Hamming
+    verify, so "every earlier chunk's XOR group is non-zero" is a few
+    bit ops — keeps each pair only at its lowest matching chunk. That
+    replaces the distinct() the multi-chunk matches otherwise need,
+    which at corpus scale is a full shuffle of every candidate pair
+    (measured 6x on the banded-LSH twin at 10x volume; BASELINE.md
+    round-7 first-match A/B)."""
     chunks = max_hamming + 1
     layout = simhash_chunks(chunks)
     banded = sigs.select(
@@ -521,10 +581,17 @@ def simhash_near_pairs(
         ).alias("ch"),
     ).select(id_col, "simhash_lo", "simhash_hi", "ch.chunk_id", "ch.chunk_val")
     a, b = banded.alias("a"), banded.alias("b")
-    ham = (
-        F.bit_count(F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")))
-        + F.bit_count(F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")))
-    ).cast("bigint")
+    diff = {
+        "simhash_lo": F.col("a.simhash_lo").bitwiseXOR(F.col("b.simhash_lo")),
+        "simhash_hi": F.col("a.simhash_hi").bitwiseXOR(F.col("b.simhash_hi")),
+    }
+    ham = (F.bit_count(diff["simhash_lo"]) + F.bit_count(diff["simhash_hi"])).cast(
+        "bigint"
+    )
+    first_match = F.lit(True)
+    for e, (half, shift, mask) in enumerate(layout[:-1]):
+        grp = F.shiftright(diff[half], shift).bitwiseAND(F.lit(mask))
+        first_match = first_match & ((F.col("a.chunk_id") <= e) | (grp != 0))
     return (
         a.join(
             b,
@@ -532,13 +599,13 @@ def simhash_near_pairs(
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
+        .filter(first_match)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
