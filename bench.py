@@ -116,6 +116,7 @@ HEADLINE = [
     "ann_topk_lsh",
     "incremental_semdedup",
     "streaming_triplets",
+    "ivfpq_ann_topk",
 ]
 
 

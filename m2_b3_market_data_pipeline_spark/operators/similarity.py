@@ -507,6 +507,99 @@ def pq_ann_topk(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook_source: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_sub: int,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ composite ANN — the standard billion-scale layout (IVF
+    coarse cells restrict WHICH vectors are scored; PQ asymmetric
+    distance decides HOW they are scored, from compressed codes only).
+
+    Index build is a single map-side pass over the corpus: coarse-assign
+    each vector to its nearest cell (broadcast centroids), then PQ-code
+    the ASSIGNED frame with the cell id carried through the slice
+    explode and the struct-argmin groupBy — the cid rides the grouping
+    key (it is functionally dependent on the vector id), so codes and
+    cell ids materialize together with NO corpus-vs-corpus join. At
+    100 TB the inverted file would be written partitioned by ``cid``;
+    searches then open only the probed cells (partition pruning).
+
+    Search: each query probes its ``nprobe`` nearest cells; the
+    (query_id, cid) probe list and the per-(query, subspace, code) ADC
+    distance table are both broadcast, so the corpus-side candidate
+    stream — |corpus| x nprobe/|cells| x n_sub rows — flows map-side
+    into one partial-aggregated SUM per (query, neighbor), and the only
+    exchanges in the whole operator are that singleton-row sum and the
+    per-query top-k window. Distances round to 6dp after the
+    cross-subspace sum (neighbor-id tiebreak) so the ranking reproduces
+    across engines; with ``nprobe >= |cells|`` the result is exactly
+    ``pq_ann_topk`` (pinned in tests)."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub_len = dim // n_sub
+
+    # -- index build: cells + codes in one map-side pass -------------
+    cells = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1)
+    cent = _pq_slices(codebook_source, id_col, vec_col, "cvec", n_sub, sub_len).withColumnRenamed(
+        id_col, "code"
+    )
+    corp = (
+        cells.select(
+            F.col(id_col),
+            "cid",
+            as_double(vec_col).alias("__v"),
+            F.explode(F.array(*[F.lit(m) for m in range(1, n_sub + 1)])).alias("subspace"),
+        )
+        .withColumn("svec", F.expr(f"slice(__v, (subspace - 1) * {sub_len} + 1, {sub_len})"))
+        .drop("__v")
+    )
+    scored = corp.join(F.broadcast(cent), "subspace").withColumn(
+        "dist", F.round(_l2sq(F.col("svec"), F.col("cvec")), 6)
+    )
+    best = F.min(F.struct("dist", "code")).alias("__best")
+    codes = (
+        scored.groupBy(id_col, "cid", F.col("subspace").cast("long").alias("subspace"))
+        .agg(best)
+        .select(id_col, "cid", "subspace", F.col("__best.code").alias("code"))
+    )
+
+    # -- search: broadcast probes + broadcast ADC table --------------
+    probes = ivf_assign(
+        queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    ).select(F.col(id_col).alias("query_id"), "cid")
+    q = _pq_slices(queries, id_col, vec_col, "qvec", n_sub, sub_len).withColumnRenamed(
+        id_col, "query_id"
+    )
+    table = q.join(cent, "subspace").select(
+        "query_id",
+        F.col("subspace").cast("long").alias("subspace"),
+        "code",
+        _l2sq(F.col("qvec"), F.col("cvec")).alias("part"),
+    )
+    summed = (
+        codes.join(F.broadcast(probes), "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(table), ["query_id", "subspace", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.round(F.sum("part"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        summed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adist", "rn")
+    )
+
+
 def hard_negative_mining(
     corpus: DataFrame,
     queries: DataFrame,

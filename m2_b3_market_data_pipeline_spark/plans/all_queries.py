@@ -102,6 +102,7 @@ CHECK_PRIORITY: list[str] = [
     # are born). ---
     "incremental_semdedup",
     "streaming_triplets",
+    "ivfpq_ann_topk",
     # --- Stalest evidence: newest green row is r3. ---
     "asof_join_quotes",
     "band_join_revenue",
@@ -142,7 +143,6 @@ CHECK_PRIORITY: list[str] = [
     "cdc_merge_upsert",
     "centroid_assign",
     "char_entropy",
-    "corpus_pipeline",
     # --- Anchor: flagship reference pipeline, in the window every
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---

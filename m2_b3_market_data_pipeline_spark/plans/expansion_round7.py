@@ -15,7 +15,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.embeddings import assign_with_vector, semdedup_incremental
-from ..operators.similarity import wave_triplet_mining
+from ..operators.similarity import ivfpq_topk, wave_triplet_mining
+from .expansion_similarity import (
+    _CCOS_C,
+    _CCOS_Q,
+    _PQ_LEN,
+    CENTROID_MOD,
+    EMBED_DIM,
+    NPROBE,
+    PQ_SUB,
+    QUERY_MOD,
+    TOP_K,
+)
 from .registry import load, register
 
 DELTA_MOD = 4  # delta = every 4th vector; corpus = the rest
@@ -127,3 +138,80 @@ def streaming_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % TRIPLET_QUERY_MOD == 0) & (F.col("wave") >= 1)
     )
     return wave_triplet_mining(emb, queries, n_waves=N_WAVES)
+
+
+_PQ_DIST_P = (
+    "ROUND(list_sum([ (s.sv[i] - pcent.cv[i]) * (s.sv[i] - pcent.cv[i]) "
+    f"for i in generate_series(1, {_PQ_LEN}) ]), 6)"
+)
+
+
+@register(
+    "ivfpq_ann_topk",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % {CENTROID_MOD} = 0),
+asg AS (
+    SELECT vec_id, cid FROM (
+        SELECT c.vec_id, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_CCOS_C} DESC, cent.cid) AS rn
+        FROM c CROSS JOIN cent) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % {QUERY_MOD} = 0),
+probe AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_CCOS_Q} DESC, cent.cid) AS rn
+        FROM q CROSS JOIN cent) WHERE rn <= {NPROBE}),
+m AS (SELECT unnest(generate_series(1, {PQ_SUB})) AS m),
+sub AS (
+    SELECT vec_id, m, list_slice(v, (m - 1) * {_PQ_LEN} + 1, m * {_PQ_LEN}) AS sv
+    FROM c, m),
+pcent AS (
+    SELECT vec_id AS code, m, list_slice(v, (m - 1) * {_PQ_LEN} + 1, m * {_PQ_LEN}) AS cv
+    FROM c, m WHERE vec_id % {CENTROID_MOD} = 0),
+codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, pcent.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_PQ_DIST_P} ASC, pcent.code) AS rn
+        FROM sub s JOIN pcent ON s.m = pcent.m) WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id, m, sv AS qv2 FROM sub WHERE vec_id % {QUERY_MOD} = 0),
+tbl AS (
+    SELECT qs.query_id, qs.m, pcent.code,
+           list_sum([ (qs.qv2[i] - pcent.cv[i]) * (qs.qv2[i] - pcent.cv[i])
+                      for i in generate_series(1, {_PQ_LEN}) ]) AS part
+    FROM qs JOIN pcent ON qs.m = pcent.m),
+summed AS (
+    SELECT t.query_id, k.vec_id AS neighbor_id, ROUND(SUM(t.part), 6) AS adist
+    FROM codes k
+    JOIN asg a ON a.vec_id = k.vec_id
+    JOIN probe p ON p.cid = a.cid
+    JOIN tbl t ON t.query_id = p.query_id AND t.m = k.m AND t.code = k.code
+    WHERE k.vec_id <> p.query_id
+    GROUP BY t.query_id, k.vec_id)
+SELECT query_id, neighbor_id, adist, rn FROM (
+    SELECT query_id, neighbor_id, adist,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist ASC, neighbor_id) AS rn
+    FROM summed) WHERE rn <= {TOP_K}
+""",
+)
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (operators/similarity.py::ivfpq_topk): the
+    billion-scale layout — coarse cells bound WHICH corpus vectors are
+    scored (queries probe their NPROBE nearest cells), PQ asymmetric
+    distance bounds HOW (broadcast per-query distance tables over the
+    compressed codes; full vectors are never touched at search time).
+    Same deterministic every-{CENTROID_MOD}-th-vector codebook as the
+    standalone IVF and PQ paths, so the whole composite is
+    hash-checked; with nprobe >= |cells| it degenerates to exactly
+    pq_ann_topk (pinned in tests)."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return ivfpq_topk(
+        emb, queries, centroids, centroids,
+        dim=EMBED_DIM, n_sub=PQ_SUB, k=TOP_K, nprobe=NPROBE,
+    )

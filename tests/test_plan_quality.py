@@ -420,8 +420,8 @@ def test_surface_wide_aggregate_and_join_lint(spark, sf_dir):
         "exact_percentiles", "approx_quantiles", "approx_quantile_check",
         "percentile_binning", "mad_outliers", "lm_quality_buckets",
         # struct-argmin / first-last buffers
-        "pq_codes", "pq_ann_topk", "resample_ohlc", "streaming_dedup",
-        "hard_negatives", "streaming_triplets",
+        "pq_codes", "pq_ann_topk", "ivfpq_ann_topk", "resample_ohlc",
+        "streaming_dedup", "hard_negatives", "streaming_triplets",
         # collect_list over the BOUNDED k x dim centroid rebuild frame
         "kmeans_clusters", "semdedup_prune",
     }

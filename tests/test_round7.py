@@ -96,3 +96,65 @@ def test_semdedup_incremental_never_prunes_corpus_and_is_monotone(spark):
         for r in semdedup_incremental(delta, corpus, centroids, threshold=0.9).collect()
     }
     assert got == {10: True, 11: False}
+
+
+def test_ivfpq_full_probe_equals_pq_ann_topk(spark, sf_dir):
+    """With nprobe >= |cells| the IVF restriction admits every corpus
+    vector, so IVF-PQ must degenerate to EXACTLY the flat PQ-ADC search
+    — same neighbors, same distances, same ranks. Pins the composite's
+    scoring path to the already-oracle-checked pq_ann_topk."""
+    from m2_b3_market_data_pipeline_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_ann_topk,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.expansion_similarity import (
+        CENTROID_MOD,
+        EMBED_DIM,
+        PQ_SUB,
+        QUERY_MOD,
+        TOP_K,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    n_cells = centroids.count()
+    full = ivfpq_topk(
+        emb, queries, centroids, centroids,
+        dim=EMBED_DIM, n_sub=PQ_SUB, k=TOP_K, nprobe=n_cells,
+    )
+    flat = pq_ann_topk(
+        emb, queries, centroids, dim=EMBED_DIM, n_sub=PQ_SUB, k=TOP_K
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, flat.collect()))
+
+
+def test_ivfpq_restricts_candidates_and_stays_hash_joined(spark, sf_dir):
+    """Plan pin for ivfpq_ann_topk: the probe restriction and the ADC
+    distance table must both arrive as BROADCAST HASH joins (the corpus
+    stream never shuffles to meet them), and nothing in the composite
+    may plan a CartesianProduct. The only BroadcastNestedLoopJoins
+    allowed are the two bounded all-pairs centroid scorings inside
+    ivf_assign (corpus-vs-centroids, queries-vs-centroids)."""
+    from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
+
+    df = QUERIES["ivfpq_ann_topk"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan, plan
+    # formatted output lists each node twice (tree + detail): count
+    # distinct detail headers.
+    import re
+
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
+    assert nodes.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert nodes.count("BroadcastHashJoin") >= 2, plan
+    # smoke: restricted search returns at most k rows per query
+    rows = df.collect()
+    assert rows, "ivfpq returned no rows"
+    per_q = {}
+    for r in rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert max(per_q.values()) <= 5
