@@ -76,7 +76,6 @@ HEADLINE = [
     "trigram_lm_score",
     "containment_pairs",
     "phash_near_dups",
-    "twap_daily",
     "markov_transitions",
     "fuzzy_name_match",
     "json_parse_audit",
@@ -92,7 +91,6 @@ HEADLINE = [
     "approx_quantile_check",
     "ann_recall_check",
     "boilerplate_frac",
-    "orc_roundtrip",
     "token_fertility",
     "quality_gate_funnel",
     "audio_frame_energy",
@@ -111,12 +109,16 @@ HEADLINE = [
     # Rotated out to stay under the driver's 2000-byte tail capture
     # (test_bench_line_fits_driver_capture): q4_order_priority,
     # q18_large_orders (TPC-H family keeps 10 headline reps),
-    # retention_cohorts (0.34s; events family keeps sessionize_stats) —
+    # retention_cohorts (0.34s; events family keeps sessionize_stats),
+    # and with the BPE/IVF-PQ wave also twap_daily (0.35s; market
+    # family keeps asof/resample/indicators) and orc_roundtrip (0.29s;
+    # formats family keeps hash-checked correctness rows) —
     # historical numbers in BENCH_r01-r06/BENCH_FULL.
     "ann_topk_lsh",
     "incremental_semdedup",
     "streaming_triplets",
     "ivfpq_ann_topk",
+    "bpe_learn_merges",
 ]
 
 

@@ -103,6 +103,11 @@ CHECK_PRIORITY: list[str] = [
     "incremental_semdedup",
     "streaming_triplets",
     "ivfpq_ann_topk",
+    # bpe_pair_counts is the hash-checked anchor of the BPE family;
+    # bpe_learn_merges is rows-only (iterative) and stays OUT of the
+    # window per the no-rows-only-slots contract — its witness is the
+    # pure-Python golden recompute.
+    "bpe_pair_counts",
     # --- Stalest evidence: newest green row is r3. ---
     "asof_join_quotes",
     "band_join_revenue",
@@ -142,7 +147,6 @@ CHECK_PRIORITY: list[str] = [
     "array_functions",
     "cdc_merge_upsert",
     "centroid_assign",
-    "char_entropy",
     # --- Anchor: flagship reference pipeline, in the window every
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---

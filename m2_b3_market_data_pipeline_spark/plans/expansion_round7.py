@@ -215,3 +215,46 @@ def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, centroids, centroids,
         dim=EMBED_DIM, n_sub=PQ_SUB, k=TOP_K, nprobe=NPROBE,
     )
+
+
+BPE_MERGES = 16
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=r"""
+WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+wc AS (SELECT word, COUNT(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
+p AS (
+    SELECT substring(word, i, 1) AS l, substring(word, i + 1, 1) AS r, cnt
+    FROM wc, unnest(generate_series(1, length(word) - 1)) AS t(i)
+)
+SELECT l AS "left", r AS "right", CAST(SUM(cnt) AS BIGINT) AS pair_count
+FROM p GROUP BY l, r
+""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 BPE pair statistics (operators/bpe.py::pair_counts over
+    the character symbolization): the adjacent-pair frequency table the
+    first merge argmax reads, hash-checked end-to-end — the anchor for
+    the iterative trainer, whose later rounds depend on learned merges
+    and are therefore golden-recompute-pinned instead."""
+    from ..operators.bpe import pair_counts, word_frequencies
+
+    docs = load(spark, sf_dir, "documents")
+    return pair_counts(word_frequencies(docs))
+
+
+@register("bpe_learn_merges")  # rows-only: merge-dependent iteration, not SQL-expressible
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py::
+    learn_merges): {BPE_MERGES} merge rules learned from the
+    word-frequency table — pair-count, one-row argmax collect, map-side
+    greedy merge fold per round. Deterministic (count desc, lexicographic
+    pair tiebreak) and pinned against a pure-Python golden recompute
+    (tests/test_golden_recompute.py); rows-only here because each
+    round's input depends on the previous round's learned rule."""
+    from ..operators.bpe import learn_merges
+
+    docs = load(spark, sf_dir, "documents")
+    return learn_merges(spark, docs, n_merges=BPE_MERGES)

@@ -190,3 +190,51 @@ def test_lang_segments_matches_python_golden(spark, docs):
     }
     release_cached(out)
     assert got == want
+
+
+@_slow
+@given(docs=docs_strategy)
+def test_bpe_learn_merges_matches_python_golden(spark, docs):
+    """BPE trainer (Sennrich et al. 2016) from its published definition:
+    word-frequency table, weighted adjacent-pair counts, argmax with
+    (count desc, pair asc) tiebreak, greedy left-to-right merge where a
+    freshly-merged token may serve as the next match's left side. The
+    Spark fold (operators/bpe.py::_apply_merge) must reproduce this
+    exactly, rule for rule — iteration makes the op rows-only at the
+    driver, so this recompute is its primary correctness witness."""
+    from collections import Counter
+
+    from m2_b3_market_data_pipeline_spark.operators.bpe import learn_merges
+
+    n_merges = 6
+
+    # --- pure-Python golden ---
+    wc = Counter()
+    for text in docs:
+        for w in re.split(r"\s+", text):
+            if w:
+                wc[w] += 1
+    syms = {w: [ch for ch in w] for w in wc}
+    golden = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += wc[w]
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        golden.append((rank, l, r, l + r, cnt))
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            syms[w] = out
+
+    # --- Spark ---
+    sdocs = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+    got = [tuple(r) for r in learn_merges(spark, sdocs, n_merges=n_merges).collect()]
+    assert got == golden
