@@ -1,0 +1,90 @@
+"""Count-min sketch: sub-linear frequency estimation (Cormode &
+Muthukrishnan 2005) — the frequency-sketch sibling of the HLL
+(approx_distinct_*) and quantile (approx_quantile_*) paths.
+
+At 100 TB you cannot hold per-key exact counts for an unbounded key
+domain; the CM table is ``depth x width`` counters TOTAL, regardless of
+input size. Build is one bounded shuffle: each record explodes into
+``depth`` (row, bucket) coordinates (a zero-shuffle projection), and the
+groupBy partial-aggregates map-side down to at most depth*width rows.
+Estimation broadcasts the finished table against any candidate stream:
+``est(key) = min over rows of table[row][hash_row(key) % width]`` —
+never an underestimate (each counter only ever adds other keys'
+collisions on top), which the check query surfaces as a hash-checked
+boolean column.
+
+Hashes are the portable seeded-md5 family (functions/textfns.py::
+seeded_hash60, seed = base + row index) so DuckDB reproduces the exact
+bucket layout — the sketch itself is deterministic and hash-checkable,
+unlike Spark's built-in stat.countMinSketch whose serialized table
+lives driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textfns import seeded_hash60
+
+CM_SEED = 11
+
+
+def _coords(key: Column, *, depth: int, width: int, seed: int) -> Column:
+    """Array of the key's ``depth`` (row_id, bucket) coordinates."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_id"),
+                (seeded_hash60(key, seed + i) % width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def countmin_table(
+    df: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 3,
+    width: int = 8,
+    seed: int = CM_SEED,
+) -> DataFrame:
+    """Build the CM counter table: (row_id, bucket, cnt), at most
+    depth * width rows — the sketch's entire state."""
+    return (
+        df.select(
+            F.explode(
+                _coords(F.col(key_col), depth=depth, width=width, seed=seed)
+            ).alias("c")
+        )
+        .groupBy(F.col("c.row_id").alias("row_id"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    cm: DataFrame,
+    candidates: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 3,
+    width: int = 8,
+    seed: int = CM_SEED,
+) -> DataFrame:
+    """Estimate each candidate key's frequency from the broadcast CM
+    table: explode the candidate's coordinates, hash-join the (tiny)
+    table, take the min counter. The candidate stream can be any size —
+    the sketch side is depth*width rows and always broadcasts."""
+    coords = candidates.select(
+        F.col(key_col),
+        F.explode(
+            _coords(F.col(key_col), depth=depth, width=width, seed=seed)
+        ).alias("c"),
+    ).select(key_col, F.col("c.row_id").alias("row_id"), F.col("c.bucket").alias("bucket"))
+    return (
+        coords.join(F.broadcast(cm), ["row_id", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cm_est"))
+    )

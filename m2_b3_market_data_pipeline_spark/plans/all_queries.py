@@ -108,6 +108,7 @@ CHECK_PRIORITY: list[str] = [
     # window per the no-rows-only-slots contract — its witness is the
     # pure-Python golden recompute.
     "bpe_pair_counts",
+    "countmin_check",
     # --- Stalest evidence: newest green row is r3. ---
     "asof_join_quotes",
     "band_join_revenue",
@@ -146,7 +147,6 @@ CHECK_PRIORITY: list[str] = [
     # further round-7 additions). ---
     "array_functions",
     "cdc_merge_upsert",
-    "centroid_assign",
     # --- Anchor: flagship reference pipeline, in the window every
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---

@@ -258,3 +258,70 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return learn_merges(spark, docs, n_merges=BPE_MERGES)
+
+
+CM_DEPTH = 3
+CM_WIDTH = 8  # deliberately tight so buckets collide and the min matters
+
+
+def _cm_bucket_sql(word_expr: str, row_expr: str) -> str:
+    """DuckDB twin of sketches.py::_coords' bucket: seeded-md5 60-bit
+    hash mod width, seed = CM_SEED + row index."""
+    from ..operators.sketches import CM_SEED
+
+    return (
+        f"CAST(('0x' || substr(md5(CAST({CM_SEED} + {row_expr} AS VARCHAR) "
+        f"|| '|' || {word_expr}), 1, 15)) AS BIGINT) % {CM_WIDTH}"
+    )
+
+
+@register(
+    "countmin_check",
+    oracle=f"""
+WITH tok AS (
+    SELECT w AS word FROM (
+        SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+    WHERE w <> ''),
+exact AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tok GROUP BY word),
+r AS (SELECT unnest(generate_series(0, {CM_DEPTH} - 1)) AS row_id),
+hashed AS (
+    SELECT t.word, r.row_id, {_cm_bucket_sql("t.word", "r.row_id")} AS bucket
+    FROM tok t, r),
+cm AS (SELECT row_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM hashed GROUP BY row_id, bucket),
+est AS (
+    SELECT e.word, MIN(cm.cnt) AS cm_est
+    FROM exact e, r
+    JOIN cm ON cm.row_id = r.row_id
+           AND cm.bucket = {_cm_bucket_sql("e.word", "r.row_id")}
+    GROUP BY e.word)
+SELECT x.word, x.exact_cnt, e.cm_est, (e.cm_est >= x.exact_cnt) AS never_under
+FROM exact x JOIN est e ON e.word = x.word
+""",
+)
+def countmin_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch vs exact counts (operators/
+    sketches.py): build the {CM_DEPTH}x{CM_WIDTH} counter table over the
+    corpus word stream in one bounded shuffle, estimate every distinct
+    word from the BROADCAST table, and surface the sketch's one-sided
+    error guarantee (cm_est >= exact, always) as a hash-checked column —
+    the accuracy-companion pattern of approx_distinct_check /
+    approx_quantile_check, completing the sketch family with frequency
+    estimation. Width is deliberately tight so buckets genuinely collide
+    on the fixture and the row-min does real work."""
+    from ..operators.sketches import countmin_estimate, countmin_table
+
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    exact = tok.groupBy("word").agg(F.count("*").alias("exact_cnt"))
+    cm = countmin_table(tok, "word", depth=CM_DEPTH, width=CM_WIDTH)
+    est = countmin_estimate(cm, exact.select("word"), "word", depth=CM_DEPTH, width=CM_WIDTH)
+    return exact.join(est, "word").select(
+        "word",
+        "exact_cnt",
+        "cm_est",
+        (F.col("cm_est") >= F.col("exact_cnt")).alias("never_under"),
+    )

@@ -158,3 +158,31 @@ def test_ivfpq_restricts_candidates_and_stays_hash_joined(spark, sf_dir):
     for r in rows:
         per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
     assert max(per_q.values()) <= 5
+
+
+def test_countmin_bounded_state_and_one_sided_error(spark, sf_dir):
+    """The CM table may never exceed depth*width rows (the sketch's
+    whole point: bounded state regardless of input size), and estimates
+    are one-sided — cm_est >= exact for EVERY key, with at least one
+    strict overestimate at the deliberately-tight fixture width (if no
+    bucket ever collided, the check would be vacuous)."""
+    from m2_b3_market_data_pipeline_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_table,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    depth, width = 3, 8
+    cm = countmin_table(tok, "word", depth=depth, width=width)
+    assert cm.count() <= depth * width
+    exact = tok.groupBy("word").agg(F.count("*").alias("exact_cnt"))
+    est = countmin_estimate(cm, exact.select("word"), "word", depth=depth, width=width)
+    rows = exact.join(est, "word").collect()
+    assert rows
+    assert all(r.cm_est >= r.exact_cnt for r in rows)
+    assert any(r.cm_est > r.exact_cnt for r in rows), "width too wide: no collisions"
