@@ -109,6 +109,7 @@ CHECK_PRIORITY: list[str] = [
     # pure-Python golden recompute.
     "bpe_pair_counts",
     "countmin_check",
+    "ivfpq_recall_check",
     # --- Stalest evidence: newest green row is r3. ---
     "asof_join_quotes",
     "band_join_revenue",
@@ -146,7 +147,6 @@ CHECK_PRIORITY: list[str] = [
     # --- Oldest r4-era rows (alphabetical fill; displaced by any
     # further round-7 additions). ---
     "array_functions",
-    "cdc_merge_upsert",
     # --- Anchor: flagship reference pipeline, in the window every
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---

@@ -146,10 +146,10 @@ _PQ_DIST_P = (
 )
 
 
-@register(
-    "ivfpq_ann_topk",
-    oracle=f"""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+# Shared oracle CTE chain: corpus, coarse cells, probes, PQ codes,
+# ADC tables, and the probed-cell partial sums — consumed by both the
+# top-k query and the recall check.
+_IVFPQ_CHAIN = f"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % {CENTROID_MOD} = 0),
 asg AS (
     SELECT vec_id, cid FROM (
@@ -190,7 +190,13 @@ summed AS (
     JOIN probe p ON p.cid = a.cid
     JOIN tbl t ON t.query_id = p.query_id AND t.m = k.m AND t.code = k.code
     WHERE k.vec_id <> p.query_id
-    GROUP BY t.query_id, k.vec_id)
+    GROUP BY t.query_id, k.vec_id)"""
+
+
+@register(
+    "ivfpq_ann_topk",
+    oracle=f"""
+WITH {_IVFPQ_CHAIN}
 SELECT query_id, neighbor_id, adist, rn FROM (
     SELECT query_id, neighbor_id, adist,
            ROW_NUMBER() OVER (PARTITION BY query_id
@@ -324,4 +330,70 @@ def countmin_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_cnt",
         "cm_est",
         (F.col("cm_est") >= F.col("exact_cnt")).alias("never_under"),
+    )
+
+
+_XCOS = (
+    "ROUND(list_inner_product(q.qv, c.v) / "
+    "(sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.v, c.v))), 6)"
+)
+
+
+@register(
+    "ivfpq_recall_check",
+    oracle=f"""
+WITH {{_IVFPQ_CHAIN}},
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, neighbor_id) AS rn
+        FROM summed) WHERE rn <= {{TOP_K}}),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {{_XCOS}} DESC, c.vec_id) AS rn
+        FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+    ) WHERE rn <= {{TOP_K}})
+SELECT e.query_id,
+       ROUND(COUNT(a.neighbor_id) * 1.0 / {{TOP_K}}, 6) AS recall_at_k
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""".format(_IVFPQ_CHAIN=_IVFPQ_CHAIN, TOP_K=TOP_K, _XCOS=_XCOS),
+)
+def ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF-PQ composite vs the exact cosine top-k —
+    hash-checked TRUE recall, closing the recall-evidence triple
+    (ann_recall_check for hyperplane LSH, lsh_recall_check for banded
+    near-dup LSH, this for the compressed-code path). IVF-PQ loses
+    recall BOTH from cell restriction (a true neighbor outside the
+    probed cells) and code quantization (ADC misranks inside a cell);
+    this measures the composite effect honestly against the
+    full-precision baseline."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    exact = brute_force_topk(emb, queries, k=TOP_K).select("query_id", "neighbor_id")
+    approx = (
+        ivfpq_topk(
+            emb, queries, centroids, centroids,
+            dim=EMBED_DIM, n_sub=PQ_SUB, k=TOP_K, nprobe=NPROBE,
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / TOP_K, 6).alias(
+                "recall_at_k"
+            )
+        )
+        .orderBy("query_id")
     )

@@ -238,3 +238,51 @@ def test_bpe_learn_merges_matches_python_golden(spark, docs):
     sdocs = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
     got = [tuple(r) for r in learn_merges(spark, sdocs, n_merges=n_merges).collect()]
     assert got == golden
+
+
+@_slow
+@given(docs=docs_strategy)
+def test_bpe_apply_merges_matches_python_golden(spark, docs):
+    """apply_merges (the map-side inference path) must reproduce the
+    golden final symbolization when folding the golden rules in rank
+    order — the trainer and the re-tokenizer share _apply_merge, but
+    this pins the rank-ordered fold composition itself."""
+    from collections import Counter
+
+    from m2_b3_market_data_pipeline_spark.operators.bpe import apply_merges
+
+    n_merges = 4
+
+    wc = Counter()
+    for text in docs:
+        for w in re.split(r"\s+", text):
+            if w:
+                wc[w] += 1
+    syms = {w: [ch for ch in w] for w in wc}
+    rules = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += wc[w]
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append({"rank": rank, "left": l, "right": r})
+        for w, s in syms.items():
+            out = []
+            for x in s:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            syms[w] = out
+
+    sdocs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r["word"]: (r["cnt"], list(r["sym"]))
+        for r in apply_merges(sdocs, rules).collect()
+    }
+    assert got == {w: (wc[w], syms[w]) for w in wc}
