@@ -192,3 +192,64 @@ def test_semdedup_stream_rejects_foreign_checkpoint(spark, sf_dir, tmp_path):
     wave0.limit(1).write.mode("append").parquet(f"{updates}/b1")
     with pytest.raises(Exception, match="checkpoint"):
         run(str(tmp_path / "ckpt_b"))
+
+
+def test_streaming_countmin_matches_batch_table(spark, sf_dir, tmp_path):
+    """Draining document batches through the CM sink converges to
+    EXACTLY the one-shot countmin_table over the union of all batches
+    (counter merge is pure addition — the algebraic-aggregate case the
+    partial-agg sink exists for), and estimates from the streamed state
+    keep the one-sided error guarantee."""
+    from pyspark.sql import types as T
+
+    from m2_b3_market_data_pipeline_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_table,
+    )
+    from m2_b3_market_data_pipeline_spark.streaming.countmin_sink import (
+        read_countmin,
+        run_incremental_countmin_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    updates = str(tmp_path / "cm_updates")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    b1.write.parquet(f"{updates}/b1")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    state = str(tmp_path / "cm_state")
+    ckpt = str(tmp_path / "cm_ckpt")
+
+    def drain():
+        run_incremental_countmin_stream(
+            spark,
+            updates_path=updates,
+            state_path=state,
+            checkpoint_path=ckpt,
+            schema=schema,
+        ).awaitTermination(120)
+
+    drain()
+    b2.write.parquet(f"{updates}/b2")
+    drain()
+
+    streamed = {
+        (r.row_id, r.bucket): r.cnt for r in read_countmin(spark, state).collect()
+    }
+    tok = docs.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    direct = {
+        (r.row_id, r.bucket): r.cnt
+        for r in countmin_table(tok, "word", depth=3, width=8).collect()
+    }
+    assert streamed == direct
+
+    exact = tok.groupBy("word").agg(F.count("*").alias("exact_cnt"))
+    est = countmin_estimate(
+        read_countmin(spark, state), exact.select("word"), "word", depth=3, width=8
+    )
+    rows = exact.join(est, "word").collect()
+    assert rows and all(r.cm_est >= r.exact_cnt for r in rows)
