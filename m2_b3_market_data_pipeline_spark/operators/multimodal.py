@@ -159,9 +159,14 @@ def _bytes_in_segments(
     pigeonholed into ``segments`` equal windows — the shared byte-parse
     front end of ``perceptual_hash`` (64 segments) and ``frame_energy``
     (16 frames). Payloads shorter than ``segments`` bytes are skipped
-    (too short to sample)."""
+    (too short to sample). The input takes the parallelism floor first:
+    the per-byte explode is the most expensive map work in the repo and
+    must not fuse into a single-task scan stage (operators/
+    parallelism.py; no-op on a real multi-split corpus)."""
+    from .parallelism import ensure_parallelism
+
     return (
-        df.select(id_col, binary_col)
+        ensure_parallelism(df.select(id_col, binary_col))
         .withColumn("__hx", F.hex(F.col(binary_col)))
         .withColumn("__len", F.length(F.col(binary_col)).cast("bigint"))
         .filter(F.col("__len") >= segments)

@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 from .dedup import NUM_HASHES  # noqa: F401  (shared hashing constants live in dedup)
 
 
+from .parallelism import ensure_parallelism  # noqa: F401  (shared floor; see that module)
+
+
 def as_double(vec: str | Column) -> Column:
     col = F.col(vec) if isinstance(vec, str) else vec
     return F.transform(col, lambda x: x.cast("double"))
@@ -54,8 +57,11 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query. The query side is broadcast; the
     corpus never shuffles for the join — only the final per-query top-k
-    (WindowGroupLimit keeps O(k) state per query)."""
-    c = corpus.select(
+    (WindowGroupLimit keeps O(k) state per query). The corpus takes the
+    parallelism floor so the |corpus| x |queries| cosine folds never
+    fuse into a single-task scan stage (no-op on a multi-split
+    corpus)."""
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec")
     )
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec"))
@@ -113,6 +119,7 @@ def lsh_near_dup_pairs(
     exact baseline in tests. Deterministic end-to-end (LCG hyperplanes),
     hence oracle-checkable by reproducing the same planes as SQL
     literals."""
+    corpus = ensure_parallelism(corpus)
     signed = lsh_signatures(corpus, vec_col=vec_col, dim=dim, n_bits=n_bits)
     cands = lsh_candidates(signed, id_col=id_col, n_bits=n_bits, band_bits=band_bits)
     # Precompute each vector's norm ONCE (below the join, one fold per
@@ -189,7 +196,9 @@ def ivf_topk(
     instead of the full corpus. Centroids stay broadcast at both steps.
     Deterministic given fixed centroids — unlike trained k-means — so
     the whole path is oracle-checkable."""
-    cells = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1).select(
+    cells = ivf_assign(
+        ensure_parallelism(corpus), centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+    ).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec"), "cid"
     )
     probes = ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe).select(
@@ -363,7 +372,7 @@ def ann_topk(
             ).alias("b"),
         ).select(id_alias, vec_alias, sig_alias, "b.band_id", "b.band_val")
 
-    banded_c = banded(corpus, "neighbor_id", "cvec", "__csig")
+    banded_c = banded(ensure_parallelism(corpus), "neighbor_id", "cvec", "__csig")
     banded_q = banded(queries, "query_id", "qvec", "__qsig")
     first_match = _first_match_filter("__csig", "__qsig", n_bands, band_bits)
     scored = (
@@ -548,7 +557,9 @@ def ivfpq_topk(
     sub_len = dim // n_sub
 
     # -- index build: cells + codes in one map-side pass -------------
-    cells = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col, nprobe=1)
+    cells = ivf_assign(
+        ensure_parallelism(corpus), centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+    )
     cent = _pq_slices(codebook_source, id_col, vec_col, "cvec", n_sub, sub_len).withColumnRenamed(
         id_col, "code"
     )
@@ -632,7 +643,7 @@ def hard_negative_mining(
     numeric id). Candidate generation swaps in the banded-LSH or IVF
     path at corpus scale exactly as for top-k (the mining rule only
     needs the candidate cosines, however they were produced)."""
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("__cid"),
         F.col(label_col).alias("__clabel"),
         as_double(vec_col).alias("__cvec"),

@@ -394,14 +394,18 @@ def test_ann_topk_candidates_via_hash_equi_join(spark, sf_dir):
     r7 rewrite explodes bands and equi-joins on (band_id, band_val),
     with the FIRST-MATCH bit filter making each pair surface exactly
     once — pin that no BNLJ ever returns, the candidate join is a
-    BroadcastHashJoin, and the only exchange is the top-k window's (no
-    dedup aggregation ever reappears)."""
+    BroadcastHashJoin, and no dedup aggregation ever reappears: the
+    only exchanges are the top-k window's hashpartitioning and the
+    corpus parallelism floor's RoundRobin (operators/parallelism.py —
+    conditional, absent on a multi-split corpus)."""
     plan = _plan(all_queries.QUERIES["ann_topk_lsh"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
-    assert len(exchanges) == 1, plan
+    floors = plan.count("RoundRobinPartitioning")
+    assert len(exchanges) - min(floors, 1) == 1, plan
+    assert len(exchanges) <= 2, plan
 
 
 def test_surface_wide_aggregate_and_join_lint(spark, sf_dir):
@@ -420,8 +424,9 @@ def test_surface_wide_aggregate_and_join_lint(spark, sf_dir):
         "exact_percentiles", "approx_quantiles", "approx_quantile_check",
         "percentile_binning", "mad_outliers", "lm_quality_buckets",
         # struct-argmin / first-last buffers
-        "pq_codes", "pq_ann_topk", "ivfpq_ann_topk", "resample_ohlc",
-        "streaming_dedup", "hard_negatives", "streaming_triplets",
+        "pq_codes", "pq_ann_topk", "ivfpq_ann_topk", "ivfpq_recall_check",
+        "resample_ohlc", "streaming_dedup", "hard_negatives",
+        "streaming_triplets",
         # collect_list over the BOUNDED k x dim centroid rebuild frame
         "kmeans_clusters", "semdedup_prune",
     }
