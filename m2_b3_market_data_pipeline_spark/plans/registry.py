@@ -71,4 +71,17 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             # naive values as UTC instants (session tz pinned above), giving
             # the same column the nanos path produces.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if table in ("documents", "embeddings"):
+        # The fan-out-heavy corpora: shingle/token explodes, hash folds,
+        # and cosine work all happen MAP-SIDE on these scans, and a
+        # single-row-group fixture file scans as one partition — fusing
+        # that work into one task (operators/parallelism.py; measured
+        # trigram_lm_score 5.4 -> 1.5s, minhash_dedup 3.3 -> 1.8s at
+        # sf0.1). Conditional: a real multi-split corpus already
+        # exceeds the floor and no exchange is added. Relational tables
+        # (lineitem/orders/...) stay unfloored — their per-row map work
+        # is light, so a repartition would cost what it saves.
+        from ..operators.parallelism import ensure_parallelism
+
+        df = ensure_parallelism(df)
     return df

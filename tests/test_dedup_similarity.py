@@ -252,13 +252,21 @@ def test_pq_codes_centroids_self_code(spark, sf_dir):
 
 def test_pq_codes_single_exchange_plan(spark, sf_dir):
     """Broadcast codebook + map-side argmin combine: exactly one
-    exchange (the final groupBy), and no SortMergeJoin anywhere."""
+    SEMANTIC exchange (the final groupBy), and no SortMergeJoin
+    anywhere. The embeddings scan's conditional parallelism-floor
+    RoundRobin (operators/parallelism.py) is excluded — it is absent on
+    a multi-split corpus."""
     from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
 
     plan = QUERIES["pq_codes"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     # one shuffle exchange (the final argmin agg); the codebook's
     # BroadcastExchange is the cheap intended one
-    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1, plan
+    semantic = (
+        plan.count("Exchange")
+        - plan.count("BroadcastExchange")
+        - plan.count("REPARTITION_BY_NUM")
+    )
+    assert semantic == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert "partial_min" in plan, plan  # map-side combine before the shuffle
 

@@ -186,3 +186,19 @@ def test_countmin_bounded_state_and_one_sided_error(spark, sf_dir):
     assert rows
     assert all(r.cm_est >= r.exact_cnt for r in rows)
     assert any(r.cm_est > r.exact_cnt for r in rows), "width too wide: no collisions"
+
+
+def test_load_floors_fanout_corpora_only(spark, sf_dir):
+    """registry.load lifts the fan-out-heavy corpora (documents,
+    embeddings) to the session's shuffle-partition floor — their
+    shingle/cosine map work must not fuse into a single-task scan —
+    while relational tables keep their natural scan partitioning (their
+    per-row map work is light; a repartition would cost what it
+    saves)."""
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert load(spark, sf_dir, "documents").rdd.getNumPartitions() >= floor
+    assert load(spark, sf_dir, "embeddings").rdd.getNumPartitions() >= floor
+    raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").rdd.getNumPartitions()
+    assert load(spark, sf_dir, "lineitem").rdd.getNumPartitions() == raw
