@@ -77,7 +77,6 @@ HEADLINE = [
     "containment_pairs",
     "phash_near_dups",
     "markov_transitions",
-    "fuzzy_name_match",
     "json_parse_audit",
     # round-5 incremental-curation wave
     "incremental_near_dedup",
@@ -110,15 +109,17 @@ HEADLINE = [
     # (test_bench_line_fits_driver_capture): q4_order_priority,
     # q18_large_orders (TPC-H family keeps 10 headline reps),
     # retention_cohorts (0.34s; events family keeps sessionize_stats),
-    # and with the BPE/IVF-PQ wave also twap_daily (0.35s; market
-    # family keeps asof/resample/indicators) and orc_roundtrip (0.29s;
-    # formats family keeps hash-checked correctness rows) —
+    # and with the BPE/IVF-PQ/PageRank wave also twap_daily (0.35s;
+    # market family keeps asof/resample/indicators), orc_roundtrip
+    # (0.29s; formats family keeps hash-checked correctness rows), and
+    # fuzzy_name_match (0.27s; the blocking-key join is plan-pinned) —
     # historical numbers in BENCH_r01-r06/BENCH_FULL.
     "ann_topk_lsh",
     "incremental_semdedup",
     "streaming_triplets",
     "ivfpq_ann_topk",
     "bpe_learn_merges",
+    "pagerank_cosuppliers",
 ]
 
 

@@ -190,3 +190,66 @@ def connected_components_twophase(
             F.coalesce("cluster_id", F.col("src")).alias("cluster_id"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the
+    iterative NUMERIC-propagation class (label propagation carries
+    mins, k-means carries centroids; this carries mass), used for
+    source/entity authority weighting in corpus curation.
+
+    ``pr'(v) = (1-d)/N + d * sum over u->v of pr(u)/outdeg(u)``,
+    iterated ``iters`` times from the uniform vector. Dangling-node
+    mass is dropped (the standard simplification; the fixture graphs
+    are symmetric, so no node dangles). Each iteration ROUNDS to 9dp —
+    like the k-means iterate, that makes the fixed point bit-stable
+    across engines (distributed double sums differ in the last ulp
+    with aggregation order; contributions are <=1 and fan-in is
+    corpus-bounded, so drift ~1e-15 never reaches the 9th decimal),
+    which is what lets a 3-round unrolled DuckDB CTE hash-check the
+    whole trajectory.
+
+    Scale shape per iteration: one join of the rank vector (node-sized)
+    with the edge list on src — both persisted partitioned state in a
+    real deployment — and one sum-by-dst with map-side combine; the
+    (1-d)/N teleport term rides a broadcast one-row count (the
+    collect-free scalar idiom). The driver loop carries NOTHING — only
+    lineage, ``iters`` levels deep, like kmeans_iterate."""
+    e = edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")).persist()
+    deg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
+    nodes = e.select(F.col("__src").alias("__node")).distinct().persist()
+    n = nodes.agg(F.count("*").alias("__n"))
+    teleport = (F.lit(1.0) - F.lit(damping)) / F.col("__n")
+    pr = nodes.crossJoin(F.broadcast(n)).select(
+        "__node", (F.lit(1.0) / F.col("__n")).alias("__pr")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(pr.withColumnRenamed("__node", "__src"), "__src")
+            .join(deg, "__src")
+            .select(
+                F.col("__dst").alias("__node"),
+                (F.col("__pr") / F.col("__deg")).alias("__c"),
+            )
+        )
+        summed = contrib.groupBy("__node").agg(F.sum("__c").alias("__s"))
+        pr = (
+            nodes.join(summed, "__node", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "__node",
+                F.round(
+                    teleport + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0)), 9
+                ).alias("__pr"),
+            )
+        )
+    out = pr.select(F.col("__node").alias("node"), F.col("__pr").alias("pagerank"))
+    out._cached_frames = [e, nodes]
+    return out

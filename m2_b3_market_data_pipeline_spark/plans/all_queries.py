@@ -110,6 +110,7 @@ CHECK_PRIORITY: list[str] = [
     "bpe_pair_counts",
     "countmin_check",
     "ivfpq_recall_check",
+    "pagerank_cosuppliers",
     # --- Stalest evidence: newest green row is r3. ---
     "asof_join_quotes",
     "band_join_revenue",
@@ -146,7 +147,6 @@ CHECK_PRIORITY: list[str] = [
     "train_test_split",
     # --- Oldest r4-era rows (alphabetical fill; displaced by any
     # further round-7 additions). ---
-    "array_functions",
     # --- Anchor: flagship reference pipeline, in the window every
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---

@@ -397,3 +397,71 @@ def ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def _pr_iter_sql(prev: str, idx: int) -> str:
+    """One unrolled PageRank iteration as a CTE — the DuckDB twin of the
+    loop body in operators/graph.py::pagerank."""
+    return f"""p{idx} AS (
+    SELECT nd.node,
+           ROUND((CAST(1 AS DOUBLE) - {PR_DAMPING}) / nn.n
+                 + {PR_DAMPING} * COALESCE(s.s, 0), 9) AS pr
+    FROM nodes nd CROSS JOIN n nn
+    LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.pr / d.deg) AS s
+        FROM e JOIN {prev} p ON p.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst) s ON s.node = nd.node)"""
+
+
+_PR_ITER_CTES = ",\n".join(
+    _pr_iter_sql(f"p{i - 1}" if i > 1 else "p0", i) for i in range(1, PR_ITERS + 1)
+)
+
+
+@register(
+    "pagerank_cosuppliers",
+    oracle=f"""
+WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+e AS (
+    SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+    FROM su a JOIN su b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+p0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN n nn),
+{_PR_ITER_CTES}
+SELECT node, pr AS pagerank FROM p{PR_ITERS} ORDER BY node
+""",
+)
+def pagerank_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-authority PageRank over the co-supply graph (suppliers
+    are connected iff they supplied the same order): {PR_ITERS}
+    fixed iterations of operators/graph.py::pagerank, hash-checked
+    against an unrolled DuckDB CTE trajectory — per-iteration 9dp
+    rounding makes the distributed double sums engine-stable, as in
+    kmeans_iterate. Edge build is an order-key equi-self-join (pairs
+    linear in per-order supplier-set size squared, never |suppliers|²);
+    per iteration one src-keyed join + one dst-keyed partial-agg sum.
+    The symmetric graph has no dangling nodes, so the dropped-dangling
+    simplification is exact here."""
+    from ..operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    su = li.select("l_orderkey", "l_suppkey").distinct()
+    a = su.select(F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("src"))
+    b = su.select(F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "__ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    pr = pagerank(edges, damping=PR_DAMPING, iters=PR_ITERS)
+    out = pr.orderBy("node")
+    out._cached_frames = pr._cached_frames  # survive the orderBy wrapper
+    return out

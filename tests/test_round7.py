@@ -202,3 +202,35 @@ def test_load_floors_fanout_corpora_only(spark, sf_dir):
     assert load(spark, sf_dir, "embeddings").rdd.getNumPartitions() >= floor
     raw = spark.read.parquet(f"{sf_dir}/lineitem.parquet").rdd.getNumPartitions()
     assert load(spark, sf_dir, "lineitem").rdd.getNumPartitions() == raw
+
+
+def test_pagerank_matches_python_golden_and_conserves_mass(spark):
+    """Planted star-plus-chain graph: the Spark trajectory must equal a
+    pure-Python recompute of the published formula (same per-iteration
+    9dp rounding), the hub must outrank every leaf, and with no
+    dangling nodes total mass stays ~1 (rounding drift only)."""
+    from m2_b3_market_data_pipeline_spark.operators.graph import pagerank
+    from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+
+    # star: hub 0 <-> leaves 1..5 (symmetric); chain 5 <-> 6 <-> 7
+    pairs = [(0, i) for i in range(1, 6)] + [(5, 6), (6, 7)]
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    d, iters = 0.85, 3
+    nodes = sorted({x for e in edges for x in e})
+    N = len(nodes)
+    out_deg = {u: sum(1 for a, _ in edges if a == u) for u in nodes}
+    pr = {u: 1.0 / N for u in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for v in nodes:
+            s = sum(pr[u] / out_deg[u] for u, w in edges if w == v)
+            nxt[v] = round((1.0 - d) / N + d * s, 9)
+        pr = nxt
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = pagerank(e, damping=d, iters=iters)
+    rows = {r.node: r.pagerank for r in got.collect()}
+    release_cached(got)
+    assert rows == pr
+    assert rows[0] == max(rows.values())  # hub dominates
+    assert abs(sum(rows.values()) - 1.0) < 1e-6
