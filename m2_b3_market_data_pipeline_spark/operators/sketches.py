@@ -88,3 +88,80 @@ def countmin_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("cm_est"))
     )
+
+
+BLOOM_SEED = 29
+BLOOM_BITS_PER_WORD = 60  # 60 usable bits/word: shifts never reach the
+# BIGINT sign bit, so both engines' shift/or arithmetic stays positive
+# and overflow-free (DuckDB errors on signed overflow; Spark wraps).
+
+
+def _bloom_coords(key: Column, *, n_words: int, k: int, seed: int) -> Column:
+    """Array of the key's ``k`` (word, bit) coordinates over an
+    m = n_words * 60 bit space — portable seeded-md5, like count-min."""
+    m = n_words * BLOOM_BITS_PER_WORD
+    positions = F.array(*[seeded_hash60(key, seed + i) % m for i in range(k)])
+    return F.transform(
+        positions,
+        lambda p: F.struct(
+            F.floor(p / BLOOM_BITS_PER_WORD).cast("bigint").alias("w"),
+            (p % BLOOM_BITS_PER_WORD).cast("int").alias("b"),
+        ),
+    )
+
+
+def bloom_build(
+    items: DataFrame,
+    key_col: str,
+    *,
+    n_words: int,
+    k: int = 3,
+    seed: int = BLOOM_SEED,
+) -> DataFrame:
+    """Build a Bloom filter as a (w, word) table of at most ``n_words``
+    rows — the membership sketch completing the trio (HLL = distinct,
+    count-min = frequency, Bloom = membership). One bounded shuffle:
+    coordinates explode map-side, bit_or partial-aggregates to at most
+    n_words rows regardless of item count. At 100 TB this replaces
+    broadcasting the full benchmark n-gram set with broadcasting a
+    fixed-size bitmap."""
+    coords = items.select(
+        F.explode(
+            _bloom_coords(F.col(key_col), n_words=n_words, k=k, seed=seed)
+        ).alias("c")
+    )
+    return (
+        coords.select(F.col("c.w").alias("w"), F.col("c.b").alias("b"))
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").alias("word"))
+    )
+
+
+def bloom_might_contain(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    *,
+    n_words: int,
+    k: int = 3,
+    seed: int = BLOOM_SEED,
+) -> DataFrame:
+    """Probe the (broadcast) Bloom table: a key might be a member iff
+    ALL ``k`` of its bits are set. Probe rows must be distinct (the
+    groupBy restores the input grain). One-sided by construction —
+    false positives possible, false negatives impossible — which the
+    check query surfaces as a hash-checked column."""
+    cols = probes.columns
+    coords = probes.select(
+        "*",
+        F.explode(
+            _bloom_coords(F.col(key_col), n_words=n_words, k=k, seed=seed)
+        ).alias("c"),
+    ).select(*cols, F.col("c.w").alias("w"), F.col("c.b").alias("b"))
+    probed = coords.join(F.broadcast(bloom), "w", "left").withColumn(
+        "__set",
+        F.expr("word IS NOT NULL AND ((shiftright(word, b) & 1) = 1)"),
+    )
+    return probed.groupBy(*cols).agg(
+        (F.sum(F.col("__set").cast("int")) == k).alias("might_contain")
+    )

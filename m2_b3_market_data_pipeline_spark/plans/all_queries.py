@@ -85,7 +85,11 @@ from .registry import ORACLES, QUERIES
 # resampling, skew/salting, splits), keeping max row age <= 3 rounds.
 # The remaining slots take the oldest r4-era rows alphabetically; new
 # round-7 queries displace those fills as they land (the round-5
-# lesson: new queries go in the window the round they are born).
+# lesson: new queries go in the window the round they are born). The
+# fills ran out before the round-7 wave did, so bloom_decontaminate_-
+# check displaces set_ops from the r3-stale block (except_op keeps the
+# set-operations family in-window; set_ops' r3 row stands and it
+# front-loads in r8).
 CHECK_PRIORITY: list[str] = [
     # --- Post-r6-window queries: no driver row yet. ---
     "dsir_weights",
@@ -111,6 +115,7 @@ CHECK_PRIORITY: list[str] = [
     "countmin_check",
     "ivfpq_recall_check",
     "pagerank_cosuppliers",
+    "bloom_decontaminate_check",
     # --- Stalest evidence: newest green row is r3. ---
     "asof_join_quotes",
     "band_join_revenue",
@@ -143,7 +148,6 @@ CHECK_PRIORITY: list[str] = [
     "resample_ohlc",
     "rolling_mean_time_range",
     "salted_skew_agg",
-    "set_ops",
     "train_test_split",
     # --- Oldest r4-era rows (alphabetical fill; displaced by any
     # further round-7 additions). ---

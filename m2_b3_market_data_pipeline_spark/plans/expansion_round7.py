@@ -465,3 +465,108 @@ def pagerank_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pr.orderBy("node")
     out._cached_frames = pr._cached_frames  # survive the orderBy wrapper
     return out
+
+
+BLOOM_WORDS = 1100  # ~66k bits: real false positives at sf0.1, few at sf0.01
+BLOOM_K = 3
+
+
+def _bloom_pos_sql(gram_expr: str, i: int) -> str:
+    from ..operators.sketches import BLOOM_BITS_PER_WORD, BLOOM_SEED
+
+    m = BLOOM_WORDS * BLOOM_BITS_PER_WORD
+    return (
+        f"CAST(('0x' || substr(md5('{BLOOM_SEED + i}|' || {gram_expr}), 1, 15)) "
+        f"AS BIGINT) % {m}"
+    )
+
+
+def _bloom_coords_sql(source: str, extra_cols: str) -> str:
+    """UNION ALL of the k per-hash (w, b) coordinate rows for a CTE with
+    a ``gram`` column."""
+    from ..operators.sketches import BLOOM_BITS_PER_WORD
+
+    selects = [
+        f"SELECT {extra_cols}({_bloom_pos_sql('gram', i)}) // {BLOOM_BITS_PER_WORD} AS w, "
+        f"({_bloom_pos_sql('gram', i)}) % {BLOOM_BITS_PER_WORD} AS b FROM {source}"
+        for i in range(BLOOM_K)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+from .expansion_corpus2 import BENCH_MOD, DECONTAM_NGRAM, _GRAMS  # noqa: E402
+from .expansion_text import _TK  # noqa: E402
+
+
+@register(
+    "bloom_decontaminate_check",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TK} AS tk FROM documents),
+g AS (SELECT doc_id, unnest({_GRAMS}) AS gram FROM t),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {BENCH_MOD} = 0),
+train AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % {BENCH_MOD} <> 0),
+bcoords AS ({_bloom_coords_sql('bench', '')}),
+bloom AS (SELECT w, bit_or(CAST(1 AS BIGINT) << b) AS word FROM bcoords GROUP BY w),
+tcoords AS ({_bloom_coords_sql('train', 'doc_id, gram, ')}),
+probed AS (
+    SELECT t.doc_id, t.gram,
+           (bl.word IS NOT NULL AND ((bl.word >> t.b) & 1) = 1) AS bit_set
+    FROM tcoords t LEFT JOIN bloom bl ON bl.w = t.w),
+gram_hits AS (
+    SELECT doc_id, gram,
+           (SUM(CASE WHEN bit_set THEN 1 ELSE 0 END) = {BLOOM_K}) AS might
+    FROM probed GROUP BY doc_id, gram),
+per_doc AS (
+    SELECT gh.doc_id, BOOL_OR(gh.might) AS bloom_hit,
+           BOOL_OR(gh.might AND b.gram IS NOT NULL) AS exact_hit
+    FROM gram_hits gh
+    LEFT JOIN bench b ON b.gram = gh.gram
+    GROUP BY gh.doc_id)
+SELECT doc_id, exact_hit, bloom_hit,
+       (bloom_hit AND NOT exact_hit) AS false_positive
+FROM per_doc
+""",
+)
+def bloom_decontaminate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination vs the exact n-gram rule — the
+    100 TB shape: instead of broadcasting the full benchmark n-gram set
+    (`decontaminate`'s exact join), broadcast a fixed {BLOOM_WORDS}-word
+    bitmap (operators/sketches.py::bloom_build) and verify ONLY the
+    grams the filter admits against the exact set. The one-sided
+    guarantee — a Bloom filter never false-negatives — makes
+    exact_hit => bloom_hit a per-row hash-checked invariant, and
+    false_positive quantifies the admit-rate cost of the compression.
+    Same tokenizer/trigram contract as `decontaminate`; output grain is
+    every train doc that has at least one trigram."""
+    from ..functions.textfns import shingles, tokens
+    from ..operators.dedup import fan_out
+    from ..operators.sketches import bloom_build, bloom_might_contain
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    g = fan_out(docs).select(
+        "doc_id", F.explode(shingles(tokens("text"), DECONTAM_NGRAM)).alias("gram")
+    )
+    bench = g.filter(F.col("doc_id") % BENCH_MOD == 0).select("gram").distinct()
+    train = (
+        g.filter(F.col("doc_id") % BENCH_MOD != 0).select("doc_id", "gram").distinct()
+    )
+    bloom = bloom_build(bench, "gram", n_words=BLOOM_WORDS, k=BLOOM_K)
+    might = bloom_might_contain(train, bloom, "gram", n_words=BLOOM_WORDS, k=BLOOM_K)
+    verified = might.join(
+        F.broadcast(bench.select("gram", F.lit(True).alias("__exact"))), "gram", "left"
+    )
+    return (
+        verified.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.coalesce(F.col("might_contain") & F.col("__exact"), F.lit(False))
+            ).alias("exact_hit"),
+            F.max("might_contain").alias("bloom_hit"),
+        )
+        .select(
+            "doc_id",
+            "exact_hit",
+            "bloom_hit",
+            (F.col("bloom_hit") & ~F.col("exact_hit")).alias("false_positive"),
+        )
+    )

@@ -234,3 +234,25 @@ def test_pagerank_matches_python_golden_and_conserves_mass(spark):
     assert rows == pr
     assert rows[0] == max(rows.values())  # hub dominates
     assert abs(sum(rows.values()) - 1.0) < 1e-6
+
+
+def test_bloom_decontaminate_agrees_with_exact_and_never_misses(spark, sf_dir):
+    """Cross-check against the independent exact path: for every train
+    doc with at least one trigram, bloom exact_hit must equal
+    decontaminate's contaminated flag (the two queries share only the
+    tokenizer), and the one-sided guarantee must hold row-by-row:
+    exact_hit => bloom_hit, never a false negative."""
+    from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
+
+    bloom = {
+        r.doc_id: (r.exact_hit, r.bloom_hit)
+        for r in QUERIES["bloom_decontaminate_check"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.doc_id: r.contaminated
+        for r in QUERIES["decontaminate"](spark, sf_dir).collect()
+    }
+    assert bloom, "no train docs"
+    for doc_id, (e_hit, b_hit) in bloom.items():
+        assert e_hit == exact[doc_id], doc_id
+        assert b_hit or not e_hit, f"false negative on doc {doc_id}"
