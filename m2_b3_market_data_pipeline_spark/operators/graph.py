@@ -253,3 +253,107 @@ def pagerank(
     out = pr.select(F.col("__node").alias("node"), F.col("__pr").alias("pagerank"))
     out._cached_frames = [e, nodes]
     return out
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src_col: str = "u",
+    dst_col: str = "v",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected edge list, via DEGREE-ORDERED ORIENTATION — the
+    MapReduce-classic formulation (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11) that keeps
+    the wedge join skew-proof at any scale.
+
+    Why orientation matters at 100 TB: the naive wedge join (self-join
+    the symmetric edge list on the center vertex) generates deg(v)^2
+    wedges at every node, so one celebrity node with 10M neighbors
+    produces 10^14 wedges on a single key — the "last reducer" that
+    never finishes. Orienting every edge from its lower-(degree, id)
+    endpoint to its higher one bounds EVERY out-degree by O(sqrt(2m)),
+    so per-key wedge fan-out is capped regardless of the degree
+    distribution, and total wedges fall from sum deg^2 to at most
+    m^(3/2). Each triangle is then enumerated exactly once (rooted at
+    its lowest-rank corner, arms in rank order).
+
+    Plan shape: canonicalize+distinct (one shuffle), degree aggregate
+    (one shuffle), two hash equi-joins to attach endpoint ranks, the
+    wedge self-join on the oriented source, and one hash equi-join that
+    closes wedges against the oriented edge set — all equi-joins, no
+    disjunctions, no cross product. Corner counts ride an explode +
+    sum with map-side combine.
+
+    Returns (node, triangles, clustering_coeff) for every node with at
+    least one edge; coefficient = 2T / (deg * (deg-1)), 0 when deg < 2,
+    rounded to 9dp so distributed arithmetic hash-matches a single-node
+    oracle.
+    """
+    # Canonical undirected edge set: (a, b) with a < b, deduped.
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .persist()
+    )
+    # Total-order rank: (deg, id) packed into one sortable long. Node
+    # ids here are catalog keys (< 2^31); degree cannot exceed n-1, so
+    # deg * 2^32 + id never collides or overflows a long at any SF
+    # that fits ids in an int. The pack keeps the orientation predicate
+    # and the wedge rank-compare simple column comparisons.
+    rank = (F.col("deg").cast("long") * F.lit(1 << 32) + F.col("node")).alias("rank")
+    ranks = deg.select("node", rank)
+    # Orient each edge low-rank -> high-rank, carrying the dst rank for
+    # the wedge-ordering predicate.
+    ra = ranks.select(F.col("node").alias("a"), F.col("rank").alias("ra"))
+    rb = ranks.select(F.col("node").alias("b"), F.col("rank").alias("rb"))
+    oriented = (
+        e.join(ra, "a")
+        .join(rb, "b")
+        .select(
+            F.when(F.col("ra") < F.col("rb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(F.col("ra") < F.col("rb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.greatest("ra", "rb").alias("dst_rank"),
+        )
+        .persist()
+    )
+    # Wedges rooted at the lowest-rank corner, arms in rank order;
+    # close each against the oriented edge set (x->p, x->q, p->q).
+    w1 = oriented.select("src", F.col("dst").alias("p"), F.col("dst_rank").alias("pr"))
+    w2 = oriented.select("src", F.col("dst").alias("q"), F.col("dst_rank").alias("qr"))
+    wedges = w1.join(w2, "src").filter(F.col("pr") < F.col("qr"))
+    closing = oriented.select(F.col("src").alias("p"), F.col("dst").alias("q"))
+    triangles = wedges.join(closing, ["p", "q"]).select(
+        F.col("src").alias("x"), "p", "q"
+    )
+    corners = triangles.select(
+        F.explode(F.array("x", "p", "q")).alias("node")
+    )
+    t = corners.groupBy("node").agg(F.count("*").alias("triangles"))
+    out = (
+        deg.join(t, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("deg") >= 2,
+                    2.0
+                    * F.coalesce(F.col("triangles"), F.lit(0).cast("long"))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("clustering_coeff"),
+        )
+    )
+    out._cached_frames = [e, deg, oriented]
+    return out

@@ -89,7 +89,9 @@ from .registry import ORACLES, QUERIES
 # fills ran out before the round-7 wave did, so bloom_decontaminate_-
 # check displaces set_ops from the r3-stale block (except_op keeps the
 # set-operations family in-window; set_ops' r3 row stands and it
-# front-loads in r8).
+# front-loads in r8), and triangle_coparts displaces distinct_agg
+# (whose r2-era row stands; aggregation stays covered by the TPC-H
+# block and salted_skew_agg).
 CHECK_PRIORITY: list[str] = [
     # --- Post-r6-window queries: no driver row yet. ---
     "dsir_weights",
@@ -119,7 +121,7 @@ CHECK_PRIORITY: list[str] = [
     # --- Stalest evidence: newest green row is r3. ---
     "asof_join_quotes",
     "band_join_revenue",
-    "distinct_agg",
+    "triangle_coparts",
     "except_op",
     "gap_fill_locf",
     "indicator_bollinger",

@@ -570,3 +570,66 @@ def bloom_decontaminate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bloom_hit") & ~F.col("exact_hit")).alias("false_positive"),
         )
     )
+
+
+@register(
+    "triangle_coparts",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tr AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (
+    SELECT a AS node FROM tr
+    UNION ALL SELECT b FROM tr
+    UNION ALL SELECT c FROM tr),
+t AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM corners GROUP BY node),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+    GROUP BY node)
+SELECT d.node,
+       COALESCE(t.triangles, CAST(0 AS BIGINT)) AS triangles,
+       ROUND(CASE WHEN d.degree >= 2
+                  THEN CAST(2 AS DOUBLE) * COALESCE(t.triangles, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE CAST(0 AS DOUBLE) END, 9) AS clustering_coeff
+FROM deg d LEFT JOIN t ON t.node = d.node
+ORDER BY d.node
+""",
+)
+def triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient per part over the
+    co-purchase graph (parts are adjacent iff they appear in the same
+    order) — operators/graph.py::triangle_counts, the degree-oriented
+    wedge-join formulation whose per-key fan-out is bounded by
+    O(sqrt(2m)) regardless of degree skew. The DuckDB oracle counts the
+    SAME triangles under a different orientation (plain id-order a<b<c,
+    fine single-node), so a hash match is an independent witness that
+    the rank-packed orientation enumerates each triangle exactly once.
+    Edge build is the same order-key equi-self-join shape as
+    pagerank_cosuppliers: pairs scale with per-order basket size
+    squared, never |parts|^2."""
+    from ..operators.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "__ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+    )
+    tc = triangle_counts(edges)
+    out = tc.select(
+        "node", "triangles", "clustering_coeff"
+    ).orderBy("node")
+    out._cached_frames = tc._cached_frames
+    return out

@@ -541,3 +541,14 @@ def test_fuzzy_match_blocks_via_hash_join(spark, sf_dir):
     # The band explode is the scale lever: dirty side fans out x3 so
     # neighbor bands co-locate without a non-equi residual shuffle.
     assert "Generate explode" in plan or "explode" in plan.lower()
+
+
+def test_triangle_wedge_join_all_equi_no_nested_loop(spark, sf_dir):
+    """Triangle counting is three equi-joins (rank attach, wedge
+    self-join on the oriented source, wedge close on the (p, q) pair)
+    — none may degrade to a nested-loop or cartesian form, because at
+    100 TB a non-equi wedge join is the 'last reducer' the degree
+    orientation exists to kill."""
+    plan = _plan(all_queries.QUERIES["triangle_coparts"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

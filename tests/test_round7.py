@@ -256,3 +256,47 @@ def test_bloom_decontaminate_agrees_with_exact_and_never_misses(spark, sf_dir):
     for doc_id, (e_hit, b_hit) in bloom.items():
         assert e_hit == exact[doc_id], doc_id
         assert b_hit or not e_hit, f"false negative on doc {doc_id}"
+
+
+def test_triangle_counts_matches_python_golden(spark):
+    """Planted graph — 4-clique + shared-corner triangle + pendant +
+    triangle-free star hub — fed through every canonicalization hazard
+    (duplicate edges, reversed duplicates, a self-loop). Per-node
+    triangle counts and clustering coefficients must equal a brute
+    pure-Python recompute, which shares no code with the degree-
+    oriented wedge join."""
+    import itertools
+    from collections import defaultdict
+
+    from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+    from m2_b3_market_data_pipeline_spark.operators.graph import triangle_counts
+
+    clique = list(itertools.combinations([0, 1, 2, 3], 2))
+    tri = [(3, 4), (4, 5), (3, 5)]
+    pendant = [(5, 6)]
+    star = [(7, i) for i in range(8, 21)]
+    base = clique + tri + pendant + star
+    hazards = [(b, a) for a, b in base[:5]] + base[:3] + [(9, 9)]
+    edges = base + hazards
+
+    adj = defaultdict(set)
+    for a, b in base:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for v in sorted(adj):
+        t = sum(
+            1
+            for x, y in itertools.combinations(sorted(adj[v]), 2)
+            if y in adj[x]
+        )
+        d = len(adj[v])
+        want[v] = (t, round(2.0 * t / (d * (d - 1)), 9) if d >= 2 else 0.0)
+
+    e = spark.createDataFrame(edges, "u long, v long")
+    out = triangle_counts(e)
+    got = {r.node: (r.triangles, r.clustering_coeff) for r in out.collect()}
+    release_cached(out)
+    assert got == want
+    assert got[0] == (3, 1.0)  # clique corner: C(3,2) closed wedges
+    assert got[7][0] == 0  # star hub: max degree, zero triangles

@@ -55,10 +55,19 @@ def test_gap_fill_spine_is_continuous_per_user(spark, sf_dir):
 
 
 def test_regex_functions_is_shuffle_free(spark, sf_dir):
+    """No data-dependent shuffle: regex extraction is pure map-side.
+    The only exchange permitted is the conditional parallelism floor's
+    RoundRobin (operators/parallelism.py) on the single-split fixture
+    scan — it carries no key, so it is not a semantic shuffle and is
+    absent on any real multi-split corpus."""
     from m2_b3_market_data_pipeline_spark.plans.sql_surface5 import regex_functions
 
     plan = regex_functions(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all("RoundRobin" in e for e in exchanges), plan
+    assert plan.count("Exchange") - plan.count("REPARTITION_BY_NUM") <= 0, plan
 
 
 def test_train_test_split_fractions_and_stability(spark, sf_dir):
