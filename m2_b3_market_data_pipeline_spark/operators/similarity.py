@@ -759,3 +759,51 @@ def wave_triplet_mining(
         )
         .orderBy("query_id")
     )
+
+
+def rerank_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Stage 2 of the production retrieval stack: exact-cosine re-rank
+    of an ANN shortlist. Every billion-scale deployment searches on a
+    lossy index (IVF cells + PQ codes here — full vectors never touched
+    at search time) and then rescores the surviving candidates at full
+    precision; this operator is that rescoring pass, decoupled from
+    which stage-1 index produced the shortlist.
+
+    Scale shape: the shortlist is |queries| x R rows — broadcast-sized
+    by construction, so fetching candidate vectors is a broadcast hash
+    join keyed by id against the full-vector table (at rest: an
+    id-bucketed store, so the fetch prunes to the touched buckets, a
+    point-lookup pattern). The query vectors ride a second broadcast;
+    the exact cosine folds in whole-stage codegen, and the final top-k
+    is a WindowGroupLimit with O(k) state per query. The corpus is
+    never scanned for scoring — only the candidate fetch touches it.
+
+    Returns (query_id, neighbor_id, cos, rn), rn <= k, cosine rounded
+    6dp (engine-stable, matching brute_force_topk's contract)."""
+    short = shortlist.select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
+    )
+    scored = (
+        c.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+        .select("query_id", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )

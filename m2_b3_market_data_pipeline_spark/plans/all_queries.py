@@ -91,7 +91,9 @@ from .registry import ORACLES, QUERIES
 # set-operations family in-window; set_ops' r3 row stands and it
 # front-loads in r8), and triangle_coparts displaces distinct_agg
 # (whose r2-era row stands; aggregation stays covered by the TPC-H
-# block and salted_skew_agg).
+# block and salted_skew_agg), and ivfpq_rerank_topk displaces lead_lag
+# (window-function family stays covered by rolling_mean_time_range and
+# resample_ohlc).
 CHECK_PRIORITY: list[str] = [
     # --- Post-r6-window queries: no driver row yet. ---
     "dsir_weights",
@@ -126,7 +128,7 @@ CHECK_PRIORITY: list[str] = [
     "gap_fill_locf",
     "indicator_bollinger",
     "indicator_ewma",
-    "lead_lag",
+    "ivfpq_rerank_topk",
     "multimodal_features",
     "q10_returned_revenue",
     "q11_important_value",

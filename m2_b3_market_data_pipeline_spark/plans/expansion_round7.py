@@ -633,3 +633,51 @@ def triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
     out._cached_frames = tc._cached_frames
     return out
+
+
+RERANK_R = 3 * TOP_K  # stage-1 shortlist depth: 3x the final k
+
+
+@register(
+    "ivfpq_rerank_topk",
+    oracle="""
+WITH {_IVFPQ_CHAIN},
+short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, neighbor_id) AS rn
+        FROM summed) WHERE rn <= {RERANK_R}),
+scored AS (
+    SELECT s.query_id, s.neighbor_id, {_XCOS} AS cos
+    FROM short s
+    JOIN c ON c.vec_id = s.neighbor_id
+    JOIN q ON q.query_id = s.query_id)
+SELECT query_id, neighbor_id, cos, rn FROM (
+    SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rn
+    FROM scored) WHERE rn <= {TOP_K}
+""".format(_IVFPQ_CHAIN=_IVFPQ_CHAIN, RERANK_R=3 * TOP_K, TOP_K=TOP_K, _XCOS=_XCOS),
+)
+def ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: IVF-PQ ADC shortlist of {RERANK_R}
+    candidates per query (compressed codes, probed cells only), then
+    operators/similarity.py::rerank_exact rescores ONLY those
+    candidates at full precision and keeps the final top-{TOP_K} by
+    exact cosine. This is the standard production ANN stack — the
+    re-rank recovers most quantization misrankings for a candidate
+    fetch that is |queries| x R point lookups, never a corpus scan.
+    Fully hash-checked end-to-end: the oracle replays the shared
+    IVF-PQ CTE chain, takes the same shortlist, and rescores with the
+    same 6dp-rounded exact cosine."""
+    from ..operators.similarity import ivfpq_topk, rerank_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    shortlist = ivfpq_topk(
+        emb, queries, centroids, centroids,
+        dim=EMBED_DIM, n_sub=PQ_SUB, k=RERANK_R, nprobe=NPROBE,
+    )
+    return rerank_exact(emb, queries, shortlist, k=TOP_K)
