@@ -44,7 +44,6 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "window_rank",
-    "lead_lag",
     "asof_join_quotes",
     "resample_ohlc",
     "tumbling_window",
@@ -76,7 +75,6 @@ HEADLINE = [
     "trigram_lm_score",
     "containment_pairs",
     "phash_near_dups",
-    "markov_transitions",
     "json_parse_audit",
     # round-5 incremental-curation wave
     "incremental_near_dedup",
@@ -113,13 +111,18 @@ HEADLINE = [
     # market family keeps asof/resample/indicators), orc_roundtrip
     # (0.29s; formats family keeps hash-checked correctness rows), and
     # fuzzy_name_match (0.27s; the blocking-key join is plan-pinned) —
-    # historical numbers in BENCH_r01-r06/BENCH_FULL.
+    # historical numbers in BENCH_r01-r06/BENCH_FULL. The triangle +
+    # re-rank additions rotate out lead_lag (0.41s; window family keeps
+    # window_rank/resample_ohlc) and markov_transitions (0.45s; events
+    # family keeps sessionize_stats/session_window).
     "ann_topk_lsh",
     "incremental_semdedup",
     "streaming_triplets",
     "ivfpq_ann_topk",
     "bpe_learn_merges",
     "pagerank_cosuppliers",
+    "triangle_coparts",
+    "ivfpq_rerank_topk",
 ]
 
 
