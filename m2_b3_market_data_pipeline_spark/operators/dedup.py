@@ -754,3 +754,88 @@ def dup_ngram_coverage(
     )
     out._cached_frames = [grams]  # type: ignore[attr-defined]
     return out
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2022):
+    where ``dup_ngram_coverage`` measures how much of each document
+    sits inside a cross-document duplicated span, this one CUTS those
+    spans and emits the cleaned token stream — the transform a curation
+    pipeline actually applies before training.
+
+    Same front end as the coverage operator (positional grams, gram
+    document-frequency table, equi-join membership — never a broadcast,
+    the duplicated-gram set grows with the corpus). The rebuild is the
+    scale-sensitive part: instead of re-exploding the whole corpus into
+    tokens and re-aggregating (O(all tokens) shuffle rows), the covered
+    indices collapse to ONE per-doc set (bounded by doc length, only
+    for docs that HAVE duplicated spans) and the kept tokens are
+    computed MAP-SIDE by an indexed higher-order filter over the
+    original token array — untouched docs pass through the left join
+    with their token stream intact, paying nothing.
+
+    Returns (id, n_tok, kept_tokens, clean_text): clean_text is the
+    space-joined kept tokens (canonical whitespace — the tokenizer
+    contract shared with every text operator), '' for empty docs.
+    """
+    base = df.select(F.col(id_col), tokens(text_col).alias("__tk")).select(
+        id_col,
+        "__tk",
+        F.coalesce(F.size("__tk"), F.lit(0)).cast("bigint").alias("n_tok"),
+    )
+    grams = (
+        base.filter(F.col("n_tok") >= n)
+        .select(
+            id_col,
+            F.posexplode(shingles(F.col("__tk"), n, distinct=False)).alias(
+                "__pos", "__gram"
+            ),
+        )
+        .persist()
+    )
+    dup = (
+        grams.select(id_col, "__gram")
+        .distinct()
+        .groupBy("__gram")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__gram")
+    )
+    cov = (
+        grams.join(dup, "__gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + (n - 1))
+            ).alias("__idx"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("__idx").alias("__cov"))
+    )
+    kept = F.when(F.col("__cov").isNull(), F.col("__tk")).otherwise(
+        F.filter(F.col("__tk"), lambda x, i: ~F.array_contains(F.col("__cov"), i))
+    )
+    out = (
+        base.join(cov, id_col, "left")
+        .select(
+            id_col,
+            "n_tok",
+            kept.alias("__kept"),
+        )
+        .select(
+            id_col,
+            "n_tok",
+            F.size("__kept").cast("bigint").alias("kept_tokens"),
+            F.concat_ws(" ", F.col("__kept")).alias("clean_text"),
+        )
+        .orderBy(id_col)
+    )
+    out._cached_frames = [grams]  # type: ignore[attr-defined]
+    return out

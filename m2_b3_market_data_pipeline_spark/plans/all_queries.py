@@ -93,7 +93,8 @@ from .registry import ORACLES, QUERIES
 # (whose r2-era row stands; aggregation stays covered by the TPC-H
 # block and salted_skew_agg), and ivfpq_rerank_topk displaces lead_lag
 # (window-function family stays covered by rolling_mean_time_range and
-# resample_ohlc).
+# resample_ohlc), and dup_span_removal displaces band_join_revenue
+# (range-join family stays covered by asof_join_quotes).
 CHECK_PRIORITY: list[str] = [
     # --- Post-r6-window queries: no driver row yet. ---
     "dsir_weights",
@@ -122,7 +123,7 @@ CHECK_PRIORITY: list[str] = [
     "bloom_decontaminate_check",
     # --- Stalest evidence: newest green row is r3. ---
     "asof_join_quotes",
-    "band_join_revenue",
+    "dup_span_removal",
     "triangle_coparts",
     "except_op",
     "gap_fill_locf",

@@ -681,3 +681,61 @@ def ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=EMBED_DIM, n_sub=PQ_SUB, k=RERANK_R, nprobe=NPROBE,
     )
     return rerank_exact(emb, queries, shortlist, k=TOP_K)
+
+
+from .expansion_round6b import DUP_NGRAM_MIN_DF, DUP_NGRAM_N  # noqa: E402
+from .sql_fragments import TK  # noqa: E402
+
+_DN = DUP_NGRAM_N
+
+
+@register(
+    "dup_span_removal",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {TK} AS tk FROM documents),
+base AS (SELECT doc_id, CAST(COALESCE(len(tk), 0) AS BIGINT) AS n_tok, tk FROM t),
+g AS (
+    SELECT doc_id, pos,
+           array_to_string(list_slice(tk, pos, pos + {_DN - 1}), ' ') AS gram
+    FROM (SELECT doc_id, tk,
+                 unnest(generate_series(1, CAST(len(tk) - {_DN - 1} AS INT))) AS pos
+          FROM base WHERE n_tok >= {_DN})),
+dup AS (
+    SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+    GROUP BY gram HAVING COUNT(*) >= {DUP_NGRAM_MIN_DF}),
+occ AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+cov AS (
+    SELECT DISTINCT doc_id, idx
+    FROM (SELECT doc_id, unnest(generate_series(pos, pos + {_DN - 1})) AS idx
+          FROM occ)),
+toks AS (
+    SELECT b.doc_id, p, b.tk[p] AS tok
+    FROM base b, unnest(generate_series(1, CAST(b.n_tok AS INT))) AS s(p)),
+kept AS (
+    SELECT tk2.doc_id, tk2.p, tk2.tok
+    FROM toks tk2 LEFT JOIN cov c ON c.doc_id = tk2.doc_id AND c.idx = tk2.p
+    WHERE c.idx IS NULL),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+           string_agg(tok, ' ' ORDER BY p) AS txt
+    FROM kept GROUP BY doc_id)
+SELECT b.doc_id, b.n_tok,
+       COALESCE(a.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
+       COALESCE(a.txt, '') AS clean_text
+FROM base b LEFT JOIN agg a ON a.doc_id = b.doc_id
+ORDER BY b.doc_id
+""",
+)
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, removal form (operators/dedup.py::
+    remove_dup_spans): cut every token covered by a {_DN}-gram that
+    repeats verbatim across >= {DUP_NGRAM_MIN_DF} docs and emit the
+    cleaned token stream — the transform `dup_ngram_spans` only
+    measures. Hash-checked INCLUDING the rebuilt clean_text strings,
+    so the per-doc covered-index sets and the map-side indexed filter
+    must agree with the oracle's positional anti-join token-for-token.
+    """
+    from ..operators.dedup import remove_dup_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return remove_dup_spans(docs, n=DUP_NGRAM_N, min_df=DUP_NGRAM_MIN_DF)
