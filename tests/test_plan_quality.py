@@ -432,10 +432,15 @@ def test_surface_wide_aggregate_and_join_lint(spark, sf_dir):
         "percentile_binning", "mad_outliers", "lm_quality_buckets",
         # struct-argmin / first-last buffers
         "pq_codes", "pq_ann_topk", "ivfpq_ann_topk", "ivfpq_recall_check",
+        "ivfpq_rerank_topk",  # inherits ivfpq_topk's struct-argmin stage 1
         "resample_ohlc", "streaming_dedup", "hard_negatives",
         "streaming_triplets",
         # collect_list over the BOUNDED k x dim centroid rebuild frame
         "kmeans_clusters", "semdedup_prune",
+        # collect_set of covered indices — bounded by doc length, only
+        # for docs that HAVE duplicated spans (the map-side rebuild's
+        # whole point; operators/dedup.py::remove_dup_spans)
+        "dup_span_removal",
     }
     offenders = {}
     for name, fn in all_queries.QUERIES.items():
