@@ -93,8 +93,10 @@ from .registry import ORACLES, QUERIES
 # (whose r2-era row stands; aggregation stays covered by the TPC-H
 # block and salted_skew_agg), and ivfpq_rerank_topk displaces lead_lag
 # (window-function family stays covered by rolling_mean_time_range and
-# resample_ohlc), and dup_span_removal displaces band_join_revenue
-# (range-join family stays covered by asof_join_quotes).
+# resample_ohlc), dup_span_removal displaces band_join_revenue
+# (range-join family stays covered by asof_join_quotes), and
+# copurchase_reach displaces indicator_ewma (indicator family stays
+# covered by indicator_bollinger).
 CHECK_PRIORITY: list[str] = [
     # --- Post-r6-window queries: no driver row yet. ---
     "dsir_weights",
@@ -128,7 +130,7 @@ CHECK_PRIORITY: list[str] = [
     "except_op",
     "gap_fill_locf",
     "indicator_bollinger",
-    "indicator_ewma",
+    "copurchase_reach",
     "ivfpq_rerank_topk",
     "multimodal_features",
     "q10_returned_revenue",

@@ -739,3 +739,70 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return remove_dup_spans(docs, n=DUP_NGRAM_N, min_df=DUP_NGRAM_MIN_DF)
+
+
+REACH_SEED_MOD = 1000  # seed parts: l_partkey % 1000 == 0
+REACH_DEPTH = 2  # hop bound: depth guard makes UNION ALL recursion finite
+
+
+@register(
+    "copurchase_reach",
+    oracle=f"""
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+r(seed, node, depth) AS (
+    SELECT src, src, 0 FROM (SELECT DISTINCT src FROM e WHERE src % {REACH_SEED_MOD} = 0)
+    UNION ALL
+    SELECT r.seed, e.dst, r.depth + 1
+    FROM r JOIN e ON e.src = r.node WHERE r.depth < {REACH_DEPTH}
+)
+SELECT seed, node, CAST(MIN(depth) AS BIGINT) AS hops
+FROM r GROUP BY seed, node ORDER BY seed, node
+""",
+)
+def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS via Spark 4's RECURSIVE CTE (SPARK-24497):
+    every part reachable within {REACH_DEPTH} co-purchase hops of each
+    seed part, with the hop distance (MIN(depth) collapses path
+    multiplicity — UNION ALL recursion enumerates walks, the depth
+    guard makes it finite). Both engines run the same recursion, so the
+    hash check pins Spark's recursive-CTE semantics (seed step, step
+    join, depth guard) against DuckDB's — the same cross-engine
+    evidence form as the window/rollup surfaces.
+
+    Scale notes: the edge list is built ONCE as a DataFrame and
+    persisted behind a temp view, so each recursion level joins the
+    cached frame instead of re-deriving the order-key self-join per
+    level. Walk volume grows with |seeds| x deg^depth; the engine's
+    recursion row-limit safety valve (spark.sql.cteRecursionRowLimit,
+    default 1M) stays untouched here because the seed set is thinned
+    to parts % {REACH_SEED_MOD} — a wider crawl raises the conf or, at
+    real scale, uses the iterative join loop (operators/graph.py) that
+    deduplicates per level instead of enumerating walks."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "__ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    edges.createOrReplaceTempView("__copurchase_edges")
+    out = spark.sql(f"""
+WITH RECURSIVE r(seed, node, depth) AS (
+    SELECT src, src, 0
+    FROM (SELECT DISTINCT src FROM __copurchase_edges WHERE src % {REACH_SEED_MOD} = 0)
+    UNION ALL
+    SELECT r.seed, e.dst, r.depth + 1
+    FROM r JOIN __copurchase_edges e ON e.src = r.node WHERE r.depth < {REACH_DEPTH}
+)
+SELECT seed, node, CAST(MIN(depth) AS BIGINT) AS hops
+FROM r GROUP BY seed, node ORDER BY seed, node""")
+    out._cached_frames = [edges]
+    return out

@@ -412,3 +412,50 @@ def test_dup_span_removal_cuts_exactly_the_planted_span(spark):
     release_cached(cov_df)
     for d in (1, 2, 3):
         assert got[d].kept_tokens == cov[d].n_tok - cov[d].covered_tokens, d
+
+
+def test_recursive_reach_matches_python_bfs(spark, sf_dir):
+    """copurchase_reach (the Spark 4 recursive-CTE surface) must agree
+    with a pure-Python BFS over the same co-purchase edges: identical
+    (seed, node) reach sets and identical MIN-depth hop counts — the
+    walk-enumeration + MIN collapse must equal true shortest-hop BFS."""
+    from collections import deque
+
+    from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+    from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
+    from m2_b3_market_data_pipeline_spark.plans.expansion_round7 import (
+        REACH_DEPTH,
+        REACH_SEED_MOD,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    by_order: dict = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    adj: dict = {}
+    for parts in by_order.values():
+        for u in parts:
+            for v in parts:
+                if u != v:
+                    adj.setdefault(u, set()).add(v)
+    want = {}
+    for seed in sorted(n for n in adj if n % REACH_SEED_MOD == 0):
+        dist = {seed: 0}
+        q = deque([seed])
+        while q:
+            u = q.popleft()
+            if dist[u] >= REACH_DEPTH:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        for node, d in dist.items():
+            want[(seed, node)] = d
+
+    out = QUERIES["copurchase_reach"](spark, sf_dir)
+    got = {(r.seed, r.node): r.hops for r in out.collect()}
+    release_cached(out)
+    assert want, "fixture has no seed parts"
+    assert got == want
