@@ -49,6 +49,10 @@ def _digest(plan: str) -> dict:
     norm = re.sub(r"\(\d+\)", "(n)", norm)
     norm = re.sub(r"\[plan_id=\d+\]", "[plan_id=]", norm)  # session-global counter
     norm = re.sub(r"RDD\[\d+\]", "RDD[]", norm)  # session-global RDD ids (ExistingRDD scans)
+    # Higher-order-function lambda variables (lambda x_37#) number off a
+    # session-global counter too — the hash must not depend on how many
+    # lambdas compiled earlier in the digest run's session.
+    norm = re.sub(r"lambda ([A-Za-z]+)_\d+#", r"lambda \1_#", norm)
     norm = re.sub(r"file:[^\s,\]\)]+", "file:<path>", norm)
     norm = re.sub(r"/(tmp|root)/[^\s,\]\)]*", "<path>", norm)
     tree = plan.split("\n\n")[0]
