@@ -785,10 +785,17 @@ def remove_dup_spans(
     space-joined kept tokens (canonical whitespace — the tokenizer
     contract shared with every text operator), '' for empty docs.
     """
-    base = df.select(F.col(id_col), tokens(text_col).alias("__tk")).select(
+    # NULL text degrades to the empty document (n_tok 0, kept_tokens 0,
+    # clean_text '') on BOTH engines: tokens(NULL) is NULL, and leaving
+    # it NULL would make kept_tokens NULL (ANSI size(NULL)) while the
+    # oracle emits 0 — a latent hash divergence.
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(tokens(text_col), F.array().cast("array<string>")).alias("__tk"),
+    ).select(
         id_col,
         "__tk",
-        F.coalesce(F.size("__tk"), F.lit(0)).cast("bigint").alias("n_tok"),
+        F.size("__tk").cast("bigint").alias("n_tok"),
     )
     grams = (
         base.filter(F.col("n_tok") >= n)

@@ -206,9 +206,14 @@ def pagerank(
     source/entity authority weighting in corpus curation.
 
     ``pr'(v) = (1-d)/N + d * sum over u->v of pr(u)/outdeg(u)``,
-    iterated ``iters`` times from the uniform vector. Dangling-node
-    mass is dropped (the standard simplification; the fixture graphs
-    are symmetric, so no node dangles). Each iteration ROUNDS to 9dp —
+    iterated ``iters`` times from the uniform vector. The node universe
+    is ``union(src, dst)`` — sink nodes (dst-only, out-degree 0) stay
+    in the rank vector and in N, receiving the teleport term plus any
+    incoming mass; only the out-degree join stays keyed on src. Their
+    OUTGOING (dangling) mass is dropped rather than redistributed (the
+    standard simplification — ranks then sum to < 1 on graphs with
+    sinks; the in-repo co-supply graphs are symmetric, so there the
+    simplification is exact). Each iteration ROUNDS to 9dp —
     like the k-means iterate, that makes the fixed point bit-stable
     across engines (distributed double sums differ in the last ulp
     with aggregation order; contributions are <=1 and fan-in is
@@ -224,7 +229,15 @@ def pagerank(
     lineage, ``iters`` levels deep, like kmeans_iterate."""
     e = edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")).persist()
     deg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
-    nodes = e.select(F.col("__src").alias("__node")).distinct().persist()
+    # union(src, dst), not src alone: a sink (dst-only) node must be in
+    # the vector and counted in N, or the exported operator silently
+    # returns wrong N and missing nodes on general directed edge lists.
+    nodes = (
+        e.select(F.col("__src").alias("__node"))
+        .union(e.select(F.col("__dst").alias("__node")))
+        .distinct()
+        .persist()
+    )
     n = nodes.agg(F.count("*").alias("__n"))
     teleport = (F.lit(1.0) - F.lit(damping)) / F.col("__n")
     pr = nodes.crossJoin(F.broadcast(n)).select(
@@ -309,8 +322,24 @@ def triangle_counts(
     # ids here are catalog keys (< 2^31); degree cannot exceed n-1, so
     # deg * 2^32 + id never collides or overflows a long at any SF
     # that fits ids in an int. The pack keeps the orientation predicate
-    # and the wedge rank-compare simple column comparisons.
-    rank = (F.col("deg").cast("long") * F.lit(1 << 32) + F.col("node")).alias("rank")
+    # and the wedge rank-compare simple column comparisons. The id
+    # contract is ENFORCED, not assumed: a node id that is NULL after
+    # the long cast (ANSI cast already raises on malformed strings),
+    # negative, or >= 2^32 would silently corrupt the orientation and
+    # degrade to wrong counts — raise loudly instead. (Edges with NULL
+    # endpoints never reach here: ``a != b`` is NULL-rejecting at
+    # canonicalization — an edge missing an endpoint is not an edge.)
+    node_long = F.col("node").cast("long")
+    checked_id = F.when(
+        node_long.isNull() | (node_long < 0) | (node_long >= F.lit(1 << 32)),
+        F.raise_error(
+            F.lit(
+                "triangle_counts: node ids must cast to non-null longs in "
+                "[0, 2^32) for the (deg, id) rank pack; remap ids first"
+            )
+        ).cast("long"),
+    ).otherwise(node_long)
+    rank = (F.col("deg").cast("long") * F.lit(1 << 32) + checked_id).alias("rank")
     ranks = deg.select("node", rank)
     # Orient each edge low-rank -> high-rank, carrying the dst rank for
     # the wedge-ordering predicate.

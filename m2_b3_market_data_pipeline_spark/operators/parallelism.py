@@ -11,6 +11,18 @@ count is below the session's shuffle parallelism: at cluster scale the
 source scan already exceeds the floor and the call is a NO-OP — no
 exchange enters the 100 TB plan. That conditional is the whole point;
 an unconditional repartition would be a full corpus shuffle at scale.
+
+SCOPE RULE (which chains get the floor): apply it only when EXPENSIVE
+map-side work sits between the scan and the first wide dependency —
+shingle fan-outs, per-band signature folds, byte parses, broadcast-join
+cosines. Skip it (``load(..., floor=False)``) when the chain's first
+exchange arrives within the first stage and the pre-shuffle work is a
+single light tokenize/explode: the chain's own shuffle already
+redistributes, and the floor's repartition is a pure extra exchange.
+Both halves are measured, same-window A/B (BASELINE.md round-7
+adjudication): heavy-map chains WIN floored (boilerplate_frac 1.84s vs
+2.29s, dsir_weights 1.43s vs 1.99s), the light-map shuffle-first
+tfidf_top_terms LOSES floored (1.21s vs 0.82s) and is exempt.
 """
 
 from __future__ import annotations

@@ -76,7 +76,15 @@ def countmin_estimate(
     """Estimate each candidate key's frequency from the broadcast CM
     table: explode the candidate's coordinates, hash-join the (tiny)
     table, take the min counter. The candidate stream can be any size —
-    the sketch side is depth*width rows and always broadcasts."""
+    the sketch side is depth*width rows and always broadcasts.
+
+    LEFT join + coalesce-to-0, not inner: the counter table only stores
+    non-empty buckets, so a probe key that was never inserted may hit
+    an absent (zero) bucket. An inner join would take the min over only
+    the non-empty rows (inflating the estimate) and would drop a
+    key whose buckets are ALL empty from the output entirely — the true
+    sketch estimate in both cases involves the 0 counters, and a key
+    with any empty bucket estimates exactly 0."""
     coords = candidates.select(
         F.col(key_col),
         F.explode(
@@ -84,9 +92,9 @@ def countmin_estimate(
         ).alias("c"),
     ).select(key_col, F.col("c.row_id").alias("row_id"), F.col("c.bucket").alias("bucket"))
     return (
-        coords.join(F.broadcast(cm), ["row_id", "bucket"])
+        coords.join(F.broadcast(cm), ["row_id", "bucket"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("cm_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cm_est"))
     )
 
 

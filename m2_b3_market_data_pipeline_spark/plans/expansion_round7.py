@@ -296,9 +296,9 @@ hashed AS (
 cm AS (SELECT row_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
        FROM hashed GROUP BY row_id, bucket),
 est AS (
-    SELECT e.word, MIN(cm.cnt) AS cm_est
-    FROM exact e, r
-    JOIN cm ON cm.row_id = r.row_id
+    SELECT e.word, MIN(COALESCE(cm.cnt, 0)) AS cm_est
+    FROM exact e CROSS JOIN r
+    LEFT JOIN cm ON cm.row_id = r.row_id
            AND cm.bucket = {_cm_bucket_sql("e.word", "r.row_id")}
     GROUP BY e.word)
 SELECT x.word, x.exact_cnt, e.cm_est, (e.cm_est >= x.exact_cnt) AS never_under
@@ -431,7 +431,7 @@ e AS (
     FROM su a JOIN su b
       ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
 deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
-nodes AS (SELECT DISTINCT src AS node FROM e),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
 p0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN n nn),
 {_PR_ITER_CTES}

@@ -71,8 +71,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     document. Pure DataFrame ops: explode -> two aggregations -> join
     (df side is |vocabulary|-sized, broadcast) -> WindowGroupLimit
     top-k. The HashingTF/Pandas-UDF-free formulation scales as two
-    shuffles over the token table."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shuffles over the token table.
+
+    ``floor=False``: the chain's first wide dependency (the tf groupBy)
+    arrives within the first stage, so the shuffle itself supplies
+    parallelism and the floor's repartition is a pure extra exchange —
+    round-7 same-window A/B measured 1.21s floored vs 0.82s unfloored
+    (BASELINE.md adjudication)."""
+    docs = load(spark, sf_dir, "documents", floor=False).select("doc_id", "text")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))

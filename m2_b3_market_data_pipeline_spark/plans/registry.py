@@ -42,7 +42,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[SparkQuery], Spa
     return deco
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def load(spark: SparkSession, sf_dir: str, table: str, *, floor: bool = True) -> DataFrame:
     # The caller may hand us ANY SparkSession (the driver builds a bare one
     # with none of session.py's confs), so every conf a query depends on must
     # be set here at runtime, where all query paths funnel through. Both are
@@ -71,7 +71,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             # naive values as UTC instants (session tz pinned above), giving
             # the same column the nanos path produces.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    if table in ("documents", "embeddings"):
+    if floor and table in ("documents", "embeddings"):
         # The fan-out-heavy corpora: shingle/token explodes, hash folds,
         # and cosine work all happen MAP-SIDE on these scans, and a
         # single-row-group fixture file scans as one partition — fusing
@@ -81,6 +81,13 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         # exceeds the floor and no exchange is added. Relational tables
         # (lineitem/orders/...) stay unfloored — their per-row map work
         # is light, so a repartition would cost what it saves.
+        #
+        # ``floor=False`` scopes the floor OFF shuffle-bearing chains
+        # whose pre-shuffle map work is a single light tokenize/explode:
+        # there the chain's own first groupBy/join exchange already
+        # redistributes the fan-out, and the floor's repartition is pure
+        # added overhead (see operators/parallelism.py for the rule and
+        # the measured A/Bs both ways).
         from ..operators.parallelism import ensure_parallelism
 
         df = ensure_parallelism(df)

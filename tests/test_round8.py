@@ -1,0 +1,130 @@
+"""Round-8 hardening: the four ADVICE.md edge cases (pagerank sink
+nodes, count-min absent-key estimates, NULL-text span removal, the
+triangle rank-pack id guard) plus the scoped parallelism floor."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_pagerank_keeps_sink_nodes_in_vector_and_n(spark):
+    """Directed graph with a pure sink (dst-only node): the node
+    universe is union(src, dst), so the sink must appear in the output,
+    count toward N, and accumulate teleport + incoming mass — checked
+    against a pure-Python recompute of the same formula (out-going
+    dangling mass dropped, per the documented simplification)."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+    from m2_b3_market_data_pipeline_spark.operators.graph import pagerank
+
+    # 1 -> 2 <- 3, 1 -> 3: node 2 is a sink; N = 3.
+    edges = [(1, 2), (3, 2), (1, 3)]
+    d, iters = 0.85, 3
+    nodes = sorted({x for e in edges for x in e})
+    N = len(nodes)
+    out_deg = {u: sum(1 for a, _ in edges if a == u) for u in nodes}
+    pr = {u: 1.0 / N for u in nodes}
+    for _ in range(iters):
+        pr = {
+            v: round(
+                (1.0 - d) / N
+                + d * sum(pr[u] / out_deg[u] for u, w in edges if w == v),
+                9,
+            )
+            for v in nodes
+        }
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = pagerank(e, damping=d, iters=iters)
+    rows = {r.node: r.pagerank for r in got.collect()}
+    release_cached(got)
+    assert set(rows) == {1, 2, 3}  # sink node 2 present
+    assert rows == pr
+    # Sink receives mass from both feeders, so it must dominate.
+    assert rows[2] == max(rows.values())
+
+
+def test_countmin_estimate_covers_absent_keys(spark):
+    """A probe key that was never inserted must still get an estimate:
+    any empty (absent) bucket coordinate counts as 0, so a never-seen
+    key whose coordinates miss every stored bucket estimates exactly 0
+    — an inner join would instead drop it from the output (all-empty)
+    or inflate the min over only its non-empty counters."""
+    from m2_b3_market_data_pipeline_spark.operators.sketches import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    items = spark.createDataFrame([("alpha",)] * 7 + [("beta",)] * 2, "k string")
+    # width 64 >> 2 keys: the absent probe's 3 buckets are empty.
+    cm = countmin_table(items, "k", depth=3, width=64)
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("never-inserted",)], "k string"
+    )
+    est = {
+        r.k: r.cm_est
+        for r in countmin_estimate(cm, probes, "k", depth=3, width=64).collect()
+    }
+    assert set(est) == {"alpha", "beta", "never-inserted"}
+    assert est["alpha"] == 7 and est["beta"] == 2
+    assert est["never-inserted"] == 0
+
+
+def test_remove_dup_spans_null_text_degrades_to_empty(spark):
+    """NULL text must degrade to the empty document (n_tok 0,
+    kept_tokens 0, clean_text '') exactly as the DuckDB oracle does —
+    not NULL kept_tokens from ANSI size(NULL)."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import (
+        release_cached,
+        remove_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, "a b c d e f"),
+            (3, "a b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    out = remove_dup_spans(docs, n=5, min_df=2)
+    got = {r.doc_id: r for r in out.collect()}
+    release_cached(out)
+    assert got[1].n_tok == 0
+    assert got[1].kept_tokens == 0 and got[1].clean_text == ""
+    # The duplicated docs still get fully cut (regression guard).
+    assert got[2].kept_tokens == 0 and got[3].kept_tokens == 0
+
+
+def test_triangle_counts_rejects_out_of_range_node_ids(spark):
+    """The (deg, id) rank pack requires ids in [0, 2^32); a violating
+    id must raise loudly instead of silently corrupting the
+    orientation into wrong counts."""
+    from m2_b3_market_data_pipeline_spark.operators.graph import triangle_counts
+
+    e = spark.createDataFrame([(1, 1 << 32), (1, 2), (2, 1 << 32)], "u long, v long")
+    with pytest.raises(Exception, match="rank pack"):
+        triangle_counts(e).collect()
+
+    neg = spark.createDataFrame([(-1, 2), (2, 3), (3, -1)], "u long, v long")
+    with pytest.raises(Exception, match="rank pack"):
+        triangle_counts(neg).collect()
+
+
+def test_floor_scoped_off_tfidf_chain(spark, sf_dir):
+    """tfidf_top_terms is exempt from the parallelism floor (its first
+    groupBy exchange already supplies parallelism; A/B: 0.82s unfloored
+    vs 1.21s floored) — no round-robin repartition may enter its plan,
+    while a floored heavy-map chain keeps it on this single-split
+    fixture."""
+    from m2_b3_market_data_pipeline_spark.plans.expansion_text2 import (
+        tfidf_top_terms,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+
+    plan = tfidf_top_terms(spark, sf_dir)._jdf.queryExecution().toString()
+    assert "RoundRobinPartitioning" not in plan
+
+    floored = load(spark, sf_dir, "documents")
+    fplan = floored._jdf.queryExecution().toString()
+    assert "RoundRobinPartitioning" in fplan  # floor intact elsewhere
