@@ -74,7 +74,7 @@ from .registry import ORACLES, QUERIES
 # Queries already green in a prior round rotate past slot 50 — their
 # evidence is on record in those CORRECTNESS files.
 #
-# Round 7 (this order): the 7 queries that landed after the r6 window
+# Round 7: the 7 queries that landed after the r6 window
 # filled go FIRST (their only verification so far is local + the r6
 # judge's independent re-run; the driver row is the hard evidence).
 # Then the two ANN queries whose PHYSICAL PLAN changed this round (the
@@ -97,67 +97,75 @@ from .registry import ORACLES, QUERIES
 # (range-join family stays covered by asof_join_quotes), and
 # copurchase_reach displaces indicator_ewma (indicator family stays
 # covered by indicator_bollinger).
+# Round 8 (this order): the new-born query goes first
+# (bpe_apply_check — tokenizer inference under the frozen golden merge
+# table, closing the BPE family's last evidence gap). Then the 5
+# queries whose PHYSICAL PLAN or semantics changed this round and
+# re-prove on principle: countmin_check (left-join + coalesce-0
+# estimates), pagerank_cosuppliers (node universe = union(src, dst)),
+# dup_span_removal (NULL-text degrade), triangle_coparts (rank-pack id
+# guard in the plan), tfidf_top_terms (parallelism floor scoped off its
+# chain). Then the 5 r3-stale rows the r7 rotation explicitly queued
+# (README "Correctness evidence across rounds"): set_ops, distinct_agg,
+# lead_lag, band_join_revenue, indicator_ewma. The remaining 38 slots
+# take the oldest (r4-era) rows alphabetically; 4 r4-era rows
+# (value_histogram, window_distribution, window_running_total,
+# zscore_anomalies) roll to the r9 front-load. New queries registered
+# later this round displace fills from the END, as always.
 CHECK_PRIORITY: list[str] = [
-    # --- Post-r6-window queries: no driver row yet. ---
-    "dsir_weights",
-    "lm_quality_buckets",
-    "bigram_pmi",
-    "source_overlap_matrix",
-    "lang_segments",
-    "hard_negatives",
-    "knn_label_accuracy",
-    # --- Plan changed in r7 (ann_topk hash equi-join rewrite): re-prove. ---
-    "ann_topk_lsh",
-    "ann_recall_check",
-    # --- New in round 7 (registered this session; window the round they
-    # are born). ---
-    "incremental_semdedup",
-    "streaming_triplets",
-    "ivfpq_ann_topk",
-    # bpe_pair_counts is the hash-checked anchor of the BPE family;
-    # bpe_learn_merges is rows-only (iterative) and stays OUT of the
-    # window per the no-rows-only-slots contract — its witness is the
-    # pure-Python golden recompute.
-    "bpe_pair_counts",
+    # --- New in round 8: window the round they are born. ---
+    "bpe_apply_check",
+    # --- Plan/semantics changed in round 8: re-prove. ---
     "countmin_check",
-    "ivfpq_recall_check",
     "pagerank_cosuppliers",
-    "bloom_decontaminate_check",
-    # --- Stalest evidence: newest green row is r3. ---
-    "asof_join_quotes",
     "dup_span_removal",
     "triangle_coparts",
-    "except_op",
-    "gap_fill_locf",
-    "indicator_bollinger",
-    "copurchase_reach",
-    "ivfpq_rerank_topk",
-    "multimodal_features",
-    "q10_returned_revenue",
-    "q11_important_value",
-    "q12_priority_by_status",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "q21_sole_returned_supplier",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "resample_ohlc",
-    "rolling_mean_time_range",
-    "salted_skew_agg",
-    "train_test_split",
-    # --- Oldest r4-era rows (alphabetical fill; displaced by any
-    # further round-7 additions). ---
+    "tfidf_top_terms",
+    # --- The 5 r3-stale rows queued by the r7 rotation plan. ---
+    "set_ops",
+    "distinct_agg",
+    "lead_lag",
+    "band_join_revenue",
+    "indicator_ewma",
+    # --- Oldest remaining evidence (r4-era), alphabetical fill. ---
+    "array_functions",
+    "cdc_merge_upsert",
+    "centroid_assign",
+    "char_entropy",
+    "corpus_pipeline",
+    "correlated_subquery",
+    "cube_lineitem",
+    "decontaminate",
+    "dedup_clusters",
+    "disjunctive_predicates",
+    "doc_chunks",
+    "embed_normalize",
+    "event_cooccurrence",
+    "exact_percentiles",
+    "expectation_checks",
+    "fk_orphans_audit",
+    "full_outer_join",
+    "funnel_stages",
+    "grouping_sets",
+    "groupwise_regression",
+    "indicator_macd",
+    "mad_outliers",
+    "pii_scrub",
+    "pivot_segments",
+    "predicate_surface",
+    "profile_events",
+    "quantile_binning",
+    "regex_functions",
+    "repetition_stats",
+    "retention_cohorts",
+    "salted_skew_join",
+    "sample_per_group",
+    "scalar_subquery",
+    "scd2_user_values",
+    "sessionize_stats",
+    "sliding_window",
+    "token_pack",
+    "trending_daily",
     # --- Anchor: flagship reference pipeline, in the window every
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---

@@ -111,6 +111,56 @@ def test_triangle_counts_rejects_out_of_range_node_ids(spark):
         triangle_counts(neg).collect()
 
 
+def test_bpe_apply_oracle_identity_on_adversarial_words(spark):
+    """The delimiter-encoded replace chain (the bpe_apply_check oracle)
+    must equal the Spark greedy fold on the adversarial shapes: runs of
+    consecutive matches ('aaaa' under (a,a) -> aa aa, never aa a a),
+    a rule whose right side is a previous rule's output, and a word
+    where the pattern must NOT fire across a symbol boundary."""
+    import duckdb
+
+    from m2_b3_market_data_pipeline_spark.operators.bpe import apply_merges
+    from m2_b3_market_data_pipeline_spark.plans.expansion_round7 import (
+        BPE_FIXED_MERGES,
+    )
+    from pyspark.sql import functions as F
+
+    # 'errr' exercises rule 1 then a dangling r; 'merer' rule 6 over
+    # rule 1's output twice; 'inin' consecutive rule-2 matches;
+    # 'xer'/'ler' boundary shapes; 'atat' consecutive rule-7 matches.
+    words = "errr merer inin xer ler atat eer rer stst lulu"
+    docs = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    rules = [{"rank": k, "left": l, "right": r} for k, l, r in BPE_FIXED_MERGES]
+    got = {
+        r.word: r.sym_str
+        for r in apply_merges(docs, rules)
+        .select("word", F.concat_ws(" ", "sym").alias("sym_str"))
+        .collect()
+    }
+
+    def enc(s: str) -> str:
+        return f"chr(1) || '{s}' || chr(1)"
+
+    expr = "enc"
+    for _, l, r in sorted(BPE_FIXED_MERGES):
+        expr = f"replace({expr}, {enc(l)} || ' ' || {enc(r)}, {enc(l + r)})"
+    con = duckdb.connect()
+    oracle = {
+        w: con.execute(
+            f"""SELECT replace({expr}, chr(1), '') FROM (
+                SELECT array_to_string(list_transform(
+                    generate_series(1, length(?)),
+                    i -> chr(1) || substring(?, i, 1) || chr(1)), ' ') AS enc)""",
+            [w, w],
+        ).fetchone()[0]
+        for w in words.split()
+    }
+    con.close()
+    assert got == oracle
+    assert got["inin"] == "in in"  # consecutive matches both fire
+    assert got["merer"] == "mer er"  # rule 6 consumes rule 1's output
+
+
 def test_floor_scoped_off_tfidf_chain(spark, sf_dir):
     """tfidf_top_terms is exempt from the parallelism floor (its first
     groupBy exchange already supplies parallelism; A/B: 0.82s unfloored
