@@ -1,8 +1,9 @@
 """Skew mitigation + storage-layout operators for 100 TB runs.
 
 - ``salted_agg``: two-phase aggregation for skewed grouping keys — a
-  random-salt pre-aggregation bounds any single task's share of a hot
-  key to 1/n_salts, then a tiny final merge re-aggregates per key. Only
+  deterministic hash-salt pre-aggregation bounds any single task's
+  share of a hot key to 1/n_salts, then a tiny final merge
+  re-aggregates per key. Only
   algebraic aggregates (sum/count/min/max, avg via sum+count) can split
   this way. AQE's skew-join handling covers joins; this covers
   aggregations, where AQE cannot split a hot group.
@@ -21,6 +22,20 @@ from pyspark.sql import functions as F
 SALT = "__salt"
 
 _SPLITTABLE = {"sum", "count", "min", "max"}
+
+
+def _row_salt(df: DataFrame, n_salts: int) -> Column:
+    """Deterministic per-row salt: xxhash64 over EVERY input column,
+    mod n_salts. A seeded rand() is only pseudo-stable — its value
+    depends on the row's (partition, position), which task retries,
+    speculative duplicates, and AQE re-coalescing can change mid-job;
+    a pure row function cannot. For a hot key the non-key columns vary
+    row to row, so the hash spreads the key across all salts; the one
+    degenerate case is full-row duplicates (identical rows share a
+    salt), which a real fact table's unique keys rule out."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast(
+        "int"
+    )
 
 
 def salted_agg(
@@ -54,7 +69,7 @@ def salted_agg(
             finals.append(merge(f"__p_{out}").alias(out))
         else:
             raise ValueError(f"{fn!r} is not algebraic-splittable")
-    salted = df.withColumn(SALT, (F.rand(seed=42) * n_salts).cast("int"))
+    salted = df.withColumn(SALT, _row_salt(df, n_salts))
     partial = salted.groupBy(key, SALT).agg(*partials)
     return partial.groupBy(key).agg(*finals)
 
@@ -102,7 +117,7 @@ def salted_join(
     dim side). Result equals the plain join exactly; only the physical
     distribution changes.
     """
-    salted_facts = facts.withColumn(SALT, (F.rand(seed=42) * n_salts).cast("int"))
+    salted_facts = facts.withColumn(SALT, _row_salt(facts, n_salts))
     replicated = dim.withColumn(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

@@ -105,13 +105,16 @@ from .registry import ORACLES, QUERIES
 # estimates), pagerank_cosuppliers (node universe = union(src, dst)),
 # dup_span_removal (NULL-text degrade), triangle_coparts (rank-pack id
 # guard in the plan), tfidf_top_terms (parallelism floor scoped off its
-# chain). Then the 5 r3-stale rows the r7 rotation explicitly queued
-# (README "Correctness evidence across rounds"): set_ops, distinct_agg,
-# lead_lag, band_join_revenue, indicator_ewma. The remaining 38 slots
-# take the oldest (r4-era) rows alphabetically; 4 r4-era rows
-# (value_histogram, window_distribution, window_running_total,
-# zscore_anomalies) roll to the r9 front-load. New queries registered
-# later this round displace fills from the END, as always.
+# chain), and the two salting queries (rand salt replaced by the
+# deterministic row-hash salt — salted_skew_join rides the r4-era fill,
+# salted_skew_agg displaces the last fill). Then the 5 r3-stale rows
+# the r7 rotation explicitly queued (README "Correctness evidence
+# across rounds"): set_ops, distinct_agg, lead_lag, band_join_revenue,
+# indicator_ewma. The remaining slots take the oldest (r4-era) rows
+# alphabetically; 5 r4-era rows (trending_daily, value_histogram,
+# window_distribution, window_running_total, zscore_anomalies) roll to
+# the r9 front-load. New queries registered later this round displace
+# fills from the END, as always.
 CHECK_PRIORITY: list[str] = [
     # --- New in round 8: window the round they are born. ---
     "bpe_apply_check",
@@ -121,6 +124,7 @@ CHECK_PRIORITY: list[str] = [
     "dup_span_removal",
     "triangle_coparts",
     "tfidf_top_terms",
+    "salted_skew_agg",
     # --- The 5 r3-stale rows queued by the r7 rotation plan. ---
     "set_ops",
     "distinct_agg",
@@ -165,7 +169,6 @@ CHECK_PRIORITY: list[str] = [
     "sessionize_stats",
     "sliding_window",
     "token_pack",
-    "trending_daily",
     # --- Anchor: flagship reference pipeline, in the window every
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---

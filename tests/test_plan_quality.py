@@ -442,6 +442,19 @@ def test_surface_wide_aggregate_and_join_lint(spark, sf_dir):
         # whole point; operators/dedup.py::remove_dup_spans)
         "dup_span_removal",
     }
+    # Determinism-under-retry pin: the 100 TB mandate implies task
+    # retries and speculative execution, and every operator claims
+    # seeded-hash determinism — so NO registered plan may carry a
+    # nondeterministic expression. The allowlist is EMPTY by design:
+    # even the salting operators use a deterministic row-hash salt
+    # (operators/skew.py::_row_salt), so any future rand()/uuid()/
+    # monotonically_increasing_id() is a regression, not a style call.
+    NONDET = re.compile(
+        r"\b(rand|randn|uuid|monotonically_increasing_id|"
+        r"spark_partition_id|input_file_name|current_timestamp|"
+        r"current_date|now|shuffle)\s*\(",
+        re.I,
+    )
     offenders = {}
     for name, fn in all_queries.QUERIES.items():
         df = fn(spark, sf_dir)
@@ -452,7 +465,10 @@ def test_surface_wide_aggregate_and_join_lint(spark, sf_dir):
             for k in ("CartesianProduct", "SortAggregate", "ObjectHashAggregate")
             if k in plan
         ]
-        if "CartesianProduct" in hits or (hits and name not in INTRINSIC):
+        hits += sorted({f"nondet:{m}" for m in NONDET.findall(plan)})
+        if any(h.startswith("nondet:") for h in hits) or "CartesianProduct" in hits or (
+            [h for h in hits if not h.startswith("nondet:")] and name not in INTRINSIC
+        ):
             offenders[name] = hits
     assert not offenders, offenders
 

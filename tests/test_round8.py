@@ -111,6 +111,43 @@ def test_triangle_counts_rejects_out_of_range_node_ids(spark):
         triangle_counts(neg).collect()
 
 
+def test_rerun_equality_per_family(spark, sf_dir):
+    """Determinism-under-retry witness: one representative per operator
+    family, executed twice from scratch, must produce IDENTICAL row
+    sets — the behavioral complement of the plan-text nondeterminism
+    lint (test_plan_quality.py::test_surface_wide_aggregate_and_join_
+    lint). Covers reference pipeline, relational, window, dedup, ANN,
+    text, embeddings, events, graph, sketch, skew-salt, and split
+    families; salted_skew_agg exercises the deterministic row-hash salt
+    directly."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+    from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
+
+    REPRESENTATIVES = [
+        "refined_pipeline",     # reference ETL
+        "q9_product_profit",    # relational join+agg
+        "window_rank",          # window functions
+        "minhash_dedup",        # dedup / LSH banding
+        "ann_topk_lsh",         # similarity / hyperplane LSH
+        "tfidf_top_terms",      # text analytics
+        "centroid_assign",      # embeddings / k-means
+        "sessionize_stats",     # event-log analytics
+        "pagerank_cosuppliers", # iterative graph
+        "countmin_check",       # sketches
+        "salted_skew_agg",      # skew salting (row-hash salt)
+        "train_test_split",     # leakage-safe splits
+    ]
+
+    def rows(name):
+        df = QUERIES[name](spark, sf_dir)
+        got = sorted(map(tuple, df.collect()))
+        release_cached(df)
+        return got
+
+    for name in REPRESENTATIVES:
+        assert rows(name) == rows(name), f"{name} differs across reruns"
+
+
 def test_bpe_apply_oracle_identity_on_adversarial_words(spark):
     """The delimiter-encoded replace chain (the bpe_apply_check oracle)
     must equal the Spark greedy fold on the adversarial shapes: runs of
