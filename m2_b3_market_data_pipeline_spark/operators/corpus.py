@@ -439,7 +439,7 @@ def bigram_pmi(
 
 # Cumulative gate flags quality_gate_stats emits, in funnel order. THE
 # stage-count definition: the batch funnel's aggregate/stack and its
-# oracle's stage union (plans/expansion_round6.py), the streaming
+# oracle's stage union (plans/corpus_quality.py), the streaming
 # sink's stage fan-out, and read_funnel's zero-fill spine all derive
 # from this. Adding a gate means defining its predicate in TWO places —
 # quality_gate_stats below and the oracle's `gated` CTE (the SQL twin
@@ -452,7 +452,7 @@ def quality_gate_stats(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-document quality-gate flags — the shared front end of the
-    batch funnel (plans/expansion_round6.py::quality_gate_funnel) and
+    batch funnel (plans/corpus_quality.py::quality_gate_funnel) and
     the streaming funnel sink (streaming/funnel_sink.py), so both
     surfaces gate identically by construction.
 

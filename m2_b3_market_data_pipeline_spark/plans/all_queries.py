@@ -15,14 +15,14 @@ from __future__ import annotations
 from . import (  # noqa: F401
     analytics_wave7,
     cdc_merge,
+    contrastive_mining,
+    corpus_quality,
     data_quality,
+    dedup_quality,
     expansion_corpus,
     expansion_corpus2,
     expansion_dedup,
     expansion_embeddings,
-    expansion_round6,
-    expansion_round6b,
-    expansion_round7,
     expansion_similarity,
     expansion_text,
     expansion_text2,
@@ -30,9 +30,13 @@ from . import (  # noqa: F401
     expansion_wave8,
     events_analytics,
     formats_queries,
+    graph_queries,
     market_indicators,
+    media_queries,
     partsupp_tpch,  # noqa: F401 (registers via decorator)
     reference_queries,
+    retrieval_quality,
+    sketch_queries,
     sql_surface,
     sql_surface2,
     sql_surface3,
@@ -40,6 +44,7 @@ from . import (  # noqa: F401
     sql_surface5,
     stats_analytics,
     streaming_queries,
+    tokenizer_queries,
 )
 from .registry import ORACLES, QUERIES
 

@@ -1,11 +1,8 @@
-"""Round-6 curation wave: approximate-quality evidence and mixture
-enforcement.
+"""Corpus-quality curation queries: mixture enforcement, boilerplate
+detection, tokenizer fertility, quality funnels, DSIR importance
+weights, LM-score bucketing, PMI collocations, cross-source near-dup
+provenance, and code-switch segmentation.
 
-- ``ann_recall_check``: per-query recall@k of the hyperplane-LSH ANN
-  path against the exact brute-force top-k. Both sides are
-  deterministic, so the TRUE recall values hash-check against DuckDB —
-  the driver record now covers not just what the approximate path
-  returns but how good it is.
 - ``mixture_rebalance``: token-budget enforcement — cap every source at
   an equal share of a corpus-wide token budget by admitting docs in
   keyed-md5 order until the source's running token total crosses its
@@ -18,6 +15,16 @@ enforcement.
   shingles appearing in >= BP_MIN_DF distinct docs are 'boilerplate';
   each doc reports the fraction of its distinct shingles that are
   boilerplate (the MassiveText/CCNet-style repeated-template signal).
+- ``dsir_weights``: DSIR hashed-n-gram importance weights (Xie et al.
+  2023) — broadcast-sized smoothed multinomials, per-doc log2
+  likelihood-ratio sums.
+- ``lm_quality_buckets``: CCNet-style LM-score deciles via ONE exact-
+  percentile aggregate + broadcast boundaries (no global sort/NTILE).
+- ``bigram_pmi``: PMI collocation mining (BPE-merge candidates).
+- ``source_overlap_matrix``: pairwise cross-source near-dup provenance
+  over the banded MinHash pair set.
+- ``lang_segments``: code-switch detection — fixed token segments vote
+  through the predict_lang marker contract.
 """
 
 from __future__ import annotations
@@ -27,17 +34,6 @@ from pyspark.sql import functions as F
 
 from ..functions.textfns import shingles, token_count, tokens
 from ..operators.corpus import GATE_COLS, N_GATE_STAGES
-from ..operators.similarity import ann_topk, brute_force_topk
-from .expansion_similarity import (
-    EMBED_DIM,
-    LSH_BAND_BITS,
-    LSH_BITS,
-    QUERY_MOD,
-    TOP_K,
-    _ANN_BAND_MATCH,
-    _lsh_sig_sql,
-    _QCOS,
-)
 from .expansion_dedup import minhash_pairs_sql
 from .registry import load, register
 from .sql_fragments import NTOK, TK
@@ -48,66 +44,6 @@ BUDGET_NUM, BUDGET_DEN = 1, 2  # admit ~50% of total tokens
 BP_MIN_DF = 5  # shingle document-frequency threshold for 'boilerplate'
 
 _NTOK = NTOK  # shared SQL-side tokenizer contract (sql_fragments.py)
-
-
-@register(
-    "ann_recall_check",
-    oracle=f"""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-sigs AS (SELECT vec_id, v, {_lsh_sig_sql("v")} AS sig FROM c),
-q AS (SELECT * FROM sigs WHERE vec_id % {QUERY_MOD} = 0),
-exact AS (
-    SELECT query_id, neighbor_id FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {_QCOS} DESC, c.vec_id) AS rn
-        FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id
-    ) WHERE rn <= {TOP_K}),
-approx AS (
-    SELECT query_id, neighbor_id FROM (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {_QCOS} DESC, c.vec_id) AS rn
-        FROM sigs c JOIN q ON ({_ANN_BAND_MATCH}) AND q.vec_id <> c.vec_id
-    ) WHERE rn <= {TOP_K})
-SELECT e.query_id,
-       ROUND(COUNT(a.neighbor_id) * 1.0 / {TOP_K}, 6) AS recall_at_k
-FROM exact e
-LEFT JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-GROUP BY e.query_id
-ORDER BY e.query_id
-""",
-)
-def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the LSH ANN path vs the exact brute-force top-k, per
-    query — hash-checked TRUE recall, since both sides are
-    deterministic (the LCG hyperplanes embed in the oracle as
-    literals). The exact side broadcasts the query set so the corpus
-    never shuffles; the approximate side is the banded candidate join.
-    Recall evidence previously lived only in pytest; this puts it in
-    the driver's correctness record."""
-    emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
-    exact = brute_force_topk(emb, queries, k=TOP_K).select("query_id", "neighbor_id")
-    approx = (
-        ann_topk(
-            emb, queries, dim=EMBED_DIM, k=TOP_K,
-            n_bits=LSH_BITS, band_bits=LSH_BAND_BITS,
-        )
-        .select("query_id", "neighbor_id")
-        .withColumn("hit", F.lit(1))
-    )
-    return (
-        exact.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(
-            F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / TOP_K, 6).alias(
-                "recall_at_k"
-            )
-        )
-        .orderBy("query_id")
-    )
-
 
 @register(
     "mixture_rebalance",
@@ -185,7 +121,6 @@ def mixture_rebalance_df(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
-
 
 _TK = TK  # shared SQL-side tokenizer contract (sql_fragments.py)
 _SH3 = (
@@ -266,7 +201,6 @@ def boilerplate_frac_df(docs: DataFrame, *, min_df: int = BP_MIN_DF) -> DataFram
     )
     out._cached_frames = [ex]  # type: ignore[attr-defined]
     return out
-
 
 @register(
     "token_fertility",
@@ -395,102 +329,277 @@ def quality_gate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({N_GATE_STAGES}, {stack_args}) AS (stage, docs, tokens)"
     ).orderBy("stage")
 
+from ..operators.corpus import DSIR_SEED  # noqa: E402  (oracle must hash with the operator's seed)
 
-@register(
-    "audio_frame_energy",
-    oracle="""
-WITH sized AS (
-    -- byte domain (hex of the utf-8 encoding), mirroring frame_energy
-    SELECT doc_id, hex(encode(text)) AS h,
-           CAST(octet_length(encode(text)) AS BIGINT) AS L
-    FROM documents WHERE octet_length(encode(text)) >= 16
-),
-v AS (
-    SELECT doc_id, L,
-           unnest(list_transform(generate_series(1, CAST(L AS INT)),
-                  i -> CAST(('0x' || substr(h, 2 * i - 1, 2)) AS BIGINT))) AS val,
-           unnest(generate_series(1, CAST(L AS INT))) AS pos
-    FROM sized
-)
-SELECT doc_id, CAST((16 * (pos - 1)) // L AS INT) AS frame_idx,
-       CAST(COUNT(*) AS BIGINT) AS n_bytes,
-       ROUND(SUM((val - 128) * (val - 128)) * 1.0 / COUNT(*), 6) AS energy
-FROM v
-GROUP BY doc_id, frame_idx
-ORDER BY doc_id, frame_idx
-""",
-)
-def audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio-modality feature extraction shape: 16 fixed frames per
-    binary payload, mean squared deviation from the byte midpoint per
-    frame (the energy/RMS contour a silence/clipping filter
-    thresholds). Real PCM decode is stubbed (same policy as
-    multimodal.decode_image); the byte-domain stand-in keeps the frame
-    assignment, fan-out, and aggregate plumbing real AND hash-checked —
-    integer sums, one division at the output edge
-    (operators/multimodal.py::frame_energy)."""
-    from ..operators.multimodal import attach_binary, frame_energy
-
-    docs = attach_binary(
-        load(spark, sf_dir, "documents").select("doc_id", "text"), modality="audio"
-    )
-    return frame_energy(docs, id_col="doc_id", binary_col="content")
-
-
-LSH_RECALL_THRESHOLD = 0.5
+DSIR_BUCKETS = 256
 
 
 @register(
-    "lsh_recall_check",
+    "dsir_weights",
     oracle=f"""
-WITH {minhash_pairs_sql(threshold=LSH_RECALL_THRESHOLD)},
-exact_ex AS (
-    SELECT doc_id, len(sh) AS set_size, unnest(sh) AS shingle FROM sigs),
-exact_inter AS (
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           a.set_size AS size_a, b.set_size AS size_b, COUNT(*) AS inter
-    FROM exact_ex a JOIN exact_ex b
-      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY 1, 2, 3, 4),
-exact_pairs AS (
-    SELECT id_a, id_b FROM exact_inter
-    WHERE ROUND(CAST(inter AS DOUBLE) / CAST(size_a + size_b - inter AS DOUBLE), 6)
-          >= {LSH_RECALL_THRESHOLD})
-SELECT CAST((SELECT COUNT(*) FROM exact_pairs) AS BIGINT) AS n_true_pairs,
-       CAST((SELECT COUNT(*) FROM mh_pairs) AS BIGINT) AS n_found_pairs,
-       ROUND((SELECT COUNT(*) FROM mh_pairs) * 1.0 /
-             (SELECT COUNT(*) FROM exact_pairs), 6) AS recall
+WITH t AS (SELECT doc_id, lang = 'en' AS is_t, {TK} AS tk FROM documents),
+f AS (
+    SELECT doc_id, is_t,
+           unnest(tk || list_transform(range(len(tk) - 1),
+                  i -> tk[i+1] || ' ' || tk[i+2])) AS feat
+    FROM t),
+fb AS (
+    SELECT doc_id, is_t,
+           CAST(('0x' || substr(md5('{DSIR_SEED}|' || feat), 1, 15)) AS BIGINT)
+             % {DSIR_BUCKETS} AS b
+    FROM f),
+bk AS (
+    SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt, COUNT(*) AS nr
+    FROM fb GROUP BY b),
+tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS tt, CAST(SUM(nr) AS BIGINT) AS tr FROM bk),
+m AS (
+    SELECT b, log2((nt + 1.0) / (tt + {DSIR_BUCKETS}))
+            - log2((nr + 1.0) / (tr + {DSIR_BUCKETS})) AS lr
+    FROM bk CROSS JOIN tot)
+SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       ROUND(SUM(m.lr), 6) AS log_weight
+FROM fb JOIN m USING (b)
+GROUP BY fb.doc_id
+ORDER BY fb.doc_id
 """,
 )
-def lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall of MinHash+LSH near-dedup against the EXACT n-gram
-    Jaccard ground truth at the same threshold — the dedup-family twin
-    of ``ann_recall_check``. The LSH path's Jaccard verify is exact on
-    candidates, so found pairs are a subset of the truth set and the
-    single recall number is the banding's candidate-recall. Both sides
-    are deterministic, so the TRUE recall hash-checks against DuckDB —
-    banded-LSH quality evidence in the driver's correctness record, not
-    just pytest. The shingle sets are computed once (the signature
-    chain's own sh CTE feeds the exact side too)."""
-    from ..operators.dedup import ngram_jaccard_pairs
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) with lang='en' as the
+    target distribution: hashed unigram+bigram multinomials
+    (Laplace-smoothed, {DSIR_BUCKETS} buckets — the hashing trick that
+    keeps the model broadcast-sized at any corpus scale), per-doc
+    summed log2 likelihood ratio. Exact integer counts; the only
+    floats are the final log2s, rounded at the edge
+    (operators/corpus.py::dsir_log_weights)."""
+    from ..operators.corpus import dsir_log_weights
 
     docs = load(spark, sf_dir, "documents")
-    found = minhash_dedup_pairs_shared(docs)
-    truth = ngram_jaccard_pairs(docs, threshold=LSH_RECALL_THRESHOLD)
-    f_cnt = found.agg(F.count("*").alias("n_found_pairs"))
-    t_cnt = truth.agg(F.count("*").alias("n_true_pairs"))
-    out = t_cnt.crossJoin(F.broadcast(f_cnt)).select(
-        "n_true_pairs",
-        "n_found_pairs",
-        F.round(F.col("n_found_pairs") / F.col("n_true_pairs"), 6).alias("recall"),
+    return dsir_log_weights(
+        docs, target=F.col("lang") == "en", n_buckets=DSIR_BUCKETS
     )
-    out._cached_frames = getattr(found, "_cached_frames", [])
+
+# Decile boundaries as exact interpolated percentiles of the ROUNDED
+# score: rounding first makes the multiset engine-identical (the
+# trigram_lm_score hash-match is the proof), so the boundaries agree.
+LM_DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+def _trigram_oracle() -> str:
+    from . import expansion_wave6  # noqa: F401  (registers trigram_lm_score)
+    from .registry import ORACLES
+
+    return ORACLES["trigram_lm_score"]
+
+
+@register(
+    "lm_quality_buckets",
+    oracle=f"""
+WITH sc AS ({_trigram_oracle()}),
+b AS (SELECT quantile_cont(avg_logp, {LM_DECILES}) AS bs FROM sc),
+a AS (
+    SELECT sc.doc_id, sc.n_trigrams, sc.avg_logp,
+           CAST(len(list_filter(b.bs, x -> sc.avg_logp > x)) AS BIGINT) AS bucket
+    FROM sc CROSS JOIN b)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(avg_logp), 6) AS avg_score,
+       ROUND(MIN(avg_logp), 6) AS min_score,
+       ROUND(MAX(avg_logp), 6) AS max_score,
+       CAST(SUM(n_trigrams) AS BIGINT) AS total_trigrams
+FROM a GROUP BY bucket ORDER BY bucket
+""",
+)
+def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: split the corpus into deciles
+    of the char-trigram LM score (head/middle/tail quality tiers a
+    curation run keeps, down-weights, or drops). Scale-honest global
+    quantiles: decile boundaries come from ONE exact-percentile
+    aggregate (the TypedImperativeAggregate sketch family — at 100 TB
+    swap in approx_percentile, same shape), broadcast back as 9 values;
+    bucket assignment is a codegen'd fold per row — NO global sort, NO
+    single-partition NTILE window. Spark ``percentile`` interpolates
+    identically to DuckDB ``quantile_cont`` (exact_percentiles is the
+    standing proof)."""
+    from ..operators.text import trigram_lm_scores
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # The scores frame feeds TWO consumers (the percentile bounds and
+    # the bucket assignment); without its own persist the broadcast-
+    # model scoring join and per-doc fold replay per consumer (the
+    # semdedup lesson) — only the gram explode inside trigram_lm_scores
+    # is persisted by the operator itself.
+    scores = trigram_lm_scores(docs).persist()
+    qs = ", ".join(str(q) for q in LM_DECILES)
+    bounds = scores.agg(
+        F.expr(f"percentile(avg_logp, array({qs}))").alias("bs")
+    )
+    assigned = scores.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.expr(
+            "CAST(aggregate(bs, 0, (acc, x) -> acc + "
+            "CASE WHEN avg_logp > x THEN 1 ELSE 0 END) AS BIGINT)"
+        ),
+    )
+    out = (
+        assigned.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("avg_logp"), 6).alias("avg_score"),
+            F.round(F.min("avg_logp"), 6).alias("min_score"),
+            F.round(F.max("avg_logp"), 6).alias("max_score"),
+            F.sum("n_trigrams").alias("total_trigrams"),
+        )
+        .orderBy("bucket")
+    )
+    out._cached_frames = [scores, *getattr(scores, "_cached_frames", [])]
     return out
 
 
-def minhash_dedup_pairs_shared(docs: DataFrame) -> DataFrame:
-    """minhash_dedup_pairs at the recall threshold, cache handles
-    propagated (see operators/dedup.py cache-scoping contract)."""
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+@register(
+    "bigram_pmi",
+    oracle=f"""
+WITH t AS (SELECT {TK} AS tk FROM documents),
+uni AS (SELECT tok AS w, COUNT(*) AS n_w
+        FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY tok),
+bic AS (SELECT bg, COUNT(*) AS n_pair FROM (
+            SELECT unnest(list_transform(range(len(tk) - 1),
+                          i -> tk[i+1] || ' ' || tk[i+2])) AS bg
+            FROM t) GROUP BY bg),
+tot AS (SELECT (SELECT SUM(n_w) FROM uni) AS n_tok,
+               (SELECT SUM(n_pair) FROM bic) AS n_bi),
+scored AS (
+    SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+           CAST(n_pair AS BIGINT) AS n_pair,
+           ROUND(log2(n_pair * 1.0 / n_bi)
+                 - log2(u1.n_w * 1.0 / n_tok)
+                 - log2(u2.n_w * 1.0 / n_tok), 6) AS pmi
+    FROM bic CROSS JOIN tot
+    JOIN uni u1 ON u1.w = split_part(bg, ' ', 1)
+    JOIN uni u2 ON u2.w = split_part(bg, ' ', 2)
+    WHERE n_pair >= {PMI_MIN_COUNT})
+SELECT w1, w2, n_pair, pmi FROM scored
+ORDER BY pmi DESC, w1, w2 LIMIT {PMI_TOP_K}
+""",
+)
+def bigram_pmi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PMI_TOP_K} collocations by pointwise mutual information —
+    multi-word-expression / BPE-merge-candidate mining over the corpus
+    (operators/corpus.py::bigram_pmi). Marginal lookups are equi-joins
+    on the token (vocabulary scales with the corpus; never broadcast),
+    totals are 1-row broadcasts, top-k compiles to
+    TakeOrderedAndProject."""
+    from ..operators.corpus import bigram_pmi
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_pmi(docs, min_count=PMI_MIN_COUNT, k=PMI_TOP_K)
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+WITH {minhash_pairs_sql()}
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(p.jaccard), 6) AS avg_jaccard
+FROM mh_pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-dup provenance matrix: verified MinHash+LSH
+    pairs folded by (source, source) with canonical ordering — the
+    table that answers 'which crawls/feeds duplicate each other', the
+    input to licensing and mixture decisions. Complements
+    ``dedup_rate_by_source`` (per-source rate) with the PAIRWISE view.
+    Costs two corpus-keyed equi-joins (doc -> source lookup) over the
+    already-banded pair set plus a source²-bounded fold — nothing
+    quadratic in docs."""
+    docs = load(spark, sf_dir, "documents")
     from ..operators.dedup import minhash_dedup_pairs
 
-    return minhash_dedup_pairs(docs, threshold=LSH_RECALL_THRESHOLD)
+    pairs = minhash_dedup_pairs(docs)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb"))
+    out = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+    out._cached_frames = getattr(pairs, "_cached_frames", [])
+    return out
+
+
+from ..operators.text import LANG_MARKERS, LANG_SEG_TOKENS  # noqa: E402
+
+
+def _lang_segments_oracle(seg_tokens: int = LANG_SEG_TOKENS) -> str:
+    """The segment-voting chain rendered from the SAME marker constants
+    as operators/text.py::lang_segments (one definition, two engines —
+    the expansion_text.py::_lang_case_sql pattern)."""
+    from .expansion_text import lang_vote_sql
+
+    sums = ", ".join(
+        f"CAST(SUM(len(regexp_extract_all(tok, '{pat}'))) AS BIGINT) AS s_{lang}"
+        for lang, pat in LANG_MARKERS.items()
+    )
+    greatest, whens = lang_vote_sql()
+    return f"""
+WITH t AS (SELECT doc_id, {TK} AS tk FROM documents),
+p AS (
+    SELECT doc_id, pos, tk[pos] AS tok
+    FROM (SELECT doc_id, tk,
+                 unnest(generate_series(1, CAST(len(tk) AS INT))) AS pos
+          FROM t WHERE len(tk) >= 1)),
+v AS (SELECT doc_id, (pos - 1) // {seg_tokens} AS seg, {sums}
+      FROM p GROUP BY doc_id, seg),
+b AS (SELECT *, {greatest} AS best FROM v),
+sl AS (SELECT doc_id, seg, CASE {whens} ELSE 'und' END AS lang FROM b),
+sw AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+    FROM (SELECT doc_id, lang,
+                 LAG(lang) OVER (PARTITION BY doc_id ORDER BY seg) AS prev
+          FROM sl)
+    GROUP BY doc_id),
+mc AS (SELECT doc_id, lang, COUNT(*) AS cnt FROM sl GROUP BY 1, 2),
+mj AS (
+    SELECT doc_id, lang AS majority_lang, cnt FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, lang) AS rn
+        FROM mc) WHERE rn = 1)
+SELECT s.doc_id, s.n_segments, m.majority_lang,
+       ROUND(m.cnt * 1.0 / s.n_segments, 6) AS agree_frac, s.n_switches
+FROM sw s JOIN mj m ON m.doc_id = s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@register("lang_segments", oracle=_lang_segments_oracle())
+def lang_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching detection: {LANG_SEG_TOKENS}-token segments each
+    vote a language through the predict_lang marker contract; docs
+    report segment count, majority language, agreement fraction, and
+    adjacent-segment switch count — the mixed-language curation signal
+    per-doc lang-ID cannot see (operators/text.py::lang_segments)."""
+    from ..operators.text import lang_segments
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return lang_segments(docs)
+

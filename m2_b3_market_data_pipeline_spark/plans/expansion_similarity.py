@@ -300,7 +300,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared frame-sampling CTE chain (ends in ``fr``): the byte-window
 # stand-in for the stubbed codec decode (4 evenly-spaced 16-byte
 # frames, payloads >= 64 bytes). ONE definition — the frame_dedup
-# oracle (plans/expansion_round6b.py) folds the same relation, so the
+# oracle (plans/dedup_quality.py) folds the same relation, so the
 # sampling stand-in cannot drift between the two checks.
 FRAMES_CTE_SQL = """sized AS (
     SELECT doc_id, text, length(text) AS len

@@ -62,7 +62,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_vote_sql(prefix: str = "s_") -> tuple[str, str]:
     """(greatest_expr, when_chain) of the marker-vote argmax — the SQL
     twin of ``operators/text.py::vote_argmax``, defined ONCE and shared
-    with the ``lang_segments`` oracle (expansion_round6b.py) so the
+    with the ``lang_segments`` oracle (corpus_quality.py) so the
     vote contract cannot drift between queries."""
     greatest = "greatest(" + ", ".join(f"{prefix}{lang}" for lang in LANG_MARKERS) + ")"
     whens = " ".join(

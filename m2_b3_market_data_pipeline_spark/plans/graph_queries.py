@@ -1,0 +1,207 @@
+"""Graph-analytics queries over the co-purchase / co-supply graphs:
+fixed-iteration PageRank (hash-checked against an unrolled DuckDB CTE
+trajectory), degree-oriented triangle counting, and bounded-depth BFS
+via Spark 4 recursive CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def _pr_iter_sql(prev: str, idx: int) -> str:
+    """One unrolled PageRank iteration as a CTE — the DuckDB twin of the
+    loop body in operators/graph.py::pagerank."""
+    return f"""p{idx} AS (
+    SELECT nd.node,
+           ROUND((CAST(1 AS DOUBLE) - {PR_DAMPING}) / nn.n
+                 + {PR_DAMPING} * COALESCE(s.s, 0), 9) AS pr
+    FROM nodes nd CROSS JOIN n nn
+    LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.pr / d.deg) AS s
+        FROM e JOIN {prev} p ON p.node = e.src JOIN deg d ON d.src = e.src
+        GROUP BY e.dst) s ON s.node = nd.node)"""
+
+
+_PR_ITER_CTES = ",\n".join(
+    _pr_iter_sql(f"p{i - 1}" if i > 1 else "p0", i) for i in range(1, PR_ITERS + 1)
+)
+
+
+@register(
+    "pagerank_cosuppliers",
+    oracle=f"""
+WITH su AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+e AS (
+    SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+    FROM su a JOIN su b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+p0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN n nn),
+{_PR_ITER_CTES}
+SELECT node, pr AS pagerank FROM p{PR_ITERS} ORDER BY node
+""",
+)
+def pagerank_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-authority PageRank over the co-supply graph (suppliers
+    are connected iff they supplied the same order): {PR_ITERS}
+    fixed iterations of operators/graph.py::pagerank, hash-checked
+    against an unrolled DuckDB CTE trajectory — per-iteration 9dp
+    rounding makes the distributed double sums engine-stable, as in
+    kmeans_iterate. Edge build is an order-key equi-self-join (pairs
+    linear in per-order supplier-set size squared, never |suppliers|²);
+    per iteration one src-keyed join + one dst-keyed partial-agg sum.
+    The symmetric graph has no dangling nodes, so the dropped-dangling
+    simplification is exact here."""
+    from ..operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    su = li.select("l_orderkey", "l_suppkey").distinct()
+    a = su.select(F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("src"))
+    b = su.select(F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "__ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    pr = pagerank(edges, damping=PR_DAMPING, iters=PR_ITERS)
+    out = pr.orderBy("node")
+    out._cached_frames = pr._cached_frames  # survive the orderBy wrapper
+    return out
+
+@register(
+    "triangle_coparts",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tr AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (
+    SELECT a AS node FROM tr
+    UNION ALL SELECT b FROM tr
+    UNION ALL SELECT c FROM tr),
+t AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM corners GROUP BY node),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+    GROUP BY node)
+SELECT d.node,
+       COALESCE(t.triangles, CAST(0 AS BIGINT)) AS triangles,
+       ROUND(CASE WHEN d.degree >= 2
+                  THEN CAST(2 AS DOUBLE) * COALESCE(t.triangles, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE CAST(0 AS DOUBLE) END, 9) AS clustering_coeff
+FROM deg d LEFT JOIN t ON t.node = d.node
+ORDER BY d.node
+""",
+)
+def triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient per part over the
+    co-purchase graph (parts are adjacent iff they appear in the same
+    order) — operators/graph.py::triangle_counts, the degree-oriented
+    wedge-join formulation whose per-key fan-out is bounded by
+    O(sqrt(2m)) regardless of degree skew. The DuckDB oracle counts the
+    SAME triangles under a different orientation (plain id-order a<b<c,
+    fine single-node), so a hash match is an independent witness that
+    the rank-packed orientation enumerates each triangle exactly once.
+    Edge build is the same order-key equi-self-join shape as
+    pagerank_cosuppliers: pairs scale with per-order basket size
+    squared, never |parts|^2."""
+    from ..operators.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "__ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+    )
+    tc = triangle_counts(edges)
+    out = tc.select(
+        "node", "triangles", "clustering_coeff"
+    ).orderBy("node")
+    out._cached_frames = tc._cached_frames
+    return out
+REACH_SEED_MOD = 1000  # seed parts: l_partkey % 1000 == 0
+REACH_DEPTH = 2  # hop bound: depth guard makes UNION ALL recursion finite
+
+
+@register(
+    "copurchase_reach",
+    oracle=f"""
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+r(seed, node, depth) AS (
+    SELECT src, src, 0 FROM (SELECT DISTINCT src FROM e WHERE src % {REACH_SEED_MOD} = 0)
+    UNION ALL
+    SELECT r.seed, e.dst, r.depth + 1
+    FROM r JOIN e ON e.src = r.node WHERE r.depth < {REACH_DEPTH}
+)
+SELECT seed, node, CAST(MIN(depth) AS BIGINT) AS hops
+FROM r GROUP BY seed, node ORDER BY seed, node
+""",
+)
+def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS via Spark 4's RECURSIVE CTE (SPARK-24497):
+    every part reachable within {REACH_DEPTH} co-purchase hops of each
+    seed part, with the hop distance (MIN(depth) collapses path
+    multiplicity — UNION ALL recursion enumerates walks, the depth
+    guard makes it finite). Both engines run the same recursion, so the
+    hash check pins Spark's recursive-CTE semantics (seed step, step
+    join, depth guard) against DuckDB's — the same cross-engine
+    evidence form as the window/rollup surfaces.
+
+    Scale notes: the edge list is built ONCE as a DataFrame and
+    persisted behind a temp view, so each recursion level joins the
+    cached frame instead of re-deriving the order-key self-join per
+    level. Walk volume grows with |seeds| x deg^depth; the engine's
+    recursion row-limit safety valve (spark.sql.cteRecursionRowLimit,
+    default 1M) stays untouched here because the seed set is thinned
+    to parts % {REACH_SEED_MOD} — a wider crawl raises the conf or, at
+    real scale, uses the iterative join loop (operators/graph.py) that
+    deduplicates per level instead of enumerating walks."""
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(b, "__ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+    edges.createOrReplaceTempView("__copurchase_edges")
+    out = spark.sql(f"""
+WITH RECURSIVE r(seed, node, depth) AS (
+    SELECT src, src, 0
+    FROM (SELECT DISTINCT src FROM __copurchase_edges WHERE src % {REACH_SEED_MOD} = 0)
+    UNION ALL
+    SELECT r.seed, e.dst, r.depth + 1
+    FROM r JOIN __copurchase_edges e ON e.src = r.node WHERE r.depth < {REACH_DEPTH}
+)
+SELECT seed, node, CAST(MIN(depth) AS BIGINT) AS hops
+FROM r GROUP BY seed, node ORDER BY seed, node""")
+    out._cached_frames = [edges]
+    return out
+

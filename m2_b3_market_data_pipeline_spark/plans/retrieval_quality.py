@@ -1,0 +1,375 @@
+"""Retrieval-quality queries: ANN recall evidence, the IVF-PQ
+composite stack (top-k, recall, exact re-rank), and the k-NN
+label-agreement probe of embedding quality.
+
+All paths are deterministic (fixed every-Nth-vector codebooks, LCG
+hyperplanes as literals, 6dp-rounded cosines, explicit tiebreaks), so
+even APPROXIMATE retrieval quality hash-checks against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.similarity import ann_topk, brute_force_topk, ivfpq_topk
+from .expansion_similarity import (
+    _ANN_BAND_MATCH,
+    _CCOS_C,
+    _CCOS_Q,
+    _PQ_LEN,
+    _QCOS,
+    _lsh_sig_sql,
+    CENTROID_MOD,
+    EMBED_DIM,
+    LSH_BAND_BITS,
+    LSH_BITS,
+    NPROBE,
+    PQ_SUB,
+    QUERY_MOD,
+    TOP_K,
+)
+from .registry import load, register
+
+@register(
+    "ann_recall_check",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sigs AS (SELECT vec_id, v, {_lsh_sig_sql("v")} AS sig FROM c),
+q AS (SELECT * FROM sigs WHERE vec_id % {QUERY_MOD} = 0),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_QCOS} DESC, c.vec_id) AS rn
+        FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id
+    ) WHERE rn <= {TOP_K}),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_QCOS} DESC, c.vec_id) AS rn
+        FROM sigs c JOIN q ON ({_ANN_BAND_MATCH}) AND q.vec_id <> c.vec_id
+    ) WHERE rn <= {TOP_K})
+SELECT e.query_id,
+       ROUND(COUNT(a.neighbor_id) * 1.0 / {TOP_K}, 6) AS recall_at_k
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+)
+def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH ANN path vs the exact brute-force top-k, per
+    query — hash-checked TRUE recall, since both sides are
+    deterministic (the LCG hyperplanes embed in the oracle as
+    literals). The exact side broadcasts the query set so the corpus
+    never shuffles; the approximate side is the banded candidate join.
+    Recall evidence previously lived only in pytest; this puts it in
+    the driver's correctness record."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    exact = brute_force_topk(emb, queries, k=TOP_K).select("query_id", "neighbor_id")
+    approx = (
+        ann_topk(
+            emb, queries, dim=EMBED_DIM, k=TOP_K,
+            n_bits=LSH_BITS, band_bits=LSH_BAND_BITS,
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / TOP_K, 6).alias(
+                "recall_at_k"
+            )
+        )
+        .orderBy("query_id")
+    )
+_PQ_DIST_P = (
+    "ROUND(list_sum([ (s.sv[i] - pcent.cv[i]) * (s.sv[i] - pcent.cv[i]) "
+    f"for i in generate_series(1, {_PQ_LEN}) ]), 6)"
+)
+
+
+# Shared oracle CTE chain: corpus, coarse cells, probes, PQ codes,
+# ADC tables, and the probed-cell partial sums — consumed by both the
+# top-k query and the recall check.
+_IVFPQ_CHAIN = f"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % {CENTROID_MOD} = 0),
+asg AS (
+    SELECT vec_id, cid FROM (
+        SELECT c.vec_id, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                  ORDER BY {_CCOS_C} DESC, cent.cid) AS rn
+        FROM c CROSS JOIN cent) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id % {QUERY_MOD} = 0),
+probe AS (
+    SELECT query_id, cid FROM (
+        SELECT q.query_id, cent.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_CCOS_Q} DESC, cent.cid) AS rn
+        FROM q CROSS JOIN cent) WHERE rn <= {NPROBE}),
+m AS (SELECT unnest(generate_series(1, {PQ_SUB})) AS m),
+sub AS (
+    SELECT vec_id, m, list_slice(v, (m - 1) * {_PQ_LEN} + 1, m * {_PQ_LEN}) AS sv
+    FROM c, m),
+pcent AS (
+    SELECT vec_id AS code, m, list_slice(v, (m - 1) * {_PQ_LEN} + 1, m * {_PQ_LEN}) AS cv
+    FROM c, m WHERE vec_id % {CENTROID_MOD} = 0),
+codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, pcent.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_PQ_DIST_P} ASC, pcent.code) AS rn
+        FROM sub s JOIN pcent ON s.m = pcent.m) WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id, m, sv AS qv2 FROM sub WHERE vec_id % {QUERY_MOD} = 0),
+tbl AS (
+    SELECT qs.query_id, qs.m, pcent.code,
+           list_sum([ (qs.qv2[i] - pcent.cv[i]) * (qs.qv2[i] - pcent.cv[i])
+                      for i in generate_series(1, {_PQ_LEN}) ]) AS part
+    FROM qs JOIN pcent ON qs.m = pcent.m),
+summed AS (
+    SELECT t.query_id, k.vec_id AS neighbor_id, ROUND(SUM(t.part), 6) AS adist
+    FROM codes k
+    JOIN asg a ON a.vec_id = k.vec_id
+    JOIN probe p ON p.cid = a.cid
+    JOIN tbl t ON t.query_id = p.query_id AND t.m = k.m AND t.code = k.code
+    WHERE k.vec_id <> p.query_id
+    GROUP BY t.query_id, k.vec_id)"""
+
+
+@register(
+    "ivfpq_ann_topk",
+    oracle=f"""
+WITH {_IVFPQ_CHAIN}
+SELECT query_id, neighbor_id, adist, rn FROM (
+    SELECT query_id, neighbor_id, adist,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist ASC, neighbor_id) AS rn
+    FROM summed) WHERE rn <= {TOP_K}
+""",
+)
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (operators/similarity.py::ivfpq_topk): the
+    billion-scale layout — coarse cells bound WHICH corpus vectors are
+    scored (queries probe their NPROBE nearest cells), PQ asymmetric
+    distance bounds HOW (broadcast per-query distance tables over the
+    compressed codes; full vectors are never touched at search time).
+    Same deterministic every-{CENTROID_MOD}-th-vector codebook as the
+    standalone IVF and PQ paths, so the whole composite is
+    hash-checked; with nprobe >= |cells| it degenerates to exactly
+    pq_ann_topk (pinned in tests)."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    return ivfpq_topk(
+        emb, queries, centroids, centroids,
+        dim=EMBED_DIM, n_sub=PQ_SUB, k=TOP_K, nprobe=NPROBE,
+    )
+
+_XCOS = (
+    "ROUND(list_inner_product(q.qv, c.v) / "
+    "(sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.v, c.v))), 6)"
+)
+
+
+@register(
+    "ivfpq_recall_check",
+    oracle=f"""
+WITH {{_IVFPQ_CHAIN}},
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, neighbor_id) AS rn
+        FROM summed) WHERE rn <= {{TOP_K}}),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {{_XCOS}} DESC, c.vec_id) AS rn
+        FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+    ) WHERE rn <= {{TOP_K}})
+SELECT e.query_id,
+       ROUND(COUNT(a.neighbor_id) * 1.0 / {{TOP_K}}, 6) AS recall_at_k
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""".format(_IVFPQ_CHAIN=_IVFPQ_CHAIN, TOP_K=TOP_K, _XCOS=_XCOS),
+)
+def ivfpq_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF-PQ composite vs the exact cosine top-k —
+    hash-checked TRUE recall, closing the recall-evidence triple
+    (ann_recall_check for hyperplane LSH, lsh_recall_check for banded
+    near-dup LSH, this for the compressed-code path). IVF-PQ loses
+    recall BOTH from cell restriction (a true neighbor outside the
+    probed cells) and code quantization (ADC misranks inside a cell);
+    this measures the composite effect honestly against the
+    full-precision baseline."""
+    from ..operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    exact = brute_force_topk(emb, queries, k=TOP_K).select("query_id", "neighbor_id")
+    approx = (
+        ivfpq_topk(
+            emb, queries, centroids, centroids,
+            dim=EMBED_DIM, n_sub=PQ_SUB, k=TOP_K, nprobe=NPROBE,
+        )
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / TOP_K, 6).alias(
+                "recall_at_k"
+            )
+        )
+        .orderBy("query_id")
+    )
+
+RERANK_R = 3 * TOP_K  # stage-1 shortlist depth: 3x the final k
+
+
+@register(
+    "ivfpq_rerank_topk",
+    oracle="""
+WITH {_IVFPQ_CHAIN},
+short AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist ASC, neighbor_id) AS rn
+        FROM summed) WHERE rn <= {RERANK_R}),
+scored AS (
+    SELECT s.query_id, s.neighbor_id, {_XCOS} AS cos
+    FROM short s
+    JOIN c ON c.vec_id = s.neighbor_id
+    JOIN q ON q.query_id = s.query_id)
+SELECT query_id, neighbor_id, cos, rn FROM (
+    SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS rn
+    FROM scored) WHERE rn <= {TOP_K}
+""".format(_IVFPQ_CHAIN=_IVFPQ_CHAIN, RERANK_R=3 * TOP_K, TOP_K=TOP_K, _XCOS=_XCOS),
+)
+def ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: IVF-PQ ADC shortlist of {RERANK_R}
+    candidates per query (compressed codes, probed cells only), then
+    operators/similarity.py::rerank_exact rescores ONLY those
+    candidates at full precision and keeps the final top-{TOP_K} by
+    exact cosine. This is the standard production ANN stack — the
+    re-rank recovers most quantization misrankings for a candidate
+    fetch that is |queries| x R point lookups, never a corpus scan.
+    Fully hash-checked end-to-end: the oracle replays the shared
+    IVF-PQ CTE chain, takes the same shortlist, and rescores with the
+    same 6dp-rounded exact cosine."""
+    from ..operators.similarity import ivfpq_topk, rerank_exact
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    shortlist = ivfpq_topk(
+        emb, queries, centroids, centroids,
+        dim=EMBED_DIM, n_sub=PQ_SUB, k=RERANK_R, nprobe=NPROBE,
+    )
+    return rerank_exact(emb, queries, shortlist, k=TOP_K)
+
+KNN_K = 5
+KNN_QUERY_MOD = 10  # evaluation sample: every 10th vector
+
+
+@register(
+    "knn_label_accuracy",
+    oracle=f"""
+WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM c
+      WHERE vec_id % {KNN_QUERY_MOD} = 0),
+nn AS (
+    SELECT query_id, qlabel, clabel FROM (
+        SELECT q.query_id, q.qlabel, c.label AS clabel,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                   ROUND(list_inner_product(q.qv, c.v) /
+                         (sqrt(list_inner_product(q.qv, q.qv)) *
+                          sqrt(list_inner_product(c.v, c.v))), 6) DESC,
+                   c.vec_id) AS rn
+        FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id
+    ) WHERE rn <= {KNN_K}),
+votes AS (
+    SELECT query_id, qlabel, clabel, COUNT(*) AS cnt
+    FROM nn GROUP BY 1, 2, 3),
+pred AS (
+    SELECT query_id, qlabel, clabel AS predicted FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cnt DESC, clabel) AS rn
+        FROM votes) WHERE rn = 1)
+SELECT qlabel AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(COUNT(*) FILTER (predicted = qlabel) AS BIGINT) AS n_correct,
+       ROUND(COUNT(*) FILTER (predicted = qlabel) * 1.0 / COUNT(*), 6) AS accuracy
+FROM pred GROUP BY qlabel ORDER BY qlabel
+""",
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality probe: k-NN label agreement — for every
+    {KNN_QUERY_MOD}-th vector, the majority label among its {KNN_K}
+    nearest neighbors (deterministic tiebreak: vote count desc, label
+    asc) versus its own label, reported per label class. THE standard
+    cheap evaluation of an embedding table before it drives semantic
+    dedup or retrieval mining — if k-NN can't recover labels, cosine
+    structure is noise and SemDeDup/ANN decisions built on it are too.
+
+    Scale shape: broadcast evaluation sample, corpus never shuffles
+    (brute_force_topk posture — swap in IVF/LSH candidates at scale);
+    the vote and accuracy folds run on the k-rows-per-query relation.
+    """
+    from ..operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % KNN_QUERY_MOD == 0)
+    nn = brute_force_topk(emb, queries, k=KNN_K).select("query_id", "neighbor_id")
+    labels = emb.select("vec_id", "label")
+    nn_lab = (
+        nn.join(
+            labels.select(
+                F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+            ),
+            "query_id",
+        )
+        .join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("clabel")
+            ),
+            "neighbor_id",
+        )
+    )
+    votes = nn_lab.groupBy("query_id", "qlabel", "clabel").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cnt").desc(), F.col("clabel"))
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", "qlabel", F.col("clabel").alias("predicted"))
+    )
+    return (
+        pred.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.count(F.when(F.col("predicted") == F.col("qlabel"), 1)).alias(
+                "n_correct"
+            ),
+        )
+        .withColumn(
+            "accuracy", F.round(F.col("n_correct") / F.col("n_queries"), 6)
+        )
+        .orderBy("label")
+    )
+

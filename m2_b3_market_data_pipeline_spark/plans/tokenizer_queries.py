@@ -1,0 +1,132 @@
+"""Distributed BPE tokenizer family: the hash-checked round-0 pair
+table, the iterative trainer (rows-only by nature, golden-recompute
+witnessed), and tokenizer inference under a frozen merge table
+(hash-checked end-to-end via the delimiter-encoded replace identity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+BPE_MERGES = 16
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=r"""
+WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+wc AS (SELECT word, COUNT(*) AS cnt FROM w WHERE word <> '' GROUP BY word),
+p AS (
+    SELECT substring(word, i, 1) AS l, substring(word, i + 1, 1) AS r, cnt
+    FROM wc, unnest(generate_series(1, length(word) - 1)) AS t(i)
+)
+SELECT l AS "left", r AS "right", CAST(SUM(cnt) AS BIGINT) AS pair_count
+FROM p GROUP BY l, r
+""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-0 BPE pair statistics (operators/bpe.py::pair_counts over
+    the character symbolization): the adjacent-pair frequency table the
+    first merge argmax reads, hash-checked end-to-end — the anchor for
+    the iterative trainer, whose later rounds depend on learned merges
+    and are therefore golden-recompute-pinned instead."""
+    from ..operators.bpe import pair_counts, word_frequencies
+
+    docs = load(spark, sf_dir, "documents")
+    return pair_counts(word_frequencies(docs))
+
+
+@register("bpe_learn_merges")  # rows-only: merge-dependent iteration, not SQL-expressible
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py::
+    learn_merges): {BPE_MERGES} merge rules learned from the
+    word-frequency table — pair-count, one-row argmax collect, map-side
+    greedy merge fold per round. Deterministic (count desc, lexicographic
+    pair tiebreak) and pinned against a pure-Python golden recompute
+    (tests/test_golden_recompute.py); rows-only here because each
+    round's input depends on the previous round's learned rule."""
+    from ..operators.bpe import learn_merges
+
+    docs = load(spark, sf_dir, "documents")
+    return learn_merges(spark, docs, n_merges=BPE_MERGES)
+
+
+# The golden fixture's first 8 learned rules (operators/bpe.py::
+# learn_merges on the sf0.01 documents corpus; deterministic — count
+# desc, lexicographic tiebreak), FROZEN as literals so bpe_apply_check
+# is the pure inference path: no training inside the query, the merge
+# table rides the plan as constants exactly as a deployed tokenizer's
+# would. Rule 6's right side ('er') is itself rule 1's output, so the
+# rank-ordered fold composition is genuinely exercised.
+BPE_FIXED_MERGES: list[tuple[int, str, str]] = [
+    (1, "e", "r"),
+    (2, "i", "n"),
+    (3, "o", "w"),
+    (4, "o", "r"),
+    (5, "s", "t"),
+    (6, "m", "er"),
+    (7, "a", "t"),
+    (8, "l", "u"),
+]
+
+
+def _bpe_apply_oracle() -> str:
+    """DuckDB twin of the greedy left-to-right merge fold, via the
+    delimiter-encoded string-replace identity: encode a symbol array as
+    ``chr(1)||sym||chr(1)`` tokens joined by spaces, then one rule
+    (l, r) applied greedily IS ``replace(enc, enc(l)||' '||enc(r),
+    enc(l||r))`` — plain replace scans left-to-right over
+    non-overlapping matches of the ORIGINAL string, which matches the
+    fold exactly because a replacement can never create a new match
+    (that would need l||r == l or l||r == r, impossible for non-empty
+    halves). The chr(1) guards stop matches from spanning symbol
+    boundaries (e.g. rule (l, r) must not fire on symbols ['xl', 'r']);
+    chr(1) never occurs in the corpus (charset probed: space + a-y)."""
+
+    def enc(sym: str) -> str:
+        return f"chr(1) || '{sym}' || chr(1)"
+
+    expr = "enc"
+    for _, l, r in sorted(BPE_FIXED_MERGES):
+        expr = f"replace({expr}, {enc(l)} || ' ' || {enc(r)}, {enc(l + r)})"
+    return rf"""
+WITH w AS (SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents),
+wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w WHERE word <> '' GROUP BY word),
+e0 AS (
+    SELECT word, cnt,
+           array_to_string(
+               list_transform(generate_series(1, length(word)),
+                              i -> chr(1) || substring(word, i, 1) || chr(1)),
+               ' ') AS enc
+    FROM wc)
+SELECT word, cnt, replace({expr}, chr(1), '') AS sym_str FROM e0
+"""
+
+
+@register("bpe_apply_check", oracle=_bpe_apply_oracle())
+def bpe_apply_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE under a frozen merge table — the
+    hash-checkable companion closing the BPE evidence loop: the trainer
+    (bpe_learn_merges) is rows-only by nature (merge-dependent
+    iteration), but APPLYING a fixed rule set is deterministic per
+    word, so the full re-tokenized (word, cnt, sym) relation
+    hash-checks against a DuckDB recomputation over the same literal
+    rules (the delimiter-encoded replace chain — see
+    _bpe_apply_oracle). Map-side only after the one word-frequency
+    shuffle: the 8 rules fold as plan constants over each word's symbol
+    array, the 100 TB inference shape (operators/bpe.py::apply_merges).
+    """
+    from ..operators.bpe import apply_merges
+
+    docs = load(spark, sf_dir, "documents")
+    rules = [
+        {"rank": rank, "left": l, "right": r} for rank, l, r in BPE_FIXED_MERGES
+    ]
+    out = apply_merges(docs, rules)
+    return out.select(
+        "word", "cnt", F.concat_ws(" ", "sym").alias("sym_str")
+    )
+

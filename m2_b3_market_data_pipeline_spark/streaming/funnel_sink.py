@@ -1,6 +1,6 @@
 """Streaming maintenance of the quality-gate funnel table.
 
-``plans/expansion_round6.py::quality_gate_funnel`` is the per-stage
+``plans/corpus_quality.py::quality_gate_funnel`` is the per-stage
 docs/tokens report a curation run publishes; this sink maintains it
 CONTINUOUSLY as document batches land — the monitoring view that shows
 filter costs drifting as new crawls arrive, without rescanning the

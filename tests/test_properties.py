@@ -227,7 +227,7 @@ def test_mixture_waterline_invariants_property(spark, corpus):
     """For any corpus: (a) no source's kept tokens exceed its integer
     waterline cap; (b) a source wholly under its cap keeps every doc;
     (c) the admission is deterministic."""
-    from m2_b3_market_data_pipeline_spark.plans.expansion_round6 import (
+    from m2_b3_market_data_pipeline_spark.plans.corpus_quality import (
         BUDGET_DEN,
         BUDGET_NUM,
         mixture_rebalance_df,

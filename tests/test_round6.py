@@ -6,10 +6,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from m2_b3_market_data_pipeline_spark.plans.expansion_round6 import (
+from m2_b3_market_data_pipeline_spark.plans.retrieval_quality import (
+    ann_recall_check,
+)
+from m2_b3_market_data_pipeline_spark.plans.corpus_quality import (
     BUDGET_DEN,
     BUDGET_NUM,
-    ann_recall_check,
     boilerplate_frac_df,
     mixture_rebalance_df,
 )
@@ -116,7 +118,7 @@ def test_quality_gate_funnel_counts_zero_token_docs(spark):
     NULL-text docs fail the gates but may not vanish from the funnel's
     input row (explode drops empty arrays; the union branch restores
     them)."""
-    from m2_b3_market_data_pipeline_spark.plans.expansion_round6 import (
+    from m2_b3_market_data_pipeline_spark.plans.corpus_quality import (
         quality_gate_funnel,
     )
 
@@ -125,7 +127,7 @@ def test_quality_gate_funnel_counts_zero_token_docs(spark):
         "doc_id long, text string",
     )
     # The query reads via registry.load; point it at the planted frame.
-    import m2_b3_market_data_pipeline_spark.plans.expansion_round6 as r6
+    import m2_b3_market_data_pipeline_spark.plans.corpus_quality as r6
     from m2_b3_market_data_pipeline_spark.plans import registry
 
     orig_load = registry.load

@@ -131,7 +131,7 @@ def test_dsir_upweights_target_like_docs(spark):
 
 
 def test_lm_quality_buckets_partition_the_corpus(spark, sf_dir):
-    from m2_b3_market_data_pipeline_spark.plans.expansion_round6b import (
+    from m2_b3_market_data_pipeline_spark.plans.corpus_quality import (
         lm_quality_buckets,
     )
 
@@ -174,7 +174,7 @@ def test_bigram_pmi_ranks_fixed_collocation_first(spark):
 
 
 def test_source_overlap_matrix_crosses_sources(spark, sf_dir):
-    from m2_b3_market_data_pipeline_spark.plans.expansion_round6b import (
+    from m2_b3_market_data_pipeline_spark.plans.corpus_quality import (
         source_overlap_matrix,
     )
 
@@ -253,7 +253,7 @@ def test_hard_negative_mining_planted_geometry(spark):
 def test_knn_label_accuracy_perfect_on_separated_clusters(spark, monkeypatch, tmp_path):
     # Two well-separated label clusters: every query's 2 nearest
     # neighbors share its label => accuracy 1.0 for both classes.
-    import m2_b3_market_data_pipeline_spark.plans.expansion_round6b as r6b
+    import m2_b3_market_data_pipeline_spark.plans.retrieval_quality as r6b
 
     a = [(i, "A", [10.0 + 0.01 * i, 0.0, 0.0]) for i in range(0, 8, 2)]
     b = [(i, "B", [0.0, 10.0 + 0.01 * i, 0.0]) for i in range(10, 18, 2)]

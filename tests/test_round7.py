@@ -423,7 +423,7 @@ def test_recursive_reach_matches_python_bfs(spark, sf_dir):
 
     from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
     from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
-    from m2_b3_market_data_pipeline_spark.plans.expansion_round7 import (
+    from m2_b3_market_data_pipeline_spark.plans.graph_queries import (
         REACH_DEPTH,
         REACH_SEED_MOD,
     )

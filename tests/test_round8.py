@@ -157,7 +157,7 @@ def test_bpe_apply_oracle_identity_on_adversarial_words(spark):
     import duckdb
 
     from m2_b3_market_data_pipeline_spark.operators.bpe import apply_merges
-    from m2_b3_market_data_pipeline_spark.plans.expansion_round7 import (
+    from m2_b3_market_data_pipeline_spark.plans.tokenizer_queries import (
         BPE_FIXED_MERGES,
     )
     from pyspark.sql import functions as F

@@ -15,10 +15,12 @@ from m2_b3_market_data_pipeline_spark.operators.embeddings import (
     assign_with_vector,
     semdedup_incremental,
 )
-from m2_b3_market_data_pipeline_spark.plans.expansion_round7 import (
+from m2_b3_market_data_pipeline_spark.plans.contrastive_mining import (
     N_WAVES,
-    SEM_CENTROID_MOD,
     TRIPLET_QUERY_MOD,
+)
+from m2_b3_market_data_pipeline_spark.plans.dedup_quality import (
+    SEM_CENTROID_MOD,
 )
 from m2_b3_market_data_pipeline_spark.plans.registry import load
 
