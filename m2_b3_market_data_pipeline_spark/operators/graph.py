@@ -268,6 +268,54 @@ def pagerank(
     return out
 
 
+def bounded_reach(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    depth: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "seed",
+) -> DataFrame:
+    """Bounded-depth BFS with PER-LEVEL dedup — the scale path for
+    multi-source reach. Returns (seed, node, hops) with hops = the
+    true shortest hop count <= ``depth`` (the seed itself at hops 0).
+
+    Why this exists next to the recursive-CTE form (plans/
+    graph_queries.py::copurchase_reach): UNION ALL recursion enumerates
+    WALKS — |seeds| x deg^depth rows before the MIN(depth) fold — and
+    Spark's cteRecursionRowLimit safety valve correctly refuses
+    runaway enumeration (measured: the sf1 sweep trips the 1M default
+    at 10x data). UNION (dedup-per-level) recursion is not in Spark
+    4.1 (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE, probed round 7), so the
+    per-level dedup runs as ``depth`` explicit join rounds instead:
+    each level joins the CURRENT frontier to the edge list, distincts
+    the (seed, node) pairs, and anti-joins everything already reached —
+    state is bounded by |reached nodes|, never walk volume, and
+    first-discovery = minimum hops by construction. ``depth`` is a
+    small literal (2-3 hops), so the fixed unrolled plan needs no
+    lineage truncation."""
+    fwd = edges.select(F.col(src_col).alias("node"), F.col(dst_col).alias("__dst"))
+    reached = seeds.select(
+        F.col(seed_col).alias("seed"),
+        F.col(seed_col).alias("node"),
+        F.lit(0).cast("long").alias("hops"),
+    )
+    frontier = reached.select("seed", "node")
+    for d in range(1, depth + 1):
+        nxt = (
+            frontier.join(fwd, "node")
+            .select("seed", F.col("__dst").alias("node"))
+            .distinct()
+        )
+        new = nxt.join(
+            reached.select("seed", "node"), ["seed", "node"], "left_anti"
+        ).withColumn("hops", F.lit(d).cast("long"))
+        reached = reached.unionByName(new)
+        frontier = new.select("seed", "node")
+    return reached
+
+
 def triangle_counts(
     edges: DataFrame,
     *,

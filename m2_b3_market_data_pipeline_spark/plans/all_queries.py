@@ -102,9 +102,13 @@ from .registry import ORACLES, QUERIES
 # (range-join family stays covered by asof_join_quotes), and
 # copurchase_reach displaces indicator_ewma (indicator family stays
 # covered by indicator_bollinger).
-# Round 8 (this order): the new-born query goes first
+# Round 8 (this order): the new-born queries go first
 # (bpe_apply_check — tokenizer inference under the frozen golden merge
-# table, closing the BPE family's last evidence gap). Then the 5
+# table, closing the BPE family's last evidence gap; and
+# copurchase_reach_iter — the frontier-BFS scale path registered after
+# the sf1 sweep showed the recursive-CTE form tripping the recursion
+# row limit at 10x data, same oracle, cross-form equality pinned;
+# token_pack yields its fill slot to it and rolls to r9). Then the 5
 # queries whose PHYSICAL PLAN or semantics changed this round and
 # re-prove on principle: countmin_check (left-join + coalesce-0
 # estimates), pagerank_cosuppliers (node universe = union(src, dst)),
@@ -123,6 +127,7 @@ from .registry import ORACLES, QUERIES
 CHECK_PRIORITY: list[str] = [
     # --- New in round 8: window the round they are born. ---
     "bpe_apply_check",
+    "copurchase_reach_iter",
     # --- Plan/semantics changed in round 8: re-prove. ---
     "countmin_check",
     "pagerank_cosuppliers",
@@ -173,7 +178,6 @@ CHECK_PRIORITY: list[str] = [
     "scd2_user_values",
     "sessionize_stats",
     "sliding_window",
-    "token_pack",
     # --- Anchor: flagship reference pipeline, in the window every
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---

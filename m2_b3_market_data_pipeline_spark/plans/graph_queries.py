@@ -142,10 +142,10 @@ def triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
 REACH_SEED_MOD = 1000  # seed parts: l_partkey % 1000 == 0
 REACH_DEPTH = 2  # hop bound: depth guard makes UNION ALL recursion finite
 
-
-@register(
-    "copurchase_reach",
-    oracle=f"""
+# Shared by the recursive-CTE form and the iterative frontier-BFS twin:
+# MIN(depth) over enumerated walks IS shortest-hop BFS, so one oracle
+# hash-checks both implementations.
+_REACH_ORACLE = f"""
 WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e AS (
     SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -159,8 +159,49 @@ r(seed, node, depth) AS (
 )
 SELECT seed, node, CAST(MIN(depth) AS BIGINT) AS hops
 FROM r GROUP BY seed, node ORDER BY seed, node
-""",
-)
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "__ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .persist()
+    )
+
+
+@register("copurchase_reach_iter", oracle=_REACH_ORACLE)
+def copurchase_reach_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for bounded-depth reach: iterative frontier BFS
+    with per-level dedup (operators/graph.py::bounded_reach) — state
+    bounded by |reached nodes|, never walk volume. Same semantics and
+    the SAME oracle as the recursive-CTE form (`copurchase_reach`);
+    registered separately because the round-8 sf1 sweep showed the
+    walk-enumerating recursion correctly tripping Spark's
+    cteRecursionRowLimit safety valve at 10x data (6M-row lineitem,
+    RECURSION_ROW_LIMIT_EXCEEDED), while this form runs the same reach
+    there in ~26s (measured, round-8 sweep). Cross-form equality is
+    pinned in tests/test_round8.py."""
+    from ..operators.graph import bounded_reach
+
+    edges = _copurchase_edges(spark, sf_dir)
+    seeds = (
+        edges.filter(F.col("src") % REACH_SEED_MOD == 0)
+        .select(F.col("src").alias("seed"))
+        .distinct()
+    )
+    out = bounded_reach(edges, seeds, depth=REACH_DEPTH).orderBy("seed", "node")
+    out._cached_frames = [edges]
+    return out
+
+
+@register("copurchase_reach", oracle=_REACH_ORACLE)
 def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS via Spark 4's RECURSIVE CTE (SPARK-24497):
     every part reachable within {REACH_DEPTH} co-purchase hops of each
@@ -177,9 +218,12 @@ def copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     level. Walk volume grows with |seeds| x deg^depth; the engine's
     recursion row-limit safety valve (spark.sql.cteRecursionRowLimit,
     default 1M) stays untouched here because the seed set is thinned
-    to parts % {REACH_SEED_MOD} — a wider crawl raises the conf or, at
-    real scale, uses the iterative join loop (operators/graph.py) that
-    deduplicates per level instead of enumerating walks."""
+    to parts % {REACH_SEED_MOD}. At 10x data the valve correctly trips
+    (round-8 sf1 sweep: RECURSION_ROW_LIMIT_EXCEEDED on the 6M-row
+    lineitem) — that is the measured boundary of the walk-enumeration
+    form, and `copurchase_reach_iter` (operators/graph.py::
+    bounded_reach, per-level dedup) is the registered scale path that
+    runs the same reach there."""
     li = load(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a = op.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("src"))

@@ -111,6 +111,27 @@ def test_triangle_counts_rejects_out_of_range_node_ids(spark):
         triangle_counts(neg).collect()
 
 
+def test_bounded_reach_equals_recursive_cte(spark, sf_dir):
+    """The iterative frontier BFS (the scale path — per-level dedup,
+    state bounded by reached nodes) must produce exactly the recursive
+    CTE's (seed, node, min-hops) relation; the CTE form is the
+    cross-engine-pinned reference, the iterative form is what survives
+    the recursion row limit at 10x data (round-8 sf1 sweep)."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+    from m2_b3_market_data_pipeline_spark.plans.graph_queries import (
+        copurchase_reach,
+        copurchase_reach_iter,
+    )
+
+    cte = copurchase_reach(spark, sf_dir)
+    a = sorted((r.seed, r.node, r.hops) for r in cte.collect())
+    release_cached(cte)
+    it = copurchase_reach_iter(spark, sf_dir)
+    b = sorted((r.seed, r.node, r.hops) for r in it.collect())
+    release_cached(it)
+    assert a == b and len(a) > 0
+
+
 def test_rerun_equality_per_family(spark, sf_dir):
     """Determinism-under-retry witness: one representative per operator
     family, executed twice from scratch, must produce IDENTICAL row

@@ -55,6 +55,31 @@ def _digest(plan: str) -> dict:
     norm = re.sub(r"lambda ([A-Za-z]+)_\d+#", r"lambda \1_#", norm)
     norm = re.sub(r"file:[^\s,\]\)]+", "file:<path>", norm)
     norm = re.sub(r"/(tmp|root)/[^\s,\]\)]*", "<path>", norm)
+    # Multi-distinct aggregates (RewriteDistinctAggregates) order their
+    # grouping/projection attribute lists off a hash set, so the SAME
+    # plan prints its Input/Keys/Results lists (and the matching
+    # hashpartitioning argument order) differently across JVM sessions
+    # (observed: profile_events flipping hashes run-to-run with
+    # identical shape). Canonicalize by sorting the comma-separated
+    # pieces — a pure reorder of the same attribute set is not a plan
+    # regression; a genuine key-set change still changes the sorted
+    # multiset. The naive ", " split may cut inside nested calls, but
+    # the resulting piece multiset is still deterministic for a given
+    # plan, which is all a stable hash needs.
+    def _canon_list(m: re.Match) -> str:
+        return m.group(1) + "[" + ", ".join(sorted(m.group(2).split(", "))) + "]"
+
+    norm = re.sub(
+        r"^((?:Input|Keys|Results|Functions|Aggregate Attributes)(?: \[\d+\])?: )\[(.*)\]$",
+        _canon_list,
+        norm,
+        flags=re.M,
+    )
+    norm = re.sub(
+        r"hashpartitioning\(([^()]*(?:\([^()]*\)[^()]*)*)\)",
+        lambda m: "hashpartitioning(" + ", ".join(sorted(m.group(1).split(", "))) + ")",
+        norm,
+    )
     tree = plan.split("\n\n")[0]
     counts = {k: len(re.findall(rf"\b{k}\b", tree)) for k in NODES}
     return {
