@@ -354,7 +354,12 @@ def dsir_log_weights(
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_feats"),
-            F.round(F.sum("__lr"), 6).alias("log_weight"),
+            # + 0.0 folds IEEE -0.0 to +0.0: a doc whose target/raw
+            # log-ratios cancel can round to NEGATIVE zero on one
+            # engine and positive on the other (observed once in the
+            # round-8 sf1 differential sweep) — numerically equal,
+            # hash-different. The oracle adds + 0 at the same edge.
+            (F.round(F.sum("__lr"), 6) + F.lit(0.0)).alias("log_weight"),
         )
         .orderBy(id_col)
     )

@@ -114,9 +114,12 @@ from .registry import ORACLES, QUERIES
 # estimates), pagerank_cosuppliers (node universe = union(src, dst)),
 # dup_span_removal (NULL-text degrade), triangle_coparts (rank-pack id
 # guard in the plan), tfidf_top_terms (parallelism floor scoped off its
-# chain), and the two salting queries (rand salt replaced by the
+# chain), the two salting queries (rand salt replaced by the
 # deterministic row-hash salt — salted_skew_join rides the r4-era fill,
-# salted_skew_agg displaces the last fill). Then the 5 r3-stale rows
+# salted_skew_agg displaces the last fill), and dsir_weights (the sf1
+# differential sweep exposed an IEEE -0.0 vs +0.0 hash divergence on a
+# cancelled log-ratio sum; both edges now fold to +0.0, displacing
+# sliding_window to the r9 front-load). Then the 5 r3-stale rows
 # the r7 rotation explicitly queued (README "Correctness evidence
 # across rounds"): set_ops, distinct_agg, lead_lag, band_join_revenue,
 # indicator_ewma. The remaining slots take the oldest (r4-era) rows
@@ -135,6 +138,7 @@ CHECK_PRIORITY: list[str] = [
     "triangle_coparts",
     "tfidf_top_terms",
     "salted_skew_agg",
+    "dsir_weights",
     # --- The 5 r3-stale rows queued by the r7 rotation plan. ---
     "set_ops",
     "distinct_agg",
@@ -177,7 +181,6 @@ CHECK_PRIORITY: list[str] = [
     "scalar_subquery",
     "scd2_user_values",
     "sessionize_stats",
-    "sliding_window",
     # --- Anchor: flagship reference pipeline, in the window every
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---

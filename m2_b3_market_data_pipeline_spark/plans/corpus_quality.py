@@ -357,7 +357,7 @@ m AS (
             - log2((nr + 1.0) / (tr + {DSIR_BUCKETS})) AS lr
     FROM bk CROSS JOIN tot)
 SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
-       ROUND(SUM(m.lr), 6) AS log_weight
+       ROUND(SUM(m.lr), 6) + 0 AS log_weight
 FROM fb JOIN m USING (b)
 GROUP BY fb.doc_id
 ORDER BY fb.doc_id

@@ -11,6 +11,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -27,6 +28,8 @@ def _canon(val):
     if isinstance(val, float):
         if math.isnan(val):
             return "∅"
+        if val == 0:
+            val = 0.0  # -0.0 == 0.0 numerically; don't let the sign print
         # driver-style tolerance: compare floats at 6 significant-ish digits
         return f"{val:.6f}" if abs(val) < 1e10 else f"{val:.6e}"
     if isinstance(val, bytes):
@@ -59,7 +62,12 @@ def main() -> int:
     spark = get_spark("oracle-check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # Fixture tables are single parquet FILES; Spark-written scale
+        # dirs (tools/make_scale_data.py) are DIRECTORIES of part
+        # files — glob the latter so the gate runs on both layouts.
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, oracles = e.queries(), e.oracle_sql()
     failed, passed, rows_only = [], [], []

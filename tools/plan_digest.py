@@ -10,6 +10,15 @@ which never changes a hash).
 
 Usage: python tools/plan_digest.py [sf_dir] [out.json]
 Compare: python tools/plan_digest.py --diff old.json new.json
+
+Known hash-noise floor: a handful of queries whose node DETAILS embed
+session-order-dependent state (InMemoryRelation captures, reused-
+exchange/subquery references — decontaminate, dup_ngram_spans,
+profile_events, q21_sole_returned_supplier as of round 8) can flip
+hash when the REGISTRY ORDER around them changes, with every
+scale-relevant node count identical. When --diff flags one of these,
+compare the counts before treating it as a plan regression; a count
+change is always real.
 """
 
 from __future__ import annotations
