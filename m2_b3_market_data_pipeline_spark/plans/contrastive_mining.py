@@ -12,6 +12,7 @@ from ..operators.similarity import wave_triplet_mining
 from .dedup_quality import _SEM_COS
 from .expansion_similarity import QUERY_MOD
 from .registry import load, register
+from .sql_fragments import EMB
 
 N_WAVES = 3  # ingestion waves: wave = vec_id % 3
 TRIPLET_QUERY_MOD = 20  # mining queries: every 20th vector
@@ -19,7 +20,7 @@ TRIPLET_QUERY_MOD = 20  # mining queries: every 20th vector
 @register(
     "hard_negatives",
     oracle=f"""
-WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
 q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM c
       WHERE vec_id % {QUERY_MOD} = 0),
 s AS (
@@ -60,7 +61,7 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
                   vec_id % {N_WAVES} AS wave
-           FROM embeddings),
+           FROM {EMB}),
 q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, wave AS qwave
       FROM e WHERE vec_id % {TRIPLET_QUERY_MOD} = 0 AND wave >= 1),
 s AS (

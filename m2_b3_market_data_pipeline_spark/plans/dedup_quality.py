@@ -32,7 +32,7 @@ from .expansion_embeddings import (
     _km_update_cte,
 )
 from .registry import load, register
-from .sql_fragments import TK
+from .sql_fragments import EMB, TK
 
 # Fixture max pairwise cosine is ~0.51 (sf0.01) / ~0.60 (sf0.1) — same
 # rationale as expansion_similarity.NEAR_DUP_THRESHOLD: a small
@@ -61,7 +61,7 @@ def _semdedup_oracle() -> str:
     """The kmeans_clusters CTE chain (same deterministic seeding and
     6dp-rounded updates) + the in-cluster lower-id prune rule."""
     ctes = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB})",
         f"c0 AS (SELECT CAST(vec_id AS INT) AS centroid_id, v AS cv FROM e "
         f"WHERE vec_id < {N_CENTROIDS})",
     ]
@@ -148,7 +148,7 @@ def dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "incremental_semdedup",
     oracle=f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
 cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % {SEM_CENTROID_MOD} = 0),
 corp AS (SELECT vec_id, v FROM e WHERE vec_id % {DELTA_MOD} <> 0),
 delta AS (SELECT vec_id, v FROM e WHERE vec_id % {DELTA_MOD} = 0),

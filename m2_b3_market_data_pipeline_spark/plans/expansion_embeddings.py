@@ -17,6 +17,7 @@ from ..operators.embeddings import (
     quantize_int8,
 )
 from .registry import load, register
+from .sql_fragments import EMB
 
 N_CENTROIDS = 8
 KMEANS_ITERS = 2
@@ -40,7 +41,7 @@ _MICRO_SQL = "array_to_string(list_transform({v}, x -> CAST(ROUND(x * 1000000) A
 @register(
     "embed_normalize",
     oracle=f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
 n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e)
 SELECT vec_id,
        ROUND(nrm, 6) AS l2_norm,
@@ -65,8 +66,8 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embed_quantize",
-    oracle="""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
 s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
 q AS (SELECT vec_id, v, scale,
              list_transform(v, x -> CAST(ROUND(x / scale) AS INT)) AS qv
@@ -124,7 +125,7 @@ def _km_update_cte(assigned: str, out: str) -> str:
 
 def _kmeans_oracle(iters: int) -> str:
     ctes = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB})",
         f"c0 AS (SELECT CAST(vec_id AS INT) AS centroid_id, v AS cv FROM e "
         f"WHERE vec_id < {N_CENTROIDS})",
     ]
@@ -153,7 +154,7 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "centroid_assign",
     oracle=f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
 c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
 d AS (
     SELECT e.vec_id, c.centroid_id,

@@ -25,6 +25,7 @@ from ..operators.similarity import (
     pq_codes,
 )
 from .registry import load, register
+from .sql_fragments import EMB
 
 QUERY_MOD = 100  # queries = vec_id % 100 == 0
 TOP_K = 5
@@ -43,7 +44,7 @@ _COS = (
 @register(
     "cosine_topk",
     oracle=f"""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
 q AS (SELECT vec_id, v FROM c WHERE vec_id % {QUERY_MOD} = 0)
 SELECT query_id, neighbor_id, cos, rn FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -99,7 +100,7 @@ def _lsh_band_sql(source: str) -> str:
 @register(
     "embedding_near_dups",
     oracle=f"""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
 sigs AS (SELECT vec_id, v, {_lsh_sig_sql("v")} AS sig FROM c),
 bands AS ({_lsh_band_sql("sigs")}),
 cand AS (
@@ -146,7 +147,7 @@ _ANN_BAND_MATCH = " OR ".join(
 @register(
     "ann_topk_lsh",
     oracle=f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
 sigs AS (SELECT vec_id, v, {_lsh_sig_sql("v")} AS sig FROM e),
 q AS (SELECT * FROM sigs WHERE vec_id % {QUERY_MOD} = 0)
 SELECT query_id, neighbor_id, cos, rn FROM (
@@ -188,7 +189,7 @@ _RCOS = (
 @register(
     "ivf_ann_topk",
     oracle=f"""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
 cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % {CENTROID_MOD} = 0),
 asg AS (
     SELECT vec_id, v, cid FROM (
@@ -344,7 +345,7 @@ _PQ_DIST = (
 @register(
     "pq_codes",
     oracle=f"""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
 m AS (SELECT unnest(generate_series(1, {PQ_SUB})) AS m),
 sub AS (
     SELECT vec_id, m, list_slice(v, (m - 1) * {_PQ_LEN} + 1, m * {_PQ_LEN}) AS sv
@@ -381,7 +382,7 @@ _PQ_QPART = (
 @register(
     "pq_ann_topk",
     oracle=f"""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
 m AS (SELECT unnest(generate_series(1, {PQ_SUB})) AS m),
 sub AS (
     SELECT vec_id, m, list_slice(v, (m - 1) * {_PQ_LEN} + 1, m * {_PQ_LEN}) AS sv

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ..functions.textfns import tokens
 from .registry import load, register
 
+from .sql_fragments import EMB
 from .sql_fragments import TK as _TK  # single SQL-side tokenizer definition
 
 
@@ -123,11 +124,11 @@ def vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "label_centroids",
-    oracle="""
+    oracle=f"""
 SELECT label, i AS pos,
        ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_component,
        COUNT(*) AS n_vectors
-FROM embeddings, generate_series(1, 64) AS t(i)
+FROM {EMB}, generate_series(1, 64) AS t(i)
 GROUP BY label, i
 """,
 )
@@ -194,8 +195,8 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "normalized_vectors",
-    oracle="""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+    oracle=f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM {EMB})
 SELECT vec_id,
        ROUND(sqrt(list_inner_product(ve, ve)), 6)                       AS l2_norm,
        ROUND(ve[1] / sqrt(list_inner_product(ve, ve)), 6)               AS unit_first,

@@ -71,6 +71,23 @@ def load(spark: SparkSession, sf_dir: str, table: str, *, floor: bool = True) ->
             # naive values as UTC instants (session tz pinned above), giving
             # the same column the nanos path produces.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if table == "embeddings":
+        from pyspark.sql import functions as F
+
+        # Valid-vector source contract (mirrored by sql_fragments.EMB on
+        # the oracle side): non-NULL, non-empty, nonzero-norm vectors
+        # only. Zero-norm vectors make cosine an ANSI divide-by-zero,
+        # empty vectors break fixed-dim subspace splits, and NULL
+        # vectors poison every distance expression — a production
+        # vector store quarantines all three at ingestion, so the scan
+        # does too. The null/size predicates push to the parquet scan;
+        # the norm check is a map-side fold over the row's own array.
+        df = df.filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0)).filter(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+            )
+            > 0
+        )
     if floor and table in ("documents", "embeddings"):
         # The fan-out-heavy corpora: shingle/token explodes, hash folds,
         # and cosine work all happen MAP-SIDE on these scans, and a

@@ -30,11 +30,12 @@ from .expansion_similarity import (
     TOP_K,
 )
 from .registry import load, register
+from .sql_fragments import EMB
 
 @register(
     "ann_recall_check",
     oracle=f"""
-WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
 sigs AS (SELECT vec_id, v, {_lsh_sig_sql("v")} AS sig FROM c),
 q AS (SELECT * FROM sigs WHERE vec_id % {QUERY_MOD} = 0),
 exact AS (
@@ -97,7 +98,7 @@ _PQ_DIST_P = (
 # Shared oracle CTE chain: corpus, coarse cells, probes, PQ codes,
 # ADC tables, and the probed-cell partial sums — consumed by both the
 # top-k query and the recall check.
-_IVFPQ_CHAIN = f"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+_IVFPQ_CHAIN = f"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
 cent AS (SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id % {CENTROID_MOD} = 0),
 asg AS (
     SELECT vec_id, cid FROM (
@@ -289,7 +290,7 @@ KNN_QUERY_MOD = 10  # evaluation sample: every 10th vector
 @register(
     "knn_label_accuracy",
     oracle=f"""
-WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
 q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM c
       WHERE vec_id % {KNN_QUERY_MOD} = 0),
 nn AS (

@@ -13,3 +13,18 @@ TK = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''
 
 # token count of the same contract
 NTOK = f"len({TK})"
+
+# Valid-vector source contract for the embeddings table, mirroring
+# ``plans/registry.py::load``: a vector participates in geometry only if
+# it is non-NULL, non-empty, and has nonzero norm. NULL vectors break
+# DuckDB's list_inner_product outright, empty vectors break fixed-dim
+# subspace splits, and zero-norm vectors turn cosine into ANSI
+# divide-by-zero on the Spark side — production vector stores quarantine
+# all three at ingestion, so the engine contract does too (adversarial
+# gate, round 8). Use as: ``FROM {EMB}`` wherever an oracle previously
+# said ``FROM embeddings``.
+EMB = (
+    "(SELECT * FROM embeddings WHERE embedding IS NOT NULL"
+    " AND len(embedding) > 0"
+    " AND list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)) > 0) embeddings"
+)

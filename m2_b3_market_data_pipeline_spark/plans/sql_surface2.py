@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .registry import load, register
+from .sql_fragments import EMB
 
 
 @register(
@@ -358,14 +359,14 @@ def predicate_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "array_functions",
-    oracle="""
+    oracle=f"""
 SELECT vec_id,
        len(embedding)                                            AS dim,
        ROUND(list_max(CAST(embedding AS DOUBLE[])), 6)           AS vmax,
        ROUND(list_min(CAST(embedding AS DOUBLE[])), 6)           AS vmin,
        ROUND(list_sum(CAST(embedding AS DOUBLE[])[1:8]), 6)      AS head_sum,
        ROUND(CAST(embedding[1] AS DOUBLE), 6)                    AS first_component
-FROM embeddings
+FROM {EMB}
 """,
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
