@@ -107,7 +107,11 @@ def resample_bars(
     a single hash aggregation (one shuffle), no window needed.
     """
     w = F.window(F.col(ts), bucket)
-    pair = F.struct(F.col(ts), F.col(value))
+    # A NULL value is not a price observation: open/close are the
+    # earliest/latest NON-NULL values in the bucket (min/max skip the
+    # NULL-ed struct, matching DuckDB's arg_min/arg_max NULL rule;
+    # high/low/count already have the right NULL semantics).
+    pair = F.when(F.col(value).isNotNull(), F.struct(F.col(ts), F.col(value)))
     return (
         df.groupBy(F.col(key), w.alias("win"))
         .agg(
@@ -141,6 +145,10 @@ def sessionize(
     both into a single WindowExec sort. Gap arithmetic is exact integer
     microseconds (no double truncation).
     """
+    # Event-time contract: a NULL ts has no stream position (and sorts
+    # NULLS FIRST in Spark vs LAST in DuckDB), so it can neither open
+    # nor extend a session — excluded, same as F.window's implicit rule.
+    df = df.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     gap_us = gap_minutes * 60 * 1_000_000
     us = F.unix_micros(F.col(ts_col))

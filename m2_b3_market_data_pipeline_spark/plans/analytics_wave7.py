@@ -159,6 +159,7 @@ WITH s AS (
            LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS next_event
     FROM events
+    WHERE ts IS NOT NULL
 ),
 c AS (
     SELECT event_type AS cur_event, next_event, COUNT(*) AS n_trans
@@ -176,8 +177,9 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     lead() pairs consecutive events in place (no self-join), one count
     aggregate, and the row-normalization is a window over the TINY
     (|event types|^2) transition table — the heavy table is touched
-    once."""
-    s = load(spark, sf_dir, "events").withColumn(
+    once. Event-time contract: NULL-ts rows have no stream position and
+    are excluded (Spark orders NULLS FIRST, DuckDB LAST)."""
+    s = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull()).withColumn(
         "next_event",
         F.lead("event_type").over(
             Window.partitionBy("user_id").orderBy("ts", "event_id")

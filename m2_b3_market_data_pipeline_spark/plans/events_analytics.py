@@ -29,6 +29,7 @@ WITH b AS (
                 WHEN date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000 THEN 1
                 ELSE 0 END AS boundary
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (

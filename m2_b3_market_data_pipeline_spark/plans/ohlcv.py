@@ -35,8 +35,14 @@ def derive_ohlcv(events: DataFrame) -> DataFrame:
     """events -> raw-shaped daily OHLCV bars (columns named as yfinance
     returns them, pre-normalization: Date/Open/High/Low/Close/Volume/ativo).
     """
+    # Event-time contract (adversarial gate, round 8): a bar needs an
+    # event time; rows with NULL ts are excluded — the same rule
+    # Structured Streaming's F.window applies implicitly. Without it a
+    # NULL-date bar joins every downstream ORDER BY "date" window at a
+    # different end in Spark (NULLS FIRST) than DuckDB (NULLS LAST).
     return (
-        events.withColumn("ativo", F.concat(F.lit("TICK"), (F.col("user_id") % N_ASSETS).cast("string")))
+        events.filter(F.col("ts").isNotNull())
+        .withColumn("ativo", F.concat(F.lit("TICK"), (F.col("user_id") % N_ASSETS).cast("string")))
         .withColumn("Date", F.date_trunc("day", F.col("ts")))
         .groupBy("ativo", "Date")
         .agg(
@@ -62,6 +68,7 @@ WITH ohlcv AS (
         min(value)                                  AS close_price,
         count(*) * 1000                             AS trade_volume
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
 )
 """

@@ -200,13 +200,16 @@ SELECT event_id, user_id, ts, value,
        ROUND(value - LAG(value)  OVER w, 6) AS delta_prev,
        ROUND(LEAD(value) OVER w - value, 6) AS delta_next
 FROM events
+WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
 )
 def lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lead/lag offsets per key — one shuffle on user_id, both offsets
-    share the same WindowExec sort."""
-    e = load(spark, sf_dir, "events")
+    share the same WindowExec sort. Event-time contract: a NULL ts has
+    no position in the stream (and sorts NULLS FIRST in Spark vs LAST
+    in DuckDB), so such rows are excluded."""
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return e.select(
         "event_id",
@@ -355,6 +358,7 @@ SELECT user_id,
        arg_max(value, ts)                            AS close,
        count(*)                                      AS n
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
 )

@@ -25,6 +25,7 @@ SELECT event_type,
        COUNT(*)                AS n,
        ROUND(SUM(value), 6)    AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
 )
@@ -42,6 +43,7 @@ WITH starts AS (
            unnest([date_trunc('hour', ts),
                    date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
     FROM events
+    WHERE ts IS NOT NULL
 )
 SELECT event_type, ws, COUNT(*) AS n
 FROM starts
@@ -61,6 +63,7 @@ WITH ordered AS (
     SELECT user_id, ts, value,
            LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
     FROM events
+    WHERE ts IS NOT NULL
 ),
 flagged AS (
     SELECT user_id, ts, value,
