@@ -94,7 +94,14 @@ def extract_features(df: DataFrame, *, id_col: str = "doc_id", binary_col: str =
                 }
             )
 
-    return df.select(id_col, binary_col).mapInPandas(batches, FEATURE_SCHEMA)
+    # Decode contract: a NULL payload cannot be featurized — excluded
+    # before the Arrow batches (a NaN byte_len would poison the int
+    # cast; a None md5 input would throw mid-batch).
+    return (
+        df.filter(F.col(binary_col).isNotNull())
+        .select(id_col, binary_col)
+        .mapInPandas(batches, FEATURE_SCHEMA)
+    )
 
 
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_hash string"
@@ -119,7 +126,14 @@ def sample_frames(
     ``mapInPandas``, a 1→N row multiplier, partitioning preserved (no
     shuffle), output hashed so frames dedup downstream by content.
     Payloads shorter than ``n_frames * frame_bytes`` are skipped (a
-    real decoder's too-short-to-sample case).
+    real decoder's too-short-to-sample case), as are NULL payloads.
+
+    ``frame_hash`` is md5 over the frame's UPPERCASE HEX encoding (not
+    the raw bytes): hex is injective, so identity semantics are
+    unchanged, and the digest becomes portable to engines whose md5
+    only accepts text (DuckDB) even when a frame boundary falls inside
+    a multi-byte codepoint — which removes the previous ASCII-only
+    oracle caveat.
     """
     import hashlib
 
@@ -131,6 +145,8 @@ def sample_frames(
             idxs: list[int] = []
             hashes: list[str] = []
             for i, raw in zip(pdf[id_name], pdf[bin_name]):
+                if raw is None:
+                    continue
                 b = bytes(raw)
                 if len(b) < n_frames * frame_bytes:
                     continue
@@ -139,7 +155,7 @@ def sample_frames(
                     frame = b[k * stride : k * stride + frame_bytes]
                     ids.append(int(i))
                     idxs.append(k)
-                    hashes.append(hashlib.md5(frame).hexdigest())
+                    hashes.append(hashlib.md5(frame.hex().upper().encode()).hexdigest())
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": pd.array(idxs, dtype="int32"),
                  "frame_hash": hashes}

@@ -253,28 +253,44 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bin_frac_sql(bin_idx: int) -> str:
-    """Fraction of bytes in histogram bin ``bin_idx`` (16 bins over
-    0-255), as a regex char-class count — byte-exact on the pure-ASCII
-    fixture where chars == bytes (asserted in tests)."""
-    lo, hi = bin_idx * 16, bin_idx * 16 + 15
-    return (
-        rf"ROUND(CAST(length(regexp_replace(text, '[^\x{lo:02x}-\x{hi:02x}]', '', 'g')) AS DOUBLE)"
-        " / CAST(strlen(text) AS DOUBLE), 6)"
-    )
+def _bin_count_sql(bin_idx: int) -> str:
+    """COUNT FILTER for bytes in histogram bin ``bin_idx`` (16 bins over
+    0-255) over the per-byte relation ``v(doc_id, val)`` — true byte
+    domain via hex pairs, exact for any input including multi-byte
+    codepoints (previously a regex char-class count with an ASCII-only
+    caveat)."""
+    return f"COUNT(*) FILTER (val // 16 = {bin_idx})"
 
 
 @register(
     "multimodal_features",
     oracle=f"""
-SELECT doc_id,
-       CAST(strlen(text) AS INT) AS byte_len,
-       md5(text)                 AS content_md5,
-       {_bin_frac_sql(2)}        AS f2,
-       {_bin_frac_sql(6)}        AS f6,
-       {_bin_frac_sql(7)}        AS f7,
-       16                        AS feature_dim
-FROM documents
+WITH src AS (
+    SELECT doc_id, text, hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS L
+    FROM documents WHERE text IS NOT NULL
+),
+v AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, CAST(L AS INT)),
+                  i -> CAST(('0x' || substr(h, 2 * i - 1, 2)) AS BIGINT))) AS val
+    FROM src
+),
+c AS (
+    SELECT doc_id,
+           {_bin_count_sql(2)} AS c2,
+           {_bin_count_sql(6)} AS c6,
+           {_bin_count_sql(7)} AS c7
+    FROM v GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(s.L AS INT) AS byte_len,
+       md5(s.text)      AS content_md5,
+       CASE WHEN s.L = 0 THEN 0.0 ELSE ROUND(COALESCE(c.c2, 0) * 1.0 / s.L, 6) END AS f2,
+       CASE WHEN s.L = 0 THEN 0.0 ELSE ROUND(COALESCE(c.c6, 0) * 1.0 / s.L, 6) END AS f6,
+       CASE WHEN s.L = 0 THEN 0.0 ELSE ROUND(COALESCE(c.c7, 0) * 1.0 / s.L, 6) END AS f7,
+       16               AS feature_dim
+FROM src s LEFT JOIN c USING (doc_id)
 """,
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,8 +298,11 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode/featurize stage shape for real media, with the deterministic
     byte-histogram standing in for the (stubbed) image decode
     (operators/multimodal.py). Hash-checked: the oracle reproduces the
-    histogram bins as regex char-class counts over the ASCII fixture
-    (bins 2/6/7 are the populated ones — space/punct and letters)."""
+    histogram in the TRUE byte domain (hex pairs of the utf-8
+    encoding), exact for any input including multi-byte codepoints;
+    bins 2/6/7 are the ASCII-populated ones (space/punct and letters).
+    NULL payloads are excluded by the decode contract (can't featurize
+    nothing); an empty payload yields the all-zero histogram."""
     docs = load(spark, sf_dir, "documents")
     wrapped = attach_binary(docs)
     feats = extract_features(wrapped)
@@ -303,14 +322,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frames, payloads >= 64 bytes). ONE definition — the frame_dedup
 # oracle (plans/dedup_quality.py) folds the same relation, so the
 # sampling stand-in cannot drift between the two checks.
+# Byte-domain: offsets/strides are BYTE offsets over hex(encode(text))
+# (2 hex chars per byte), and frame_hash is md5 of the frame's hex —
+# matching operators/multimodal.py::sample_frames exactly for ANY
+# input, multi-byte codepoints included (no ASCII caveat).
 FRAMES_CTE_SQL = """sized AS (
-    SELECT doc_id, text, length(text) AS len
-    FROM documents WHERE length(text) >= 64
+    SELECT doc_id, hex(encode(text)) AS h,
+           CAST(octet_length(encode(text)) AS BIGINT) AS len
+    FROM documents WHERE octet_length(encode(text)) >= 64
 ),
-f AS (SELECT doc_id, len, text, unnest([0, 1, 2, 3]) AS frame_idx FROM sized),
+f AS (SELECT doc_id, len, h, unnest([0, 1, 2, 3]) AS frame_idx FROM sized),
 fr AS (
     SELECT doc_id, frame_idx,
-           md5(substring(text, frame_idx * ((len - 16) // 3) + 1, 16)) AS frame_hash
+           md5(substring(h, frame_idx * ((len - 16) // 3) * 2 + 1, 32)) AS frame_hash
     FROM f)"""
 
 
@@ -327,9 +351,10 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame-extraction pipeline shape (operators/multimodal.py::
     sample_frames; the codec decode is stubbed, the byte-window slice is
     the deterministic stand-in). fan_out spreads the narrow scan before
-    the per-row Python work. Oracle caveat: DuckDB has no BLOB
-    substring, so the oracle slices VARCHAR — byte-exact because the
-    document fixture is pure ASCII (asserted in tests)."""
+    the per-row Python work. The frame digest is md5 over the frame's
+    hex encoding (portable-digest form, like the portable-hash Bloom),
+    so the DuckDB oracle slices hex(encode(text)) and is byte-exact for
+    any input — multi-byte codepoints included, no ASCII caveat."""
     docs = load(spark, sf_dir, "documents")
     return sample_frames(fan_out(attach_binary(docs)), n_frames=4, frame_bytes=16)
 

@@ -73,8 +73,8 @@ def frame_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate frames across the corpus: the ``multimodal_frames``
     sampling pipeline folded by content hash, keeping hashes present in
     >= 2 distinct payloads (operators/multimodal.py::frame_dedup). Same
-    byte-window stand-in for the stubbed codec decode, same
-    ASCII-fixture oracle caveat as multimodal_frames."""
+    byte-window stand-in for the stubbed codec decode, same portable
+    hex-domain digest as multimodal_frames (no ASCII caveat)."""
     docs = load(spark, sf_dir, "documents")
     frames = sample_frames(
         fan_out(attach_binary(docs)), n_frames=4, frame_bytes=16

@@ -58,6 +58,9 @@ PLANTS: dict[str, list[dict]] = {
         {"doc_id": K + 10, "text": "plain words there", "lang": "en", "source": None, "n_chars": 17},
         {"doc_id": K + 11, "text": COMBINING, "lang": "fr", "source": "src9", "n_chars": len(COMBINING)},
         {"doc_id": K + 12, "text": PRECOMPOSED, "lang": "fr", "source": "src10", "n_chars": len(PRECOMPOSED)},
+        # >= 64 utf-8 BYTES of multi-byte text: exercises the byte-domain
+        # frame/feature oracles where a frame boundary falls mid-codepoint
+        {"doc_id": K + 13, "text": (EMO_TEXT + " ") * 4, "lang": "de", "source": "src11", "n_chars": len((EMO_TEXT + " ") * 4)},
     ],
     "embeddings": [
         {"vec_id": K + 1, "embedding": [0.0] * 64, "label": 0},  # zero norm
