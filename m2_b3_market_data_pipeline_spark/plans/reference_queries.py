@@ -265,14 +265,19 @@ def coalesce_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract",
     oracle="""
 SELECT event_id,
-       json_extract_string(props, '$.k')                    AS k_str,
-       CAST(json_extract_string(props, '$.k') AS BIGINT)    AS k_int
+       CASE WHEN json_valid(props)
+            THEN json_extract_string(props, '$.k') END            AS k_str,
+       CAST(CASE WHEN json_valid(props)
+                 THEN json_extract_string(props, '$.k') END AS BIGINT) AS k_int
 FROM events
 """,
 )
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar JSON functions over the events payload (Athena/Presto scalar
-    surface stand-in, SURVEY.md §2.9)."""
+    surface stand-in, SURVEY.md §2.9). Malformed-input contract is
+    Spark/Athena's lenient one — get_json_object returns NULL on
+    invalid JSON — so the oracle guards DuckDB's throwing
+    json_extract_string behind json_valid."""
     events = load(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k")
     return events.select("event_id", k.alias("k_str"), k.cast("bigint").alias("k_int"))

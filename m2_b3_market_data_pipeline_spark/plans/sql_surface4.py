@@ -43,7 +43,7 @@ def _revenue() -> F.Column:
 WITH unit AS (
     SELECT l_partkey, l_suppkey,
            MIN(l_extendedprice / l_quantity) AS unit_price
-    FROM lineitem GROUP BY l_partkey, l_suppkey
+    FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
 ), best AS (
     SELECT l_partkey, MIN(unit_price) AS best_price FROM unit GROUP BY l_partkey
 )
@@ -68,7 +68,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The min is computed per (part, supplier) then compared to the
     per-part min via a window — no second shuffle of the fact table.
     """
-    li = load(spark, sf_dir, "lineitem")
+    # a zero-quantity line has no unit price (and is an ANSI
+    # divide-by-zero); the TPC-H contract says quantity >= 1, so the
+    # guard is a no-op on conforming data
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
     unit = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
     )

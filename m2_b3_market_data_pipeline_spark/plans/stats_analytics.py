@@ -64,6 +64,7 @@ WITH d AS (
            (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8)) AS BIGINT) + 1.0)
              / 4294967296.0 AS u
     FROM documents
+    WHERE strlen(text) > 0
 ),
 keyed AS (
     SELECT doc_id, CAST(w AS BIGINT) AS w, ROUND(-ln(u) / w, 6) AS key_ FROM d
@@ -82,7 +83,10 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. Reproducible across engines, partitionings, and retries,
     unlike rand()-based sampling.
     """
-    docs = load(spark, sf_dir, "documents")
+    # A-Res contract: only positive weights participate (a zero-length
+    # doc has sampling probability 0, and -ln(u)/0 is an ANSI
+    # divide-by-zero); NULL text fails the predicate on both engines
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
     u = (
         F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws"))), 1, 8), 16, 10)
         .cast("double")
