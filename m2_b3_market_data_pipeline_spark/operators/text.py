@@ -16,27 +16,56 @@ from pyspark.sql import functions as F
 
 from ..functions.textfns import normalized_text, token_count, tokens
 
-# Marker stopwords per language for the n-gram/stopword-voting heuristic.
+# Marker stopwords per language for the stopword-voting heuristic.
 # Deliberately tiny and transparent: the point is the *operator shape*
-# (vectorized regex counting + deterministic argmax), not model quality.
-LANG_MARKERS: dict[str, str] = {
-    "en": r"\b(the|and|of|to|a|in|is|it)\b",
-    "de": r"\b(der|die|das|und|ist|nicht|ein)\b",
-    "fr": r"\b(le|la|les|et|est|un|une|des)\b",
-    "es": r"\b(el|la|los|las|y|es|un|una|de)\b",
-    "pt": r"\b(o|a|os|as|e|um|uma|não|de|que)\b",
+# (vectorized token counting + deterministic argmax), not model quality.
+#
+# The contract is EXACT TOKEN MEMBERSHIP over the shared tokens()
+# tokenizer, not a \b-delimited regex scan: Java's \b is Unicode-aware
+# (ß, é are word chars) while RE2's is ASCII-only, so the regex form
+# silently diverges between the engine and the DuckDB oracle on any
+# non-ASCII text ("straße" contains a standalone RE2-word 'e' that Java
+# never sees — adversarial gate, round 8). Byte-exact string equality
+# is the only word-match primitive both engines define identically.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de"),
+    "pt": ("o", "a", "os", "as", "e", "um", "uma", "não", "de", "que"),
 }
 
-ENGLISH_STOPWORDS = r"\b(the|and|of|to|a|in|is|it|for|on|with|as|at|by)\b"
+ENGLISH_STOPWORDS: tuple[str, ...] = (
+    "the", "and", "of", "to", "a", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by",
+)
 
 
-def marker_count(text: str | Column, pattern: str) -> Column:
-    col = F.col(text) if isinstance(text, str) else text
-    return F.regexp_count(F.lower(col), F.lit(pattern))
+def marker_count_tokens(toks: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens in ``toks`` exactly equal to one of ``words``."""
+    return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+
+def marker_count(text: str | Column, words: tuple[str, ...]) -> Column:
+    """Count of whitespace tokens exactly equal to one of ``words``
+    (tokens() lowercases, so the match is case-insensitive).
+
+    Embeds the tokenization in the expression — fine for a single
+    count. An expression that references MANY marker counts (the
+    lang-ID vote) must instead materialize the token array once per row
+    and use ``marker_count_tokens`` over the column: higher-order
+    functions are CodegenFallback, so Catalyst's subexpression
+    elimination does not dedupe the repeated splits (measured 3x on
+    lang_id before staging)."""
+    return marker_count_tokens(tokens(text), words)
+
+
+def stopword_count(text: str | Column) -> Column:
+    return marker_count(text, ENGLISH_STOPWORDS)
 
 
 def lang_scores(text: str | Column) -> dict[str, Column]:
-    return {lang: marker_count(text, pat) for lang, pat in LANG_MARKERS.items()}
+    return {lang: marker_count(text, words) for lang, words in LANG_MARKERS.items()}
 
 
 def vote_argmax(scores: dict[str, Column]) -> Column:
@@ -82,7 +111,7 @@ def with_text_stats(df: DataFrame, *, text_col: str = "text") -> DataFrame:
                 ),
             ),
         )
-        .withColumn("n_stopwords", F.regexp_count(F.lower(t), F.lit(ENGLISH_STOPWORDS)))
+        .withColumn("n_stopwords", stopword_count(t))
     )
 
 
@@ -95,9 +124,7 @@ def quality_score(df: DataFrame, *, text_col: str = "text") -> DataFrame:
     n_tok = token_count(t).cast("double")
     n_char = F.length(t).cast("double")
     punct_ratio = F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double") / F.greatest(n_char, F.lit(1.0))
-    stop_ratio = F.regexp_count(F.lower(t), F.lit(ENGLISH_STOPWORDS)).cast("double") / F.greatest(
-        n_tok, F.lit(1.0)
-    )
+    stop_ratio = stopword_count(t).cast("double") / F.greatest(n_tok, F.lit(1.0))
     length_ok = F.when((n_tok >= 10) & (n_tok <= 1000), F.lit(1.0)).otherwise(F.lit(0.5))
     score = length_ok * (F.lit(0.5) + F.lit(0.5) * F.least(stop_ratio * 2, F.lit(1.0))) * (
         F.lit(1.0) - F.least(punct_ratio * 4, F.lit(0.8))
@@ -224,8 +251,8 @@ def lang_segments(
     ).withColumn("__seg", F.expr(f"__pos div {seg_tokens}"))
     votes = per_tok.groupBy(id_col, "__seg").agg(
         *[
-            F.sum(F.regexp_count(F.col("__tok"), F.lit(pat))).alias(f"s_{lang}")
-            for lang, pat in LANG_MARKERS.items()
+            F.sum(F.col("__tok").isin(*words).cast("bigint")).alias(f"s_{lang}")
+            for lang, words in LANG_MARKERS.items()
         ]
     )
     seg_vote = vote_argmax({lang: F.col(f"s_{lang}") for lang in LANG_MARKERS})

@@ -50,8 +50,12 @@ _NTOK = NTOK  # shared SQL-side tokenizer contract (sql_fragments.py)
     oracle=f"""
 WITH t AS (SELECT doc_id, source, {_NTOK} AS n_tok FROM documents),
 tot AS (
+    -- NULL source is its own stratum and gets a budget share (the
+    -- engine's groupBy(source).count() semantics); COUNT(DISTINCT
+    -- source) would drop it and shift every waterline.
     SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tok,
-           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_src
+           CAST((SELECT COUNT(*) FROM (SELECT DISTINCT source FROM t))
+                AS BIGINT) AS n_src
     FROM t),
 ranked AS (
     SELECT doc_id, source, n_tok,
@@ -554,9 +558,12 @@ def _lang_segments_oracle(seg_tokens: int = LANG_SEG_TOKENS) -> str:
     the expansion_text.py::_lang_case_sql pattern)."""
     from .expansion_text import lang_vote_sql
 
+    from .sql_fragments import sql_word_set
+
     sums = ", ".join(
-        f"CAST(SUM(len(regexp_extract_all(tok, '{pat}'))) AS BIGINT) AS s_{lang}"
-        for lang, pat in LANG_MARKERS.items()
+        f"CAST(SUM(CASE WHEN tok IN {sql_word_set(words)} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS s_{lang}"
+        for lang, words in LANG_MARKERS.items()
     )
     greatest, whens = lang_vote_sql()
     return f"""

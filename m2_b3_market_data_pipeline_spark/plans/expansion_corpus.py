@@ -21,6 +21,7 @@ from ..operators.corpus import (
     with_repetition_stats,
 )
 from ..operators.text import ENGLISH_STOPWORDS
+from .sql_fragments import token_in_count
 from .expansion_dedup import minhash_pairs_sql
 from .expansion_text import _TK
 from .registry import load, register
@@ -170,8 +171,7 @@ WITH q0 AS (
          CAST(len({_TK}) AS DOUBLE)                                  AS n_tok,
          CAST(length(text) AS DOUBLE)                                AS n_char,
          CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)  AS n_punct,
-         CAST(len(regexp_extract_all(lower(text), '{ENGLISH_STOPWORDS}')) AS DOUBLE)
-                                                                     AS n_stop
+         CAST({token_in_count(ENGLISH_STOPWORDS)} AS DOUBLE)                 AS n_stop
   FROM documents
 ),
 scored AS (SELECT doc_id, source, text, {_QUALITY_SQL} AS quality_score FROM q0),

@@ -185,7 +185,12 @@ p AS (
 )
 SELECT doc_id, chunk_id, start_token,
        CAST(len(piece) AS BIGINT) AS chunk_len,
-       md5(array_to_string(piece, ' ')) AS chunk_md5
+       -- Spark's array_join: NULL array -> NULL, empty array -> '';
+       -- DuckDB's array_to_string returns NULL for both, so mirror the
+       -- empty-array case explicitly (an empty-token doc still emits
+       -- one empty chunk whose md5 is hash('')).
+       CASE WHEN piece IS NOT NULL
+            THEN md5(COALESCE(array_to_string(piece, ' '), '')) END AS chunk_md5
 FROM p
 """,
 )

@@ -1,7 +1,7 @@
 """Text-analysis expansion queries over the ``documents`` fixture.
 
 Oracle portability: the DuckDB SQL strings below are generated from the
-same constants (marker regexes, stopword list, score formula) as the
+same constants (marker word sets, stopword list, score formula) as the
 Spark operators in operators/text.py — tokenization, regex counts, and
 arithmetic are defined once and rendered for both engines.
 """
@@ -14,8 +14,6 @@ from pyspark.sql import functions as F
 from ..operators.text import (
     ENGLISH_STOPWORDS,
     LANG_MARKERS,
-    lang_scores,
-    predict_lang,
     quality_score,
     with_fingerprint,
     with_text_stats,
@@ -24,6 +22,11 @@ from .registry import load, register
 
 # DuckDB token-array expression (twin of functions.textfns.tokens)
 from .sql_fragments import TK as _TK  # single SQL-side tokenizer definition
+from .sql_fragments import token_in_count
+
+# oracle twin of operators/text.py::stopword_count (exact token
+# membership — see the LANG_MARKERS portability note there)
+_NSTOP = token_in_count(ENGLISH_STOPWORDS)
 
 
 @register(
@@ -38,8 +41,7 @@ SELECT doc_id,
        CASE WHEN len(tk) > 0 THEN
          ROUND(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
                / CAST(len(tk) AS DOUBLE), 6) END                 AS avg_token_len,
-       CAST(len(regexp_extract_all(lower(text), '{ENGLISH_STOPWORDS}')) AS INT)
-                                                                 AS n_stopwords
+       CAST({_NSTOP} AS INT)                                     AS n_stopwords
 FROM t
 """,
 )
@@ -74,8 +76,8 @@ def lang_vote_sql(prefix: str = "s_") -> tuple[str, str]:
 
 def _lang_case_sql() -> str:
     score_cols = ", ".join(
-        f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS INT) AS s_{lang}"
-        for lang, pat in LANG_MARKERS.items()
+        f"CAST({token_in_count(words)} AS INT) AS s_{lang}"
+        for lang, words in LANG_MARKERS.items()
     )
     greatest, whens = lang_vote_sql()
     return f"""
@@ -90,16 +92,36 @@ FROM b
 
 @register("lang_id", oracle=_lang_case_sql())
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic: vectorized marker-regex voting with a
+    """Language-ID heuristic: vectorized marker-token voting with a
     deterministic argmax (operators/text.py). The fixture's ``lang``
-    column is random, so this demonstrates the operator, not accuracy."""
+    column is random, so this demonstrates the operator, not accuracy.
+
+    Staged in three projections so the token array is built ONCE per
+    row and the vote reads materialized score COLUMNS: HOF lambdas are
+    CodegenFallback, so an inline vote expression re-evaluates the
+    tokenization per reference (~35x/row, measured 3x wall). Catalyst
+    keeps the stages separate — CollapseProject declines to inline a
+    non-cheap alias referenced more than once."""
+    from ..operators.text import marker_count_tokens, vote_argmax
+    from ..functions.textfns import tokens
+
     docs = load(spark, sf_dir, "documents")
-    scores = lang_scores("text")
-    return docs.select(
+    toked = docs.select("doc_id", "lang", tokens("text").alias("__tk"))
+    scored = toked.select(
+        "doc_id",
+        "lang",
+        *[
+            marker_count_tokens(F.col("__tk"), words).alias(f"s_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    return scored.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        predict_lang("text").alias("predicted_lang"),
-        *[scores[lang].alias(f"s_{lang}") for lang in LANG_MARKERS],
+        vote_argmax({lang: F.col(f"s_{lang}") for lang in LANG_MARKERS}).alias(
+            "predicted_lang"
+        ),
+        *[F.col(f"s_{lang}") for lang in LANG_MARKERS],
     )
 
 
@@ -111,8 +133,7 @@ WITH t AS (
          CAST(len({_TK}) AS DOUBLE)                               AS n_tok,
          CAST(length(text) AS DOUBLE)                             AS n_char,
          CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)  AS n_punct,
-         CAST(len(regexp_extract_all(lower(text), '{ENGLISH_STOPWORDS}')) AS DOUBLE)
-                                                                  AS n_stop
+         CAST({_NSTOP} AS DOUBLE)                                 AS n_stop
   FROM documents
 )
 SELECT doc_id,
@@ -134,13 +155,21 @@ def quality_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_fingerprint",
     oracle=f"""
-WITH t AS (SELECT doc_id, array_to_string({_TK}, ' ') AS norm FROM documents)
+WITH t AS (SELECT doc_id,
+                  COALESCE(array_to_string({_TK}, ' '), '') AS norm
+           FROM documents)
 SELECT doc_id, md5(norm) AS fp_md5, sha256(norm) AS fp_sha256
 FROM t
 """,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprinting over whitespace-normalized text — the
-    exact-dedup / provenance primitive (operators/text.py)."""
+    exact-dedup / provenance primitive (operators/text.py).
+
+    NULL contract: ``concat_ws`` never returns NULL, so a NULL/empty/
+    whitespace-only document fingerprints as hash('') — all content-free
+    docs land in one dedup bucket by design. DuckDB's
+    ``array_to_string`` returns NULL for both NULL and empty lists, so
+    the oracle coalesces to '' to mirror the engine."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return with_fingerprint(docs).select("doc_id", "fp_md5", "fp_sha256")

@@ -314,15 +314,21 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        lower(source)                               AS source_lower,
-       split_part(source, 'c', 1)                  AS src_prefix,
-       concat(lang, '-', source)                   AS lang_source,
+       CASE WHEN source IS NOT NULL
+            THEN split_part(source, 'c', 1) END    AS src_prefix,
+       lang || '-' || source                       AS lang_source,
        CAST(length(text) AS INT)                   AS text_len
 FROM documents
 """,
 )
 def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2/X3 scalar string functions: split/lower/concat
-    (reference: scraper/scraper_upload.py:29-30, :47)."""
+    (reference: scraper/scraper_upload.py:29-30, :47).
+
+    NULL contract is Spark's: ``concat``/``split`` propagate NULL
+    inputs, so the oracle uses NULL-propagating ``||`` (DuckDB's
+    ``concat`` skips NULLs) and guards ``split_part`` (DuckDB returns
+    '' on NULL input)."""
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",

@@ -14,6 +14,20 @@ TK = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> ''
 # token count of the same contract
 NTOK = f"len({TK})"
 
+
+def sql_word_set(words: tuple[str, ...]) -> str:
+    """Render a marker/stopword tuple as a SQL IN-list. Word matching is
+    EXACT TOKEN MEMBERSHIP on both engines (see operators/text.py
+    LANG_MARKERS): \\b-regex scans diverge between Java (Unicode word
+    boundary) and RE2 (ASCII-only), string equality cannot."""
+    return "(" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + ")"
+
+
+def token_in_count(words: tuple[str, ...], arr: str = TK) -> str:
+    """SQL count of tokens of ``arr`` that are members of ``words`` —
+    the oracle twin of operators/text.py::marker_count."""
+    return f"len(list_filter({arr}, x -> x IN {sql_word_set(words)}))"
+
 # Valid-vector source contract for the embeddings table, mirroring
 # ``plans/registry.py::load``: a vector participates in geometry only if
 # it is non-NULL, non-empty, and has nonzero norm. NULL vectors break

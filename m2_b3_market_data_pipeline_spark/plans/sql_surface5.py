@@ -210,7 +210,9 @@ def gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regex_functions",
     oracle="""
 SELECT doc_id,
-       COALESCE(regexp_extract(text, '([A-Za-z]+)', 1), '')        AS first_word,
+       CASE WHEN text IS NOT NULL
+            THEN COALESCE(regexp_extract(text, '([A-Za-z]+)', 1), '')
+       END                                                         AS first_word,
        CAST(length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)
                                                                    AS len_no_digits,
        regexp_matches(text, '[.!?]$')                              AS ends_sentence

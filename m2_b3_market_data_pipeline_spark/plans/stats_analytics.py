@@ -154,7 +154,8 @@ def balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantile_binning",
     oracle="""
 WITH b AS (
-    SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bin
+    SELECT value,
+           ntile(10) OVER (ORDER BY value NULLS FIRST, event_id) AS bin
     FROM events
 )
 SELECT CAST(bin AS BIGINT)        AS bin,
@@ -174,7 +175,10 @@ def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate sibling of this query, like approx_quantiles).
     """
     ev = load(spark, sf_dir, "events")
-    w = Window.orderBy("value", "event_id")
+    # NULLS FIRST explicitly on both engines: it is Spark's ASC default
+    # but DuckDB defaults to NULLS LAST, which silently shifts every
+    # bin boundary when NULL values exist (adversarial gate, round 8).
+    w = Window.orderBy(F.col("value").asc_nulls_first(), "event_id")
     b = ev.select("value", F.ntile(10).over(w).alias("bin"))
     return b.groupBy(F.col("bin").cast("long").alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),

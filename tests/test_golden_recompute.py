@@ -162,8 +162,8 @@ def test_lang_segments_matches_python_golden(spark, docs):
         langs = []
         for seg in segs:
             votes = {
-                lang: sum(len(re.findall(pat, tok)) for tok in seg)
-                for lang, pat in LANG_MARKERS.items()
+                lang: sum(1 for tok in seg if tok in words)
+                for lang, words in LANG_MARKERS.items()
             }
             best = max(votes.values())
             langs.append(
