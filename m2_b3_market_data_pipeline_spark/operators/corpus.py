@@ -504,3 +504,117 @@ def quality_gate_stats(
     return per_doc.select(
         id_col, "n_tok", g1.alias("g1"), g2.alias("g2"), g3.alias("g3")
     )
+
+
+# Gopher document-quality rule constants (Rae et al. 2021, Table A1 —
+# the published MassiveText filter; public knowledge). Shared with the
+# DuckDB oracle in plans/corpus_quality.py so the two render from one
+# definition.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_BULLETS = ("-", "*", "•")  # leading bullet glyphs
+
+
+def gopher_quality_rules(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The Gopher/MassiveText per-document quality rules as one
+    projection chain: word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, ellipsis-line and bullet-line fractions,
+    alphabetic-word fraction, and distinct-stopword presence — plus the
+    AND of all seven (``pass_gopher``).
+
+    Contract notes (adversarial-gate portable):
+    - a NULL-text document fails every rule (FALSE, not NULL), so the
+      pass column is total;
+    - ratio rules are guarded by ``n_words > 0`` / ``n_lines > 0`` —
+      never an ANSI division;
+    - word matching is exact token membership (see the LANG_MARKERS
+      note in operators/text.py), never a \\b regex.
+
+    Scale shape: three stacked projections, zero shuffles. The token
+    and line arrays are materialized ONCE as columns and every rule
+    reads the column — higher-order functions are CodegenFallback, so
+    an inline form would re-split per rule (the lang_id lesson)."""
+    from .text import ENGLISH_STOPWORDS
+
+    t = F.col(text_col)
+    staged = df.select(
+        id_col,
+        tokens(text_col).alias("__tk"),
+        F.split(t, "\n").alias("__ln"),
+        # '#' occurrences + literal '...' runs + unicode ellipsis
+        (
+            (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit(""))))
+            + F.regexp_count(t, F.lit(r"\.\.\."))
+            + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+        ).alias("__n_sym"),
+    )
+    tk, ln = F.col("__tk"), F.col("__ln")
+    n_w = F.coalesce(F.size(tk), F.lit(0)).cast("bigint")
+    n_l = F.coalesce(F.size(ln), F.lit(0)).cast("bigint")
+    is_ellipsis = lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…")  # noqa: E731
+    is_bullet = lambda x: F.substring(F.ltrim(x), 1, 1).isin(*GOPHER_BULLETS)  # noqa: E731
+    measured = staged.select(
+        id_col,
+        n_w.alias("n_words"),
+        n_l.alias("__n_lines"),
+        F.col("__n_sym").alias("__n_sym2"),
+        F.aggregate(
+            F.coalesce(tk, F.array().cast("array<string>")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.length(x),
+        ).alias("__tok_chars"),
+        F.size(F.filter(tk, lambda x: x.rlike("[a-z]"))).alias("__n_alpha"),
+        F.size(F.array_distinct(F.filter(tk, lambda x: x.isin(*ENGLISH_STOPWORDS)))).alias(
+            "__n_stop"
+        ),
+        F.size(F.filter(ln, is_ellipsis)).alias("__n_ell"),
+        F.size(F.filter(ln, is_bullet)).alias("__n_bul"),
+    )
+    nw = F.col("n_words")
+    ruled = measured.select(
+        id_col,
+        "n_words",
+        ((nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS)).alias("r_word_count"),
+        F.when(
+            nw > 0,
+            (F.col("__tok_chars") >= GOPHER_MIN_MEAN_LEN * nw)
+            & (F.col("__tok_chars") <= GOPHER_MAX_MEAN_LEN * nw),
+        ).otherwise(F.lit(False)).alias("r_mean_word_len"),
+        F.when(nw > 0, F.col("__n_sym2") <= GOPHER_MAX_SYMBOL_RATIO * nw)
+        .otherwise(F.lit(False))
+        .alias("r_symbol_ratio"),
+        F.when(
+            F.col("__n_lines") > 0,
+            F.col("__n_ell") <= GOPHER_MAX_ELLIPSIS_LINE_FRAC * F.col("__n_lines"),
+        ).otherwise(F.lit(False)).alias("r_ellipsis_lines"),
+        F.when(
+            F.col("__n_lines") > 0,
+            F.col("__n_bul") <= GOPHER_MAX_BULLET_LINE_FRAC * F.col("__n_lines"),
+        ).otherwise(F.lit(False)).alias("r_bullet_lines"),
+        F.when(nw > 0, F.col("__n_alpha") >= GOPHER_MIN_ALPHA_WORD_FRAC * nw)
+        .otherwise(F.lit(False))
+        .alias("r_alpha_words"),
+        (F.coalesce(F.col("__n_stop"), F.lit(0)) >= GOPHER_MIN_STOPWORDS).alias(
+            "r_stopwords"
+        ),
+    )
+    rules = [
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_ellipsis_lines",
+        "r_bullet_lines",
+        "r_alpha_words",
+        "r_stopwords",
+    ]
+    out = F.lit(True)
+    for r in rules:
+        out = out & F.col(r)
+    return ruled.select(id_col, "n_words", *rules, out.alias("pass_gopher"))

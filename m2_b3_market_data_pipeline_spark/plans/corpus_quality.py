@@ -610,3 +610,150 @@ def lang_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return lang_segments(docs)
 
+
+
+from ..operators.corpus import (  # noqa: E402
+    GOPHER_BULLETS,
+    GOPHER_MAX_BULLET_LINE_FRAC,
+    GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+    GOPHER_MAX_MEAN_LEN,
+    GOPHER_MAX_SYMBOL_RATIO,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_WORD_FRAC,
+    GOPHER_MIN_MEAN_LEN,
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_MIN_WORDS,
+    gopher_quality_rules,
+)
+from ..operators.text import ENGLISH_STOPWORDS  # noqa: E402
+from .sql_fragments import sql_word_set  # noqa: E402
+
+
+def _gopher_oracle() -> str:
+    """The Gopher rule bundle rendered from the SAME constants as
+    operators/corpus.py::gopher_quality_rules (one definition, two
+    engines). NULL-text docs fail every rule (FALSE, never NULL)."""
+    bullets = sql_word_set(GOPHER_BULLETS)
+    stopset = sql_word_set(ENGLISH_STOPWORDS)
+    return f"""
+WITH staged AS (
+    SELECT doc_id,
+           {TK} AS tk,
+           string_split(text, chr(10)) AS ln,
+           (length(text) - length(replace(text, '#', '')))
+             + len(regexp_extract_all(text, '\\.\\.\\.'))
+             + (length(text) - length(replace(text, '…', ''))) AS n_sym
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(COALESCE(len(tk), 0) AS BIGINT)  AS n_words,
+           CAST(COALESCE(len(ln), 0) AS BIGINT)  AS n_lines,
+           n_sym,
+           COALESCE(list_sum(list_transform(tk, x -> length(x))), 0) AS tok_chars,
+           len(list_filter(tk, x -> regexp_matches(x, '[a-z]')))     AS n_alpha,
+           len(list_distinct(list_filter(tk, x -> x IN {stopset})))  AS n_stop,
+           len(list_filter(ln, x -> rtrim(x) LIKE '%...' OR rtrim(x) LIKE '%…'))
+                                                                     AS n_ell,
+           len(list_filter(ln, x -> substr(ltrim(x), 1, 1) IN {bullets}))
+                                                                     AS n_bul
+    FROM staged
+),
+r AS (
+    SELECT doc_id, n_words,
+           n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+               AS r_word_count,
+           CASE WHEN n_words > 0 THEN
+                tok_chars >= {GOPHER_MIN_MEAN_LEN} * n_words
+                AND tok_chars <= {GOPHER_MAX_MEAN_LEN} * n_words
+           ELSE FALSE END AS r_mean_word_len,
+           CASE WHEN n_words > 0 THEN n_sym <= {GOPHER_MAX_SYMBOL_RATIO} * n_words
+           ELSE FALSE END AS r_symbol_ratio,
+           CASE WHEN n_lines > 0 THEN
+                n_ell <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC} * n_lines
+           ELSE FALSE END AS r_ellipsis_lines,
+           CASE WHEN n_lines > 0 THEN
+                n_bul <= {GOPHER_MAX_BULLET_LINE_FRAC} * n_lines
+           ELSE FALSE END AS r_bullet_lines,
+           CASE WHEN n_words > 0 THEN
+                n_alpha >= {GOPHER_MIN_ALPHA_WORD_FRAC} * n_words
+           ELSE FALSE END AS r_alpha_words,
+           COALESCE(n_stop, 0) >= {GOPHER_MIN_STOPWORDS} AS r_stopwords
+    FROM m
+)
+SELECT doc_id, n_words, r_word_count, r_mean_word_len, r_symbol_ratio,
+       r_ellipsis_lines, r_bullet_lines, r_alpha_words, r_stopwords,
+       r_word_count AND r_mean_word_len AND r_symbol_ratio
+           AND r_ellipsis_lines AND r_bullet_lines AND r_alpha_words
+           AND r_stopwords AS pass_gopher
+FROM r
+"""
+
+
+@register("gopher_rules", oracle=_gopher_oracle())
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText per-document quality rules (Rae et al.
+    2021, Table A1): word-count and mean-word-length bounds, symbol-to-
+    word ratio, ellipsis/bullet line fractions, alphabetic-word
+    fraction, distinct-stopword presence, and their conjunction
+    (operators/corpus.py::gopher_quality_rules). Three stacked
+    projections, zero shuffles — at 100 TB this is parquet-scan-bound,
+    the correct shape for a pre-training quality gate."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality_rules(docs)
+
+
+# Source re-weighting temperature is alpha = 0.5 (multilingual-style
+# alpha sampling; alpha = 1 is proportional, alpha -> 0 is uniform),
+# rendered as sqrt on BOTH engines so the arithmetic is bit-identical.
+@register(
+    "source_temperature_weights",
+    oracle=f"""
+WITH t AS (SELECT source, {NTOK} AS n_tok FROM documents),
+s AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tok FROM t GROUP BY source),
+tot AS (SELECT CAST(SUM(n_tok) AS DOUBLE) AS total FROM s),
+w AS (
+    SELECT source, n_tok,
+           n_tok / total                         AS p,
+           sqrt(n_tok / total)                   AS pa
+    FROM s CROSS JOIN tot
+),
+z AS (SELECT SUM(pa) AS z FROM w)
+SELECT source, n_tok,
+       ROUND(p, 6)              AS p_tok,
+       ROUND(pa / z, 6)         AS w_alpha,
+       ROUND((pa / z) / p, 6)   AS upsample
+FROM w CROSS JOIN z
+""",
+)
+def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights (the multilingual
+    alpha-sampling rule, alpha = 0.5): per source, its true token share
+    p, the renormalized p^alpha sampling weight, and the implied
+    up/down-sampling factor. The policy complement of
+    ``mixture_rebalance`` (hard cap) — temperature sampling SOFTENS
+    dominance instead of truncating it.
+
+    Scale shape: ONE corpus shuffle (map-side-combined token sums per
+    source); everything after is arithmetic over the sources-sized
+    relation with the two scalar totals riding broadcast one-row
+    cross joins. NULL source is its own stratum, as in
+    mixture_rebalance."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("source", token_count(F.col("text")).alias("n_tok"))
+    s = d.groupBy("source").agg(F.sum("n_tok").cast("bigint").alias("n_tok"))
+    tot = s.agg(F.sum("n_tok").cast("double").alias("total"))
+    w = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tok",
+        (F.col("n_tok") / F.col("total")).alias("p"),
+        F.sqrt(F.col("n_tok") / F.col("total")).alias("pa"),
+    )
+    z = w.agg(F.sum("pa").alias("z"))
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tok",
+        F.round(F.col("p"), 6).alias("p_tok"),
+        F.round(F.col("pa") / F.col("z"), 6).alias("w_alpha"),
+        F.round((F.col("pa") / F.col("z")) / F.col("p"), 6).alias("upsample"),
+    )

@@ -236,3 +236,69 @@ def test_floor_scoped_off_tfidf_chain(spark, sf_dir):
     floored = load(spark, sf_dir, "documents")
     fplan = floored._jdf.queryExecution().toString()
     assert "RoundRobinPartitioning" in fplan  # floor intact elsewhere
+
+
+def test_gopher_rules_planted_outcomes(spark):
+    """Each rule trips on its designed violation; a clean long doc
+    passes everything; a NULL-text doc fails everything with FALSE
+    (total booleans, never NULL)."""
+    from m2_b3_market_data_pipeline_spark.operators.corpus import (
+        gopher_quality_rules,
+    )
+
+    clean = "the cat and the dog sat with all of the friendly people " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, clean),                                   # passes all
+            (2, "too short"),                             # word count
+            (3, "aa " * 60),                              # mean len < 3
+            (4, ("the of " * 30) + "# " * 20),            # symbol ratio
+            (5, "\n".join(["the end..."] * 10)),          # ellipsis lines
+            (6, "\n".join(["- item the of and to"] * 10)),  # bullet lines
+            (7, ("123 456 " * 30) + "the of"),            # alpha words
+            (8, "zz qq " * 30),                           # stopwords
+            (9, None),                                    # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_rules(docs).collect()}
+    assert got[1].pass_gopher is True
+    assert got[2].r_word_count is False
+    assert got[3].r_mean_word_len is False
+    assert got[4].r_symbol_ratio is False
+    assert got[5].r_ellipsis_lines is False
+    assert got[6].r_bullet_lines is False
+    assert got[7].r_alpha_words is False
+    assert got[8].r_stopwords is False
+    row9 = got[9]
+    assert row9.n_words == 0
+    for f in row9.asDict():
+        if f.startswith(("r_", "pass_")):
+            assert row9[f] is False  # FALSE, not NULL
+
+
+def test_gopher_rules_is_shuffle_free(spark, sf_dir):
+    """The quality gate is three stacked projections: zero SEMANTIC
+    exchanges in the physical plan (the documents scan's conditional
+    parallelism-floor RoundRobin is the local-fixture artifact, a
+    no-op at cluster scale) — at 100 TB it is parquet-scan-bound."""
+    from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
+
+    plan = QUERIES["gopher_rules"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == plan.count("RoundRobinPartitioning"), plan
+
+
+def test_source_temperature_weights_softens_dominance(spark, sf_dir):
+    """alpha = 0.5 must move every source's weight TOWARD uniform:
+    dominant sources get upsample < 1, rare sources > 1, and the
+    weights renormalize to 1."""
+    from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
+
+    rows = QUERIES["source_temperature_weights"](spark, sf_dir).collect()
+    assert abs(sum(r.w_alpha for r in rows) - 1.0) < 1e-4
+    mean_p = 1.0 / len(rows)
+    for r in rows:
+        if r.p_tok > mean_p:
+            assert r.upsample < 1.0 + 1e-9
+        elif r.p_tok < mean_p:
+            assert r.upsample > 1.0 - 1e-9
