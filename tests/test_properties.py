@@ -409,3 +409,40 @@ def test_hard_negatives_are_true_argmaxes_property(spark, seeds):
         r = got[qid]
         assert (r.pos_id, r.pos_cos) == (pos[2], pos[0]), (qid, r, pos)
         assert (r.neg_id, r.neg_cos) == (neg[2], neg[0]), (qid, r, neg)
+
+
+# Unicode-heavy alphabet around the round-8 portability contract: word
+# matching is exact token membership, so the Spark count must equal a
+# pure-Python whitespace-split twin on ANY text — including the ß/é/ĳ
+# shapes where Java and RE2 \b semantics diverge (the bug class the
+# contract eliminated).
+_uni_words = st.sampled_from(
+    ["the", "straße", "é", "café", "a", "não", "世界", "ĳs", "x#y", "de",
+     "THE", "De", "...", "", "   "]
+)
+
+
+@_slow
+@given(texts=st.lists(st.lists(_uni_words, max_size=12), min_size=1, max_size=8))
+def test_marker_count_matches_python_membership_property(spark, texts):
+    from m2_b3_market_data_pipeline_spark.operators.text import (
+        ENGLISH_STOPWORDS,
+        LANG_MARKERS,
+        marker_count,
+        stopword_count,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sets = dict(LANG_MARKERS, stop=ENGLISH_STOPWORDS)
+    out = df.select(
+        "doc_id",
+        *[marker_count("text", w).alias(f"c_{k}") for k, w in LANG_MARKERS.items()],
+        stopword_count("text").alias("c_stop"),
+    )
+    got = {r.doc_id: r for r in out.collect()}
+    for i, t in rows:
+        toks = [w for w in t.lower().strip().split() if w]
+        for k, words in sets.items():
+            want = sum(1 for w in toks if w in words)
+            assert got[i][f"c_{k}"] == want, (t, k, got[i][f"c_{k}"], want)
