@@ -618,3 +618,55 @@ def gopher_quality_rules(
     for r in rules:
         out = out & F.col(r)
     return ruled.select(id_col, "n_words", *rules, out.alias("pass_gopher"))
+
+
+# C4 line-filter constants (Raffel et al. 2020 §2.2 — the published
+# C4 cleaning heuristics; public knowledge). Rendered for both engines
+# from these definitions (plans/corpus_quality.py).
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+C4_MIN_LINE_WORDS = 5
+C4_BANNED_SUBSTRINGS = ("javascript", "lorem ipsum")  # matched lowercased
+C4_BANNED_LITERAL = "{"
+
+
+def c4_line_filters(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The C4 line-level cleaning rules: keep a line iff it ends in
+    terminal punctuation, has >= {C4_MIN_LINE_WORDS} words, and contains
+    no banned substring ('javascript', 'lorem ipsum', a curly brace).
+    Emits per-doc line accounting plus the md5 of the CLEANED text
+    (kept lines rejoined) so the rebuild is value-checked, not just
+    counted.
+
+    Contract notes: a NULL-text doc reports 0/0 with a NULL hash; a doc
+    whose every line is dropped hashes '' (the total-rebuild twin of
+    the doc_fingerprint hash('') convention). Scale shape: two stacked
+    projections, zero shuffles — line and kept arrays materialize once
+    per row (HOFs are CodegenFallback; see gopher_quality_rules)."""
+    t = F.col(text_col)
+
+    def n_words(x: Column) -> Column:
+        return F.size(F.filter(F.split(x, r"\s+"), lambda w: w != F.lit("")))
+
+    def keep(x: Column) -> Column:
+        kp = F.substring(F.rtrim(x), -1, 1).isin(*C4_TERMINAL_PUNCT)
+        kp = kp & (n_words(x) >= C4_MIN_LINE_WORDS)
+        for b in C4_BANNED_SUBSTRINGS:
+            kp = kp & (F.instr(F.lower(x), b) == 0)
+        return kp & (F.instr(x, C4_BANNED_LITERAL) == 0)
+
+    staged = df.select(id_col, F.split(t, "\n").alias("__ln"))
+    kept = staged.select(
+        id_col,
+        "__ln",
+        F.filter(F.col("__ln"), keep).alias("__kept"),
+    )
+    return kept.select(
+        id_col,
+        F.coalesce(F.size("__ln"), F.lit(0)).cast("bigint").alias("n_lines"),
+        F.coalesce(F.size("__kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.when(
+            F.col("__ln").isNotNull(), F.md5(F.array_join(F.col("__kept"), "\n"))
+        ).alias("clean_md5"),
+    )

@@ -127,15 +127,16 @@ from .registry import ORACLES, QUERIES
 # window_distribution, window_running_total, zscore_anomalies) roll to
 # the r9 front-load. New queries registered later this round displace
 # fills from the END, as always: gopher_rules and
-# source_temperature_weights (born round 8, after the adversarial
-# sweep closed) displace scd2_user_values and sessionize_stats to the
-# r9 front-load.
+# source_temperature_weights, and c4_line_filters (born round 8, after
+# the adversarial sweep closed) displace scd2_user_values,
+# sessionize_stats, and scalar_subquery to the r9 front-load.
 CHECK_PRIORITY: list[str] = [
     # --- New in round 8: window the round they are born. ---
     "bpe_apply_check",
     "copurchase_reach_iter",
     "gopher_rules",
     "source_temperature_weights",
+    "c4_line_filters",
     # --- Plan/semantics changed in round 8: re-prove. ---
     "countmin_check",
     "pagerank_cosuppliers",
@@ -183,7 +184,6 @@ CHECK_PRIORITY: list[str] = [
     "retention_cohorts",
     "salted_skew_join",
     "sample_per_group",
-    "scalar_subquery",
     # --- Anchor: flagship reference pipeline, in the window every
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---

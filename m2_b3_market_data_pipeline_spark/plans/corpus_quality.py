@@ -757,3 +757,53 @@ def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("pa") / F.col("z"), 6).alias("w_alpha"),
         F.round((F.col("pa") / F.col("z")) / F.col("p"), 6).alias("upsample"),
     )
+
+
+from ..operators.corpus import (  # noqa: E402
+    C4_BANNED_LITERAL,
+    C4_BANNED_SUBSTRINGS,
+    C4_MIN_LINE_WORDS,
+    C4_TERMINAL_PUNCT,
+    c4_line_filters,
+)
+
+
+def _c4_oracle() -> str:
+    """C4 line rules rendered from the SAME constants as
+    operators/corpus.py::c4_line_filters."""
+    punct = sql_word_set(C4_TERMINAL_PUNCT)
+    banned = " AND ".join(
+        f"instr(lower(x), '{b}') = 0" for b in C4_BANNED_SUBSTRINGS
+    )
+    keep = (
+        f"right(rtrim(x), 1) IN {punct}"
+        f" AND len(list_filter(regexp_split_to_array(x, '\\s+'), w -> w <> ''))"
+        f" >= {C4_MIN_LINE_WORDS}"
+        f" AND {banned} AND instr(x, '{C4_BANNED_LITERAL}') = 0"
+    )
+    return f"""
+WITH staged AS (
+    SELECT doc_id, string_split(text, chr(10)) AS ln FROM documents
+),
+k AS (
+    SELECT doc_id, ln, list_filter(ln, x -> {keep}) AS kept FROM staged
+)
+SELECT doc_id,
+       CAST(COALESCE(len(ln), 0) AS BIGINT)   AS n_lines,
+       CAST(COALESCE(len(kept), 0) AS BIGINT) AS n_kept,
+       CASE WHEN ln IS NOT NULL
+            THEN md5(COALESCE(array_to_string(kept, chr(10)), '')) END
+                                              AS clean_md5
+FROM k
+"""
+
+
+@register("c4_line_filters", oracle=_c4_oracle())
+def c4_line_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2): keep
+    lines ending in terminal punctuation with >= 5 words and no banned
+    substring; per-doc line accounting plus the md5 of the rebuilt
+    cleaned text (operators/corpus.py::c4_line_filters). Two stacked
+    shuffle-free projections — parquet-scan-bound at 100 TB."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return c4_line_filters(docs)

@@ -302,3 +302,37 @@ def test_source_temperature_weights_softens_dominance(spark, sf_dir):
             assert r.upsample < 1.0 + 1e-9
         elif r.p_tok < mean_p:
             assert r.upsample > 1.0 - 1e-9
+
+
+def test_c4_line_filters_planted_lines(spark):
+    """Each C4 rule drops its designed line; the cleaned-text hash is
+    the md5 of exactly the surviving lines; NULL text reports 0/0 with
+    a NULL hash."""
+    import hashlib
+
+    from m2_b3_market_data_pipeline_spark.operators.corpus import c4_line_filters
+
+    keep1 = "This line has enough words and punctuation."
+    keep2 = "Another good line with five words total!"
+    doc = "\n".join(
+        [
+            keep1,
+            "no terminal punctuation so dropped",
+            "Short line.",
+            "This has javascript inside so it is dropped.",
+            "A curly { brace means code so dropped.",
+            "Lorem ipsum dolor sit amet is dropped.",
+            keep2,
+        ]
+    )
+    docs = spark.createDataFrame(
+        [(1, doc), (2, None), (3, "all dropped here")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in c4_line_filters(docs).collect()}
+    assert got[1].n_lines == 7 and got[1].n_kept == 2
+    want = hashlib.md5(("\n".join([keep1, keep2])).encode()).hexdigest()
+    assert got[1].clean_md5 == want
+    assert got[2].n_lines == 0 and got[2].n_kept == 0 and got[2].clean_md5 is None
+    assert got[3].n_kept == 0
+    assert got[3].clean_md5 == hashlib.md5(b"").hexdigest()
