@@ -63,7 +63,6 @@ HEADLINE = [
     "ivf_ann_topk",
     # round-2 corpus-preparation wave
     "corpus_pipeline",
-    "repetition_stats",
     "embedding_near_dups",
     "dedup_clusters",
     "decontaminate",
@@ -123,6 +122,16 @@ HEADLINE = [
     "pagerank_cosuppliers",
     "triangle_coparts",
     "ivfpq_rerank_topk",
+    # round-8: the published-filter curation wave's heaviest member
+    # (gopher_rules, ~1.1s quiet-window: 7 rules over token+line arrays
+    # in shuffle-free stacked projections). repetition_stats rotates
+    # out to stay under the capture cap (0.36s pure projection; the
+    # projection-shaped text-signal family stays covered by text_stats
+    # and gopher_rules itself, and its correctness row is green).
+    # c4_line_filters (0.37s) and source_temperature_weights (1.0s,
+    # dominated by session fan-out of a 20-row aggregate) stay out —
+    # families covered by this rep and the hash-checked rows.
+    "gopher_rules",
 ]
 
 
