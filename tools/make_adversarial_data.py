@@ -61,6 +61,13 @@ PLANTS: dict[str, list[dict]] = {
         # >= 64 utf-8 BYTES of multi-byte text: exercises the byte-domain
         # frame/feature oracles where a frame boundary falls mid-codepoint
         {"doc_id": K + 13, "text": (EMO_TEXT + " ") * 4, "lang": "de", "source": "src11", "n_chars": len((EMO_TEXT + " ") * 4)},
+        # round-8 curation-filter edges (gopher_rules / c4_line_filters):
+        # all-bullet lines, all-ellipsis lines, banned substrings, a line
+        # ending in the quote terminal, and mixed keep/drop lines.
+        {"doc_id": K + 14, "text": "\n".join(["- bullet item one two."] * 6), "lang": "en", "source": "src12", "n_chars": 137},
+        {"doc_id": K + 15, "text": "\n".join(["trailing thought goes on and on..."] * 4 + ["  \t* spaced bullet?"]), "lang": "en", "source": "src12", "n_chars": 159},
+        {"doc_id": K + 16, "text": "Uses JavaScript and { braces } here.\nLorem ipsum dolor sit amet line.\nShe said the words were \"fine.\"\nA good plain sentence stays here.", "lang": "en", "source": "src13", "n_chars": 135},
+        {"doc_id": K + 17, "text": "#tag #tag #tag the of and…\nthe # of # and # it # is.", "lang": "en", "source": "src13", "n_chars": 52},
     ],
     "embeddings": [
         {"vec_id": K + 1, "embedding": [0.0] * 64, "label": 0},  # zero norm
