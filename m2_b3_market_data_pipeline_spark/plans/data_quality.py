@@ -23,7 +23,11 @@ _PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "props"]
         f"""
 SELECT '{c}' AS "column",
        CAST(COUNT(*) AS BIGINT)                                      AS n_rows,
-       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)  AS n_null,
+       -- COALESCE: an EMPTY batch has 0 nulls, not NULL nulls (SUM
+       -- over zero rows is NULL in SQL; the engine's count-based
+       -- profile reports 0 — empty-input gate)
+       CAST(COALESCE(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+                                                                     AS n_null,
        CAST(COUNT(DISTINCT {c}) AS BIGINT)                           AS n_distinct
 FROM events"""
         for c in _PROFILE_COLS

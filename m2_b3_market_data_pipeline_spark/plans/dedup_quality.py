@@ -268,8 +268,11 @@ exact_pairs AS (
           >= {LSH_RECALL_THRESHOLD})
 SELECT CAST((SELECT COUNT(*) FROM exact_pairs) AS BIGINT) AS n_true_pairs,
        CAST((SELECT COUNT(*) FROM mh_pairs) AS BIGINT) AS n_found_pairs,
-       ROUND((SELECT COUNT(*) FROM mh_pairs) * 1.0 /
-             (SELECT COUNT(*) FROM exact_pairs), 6) AS recall
+       -- recall over ZERO true pairs is undefined -> NULL on both
+       -- engines (empty-input gate; ANSI division would throw)
+       CASE WHEN (SELECT COUNT(*) FROM exact_pairs) > 0 THEN
+            ROUND((SELECT COUNT(*) FROM mh_pairs) * 1.0 /
+                  (SELECT COUNT(*) FROM exact_pairs), 6) END AS recall
 """,
 )
 def lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,7 +295,12 @@ def lsh_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = t_cnt.crossJoin(F.broadcast(f_cnt)).select(
         "n_true_pairs",
         "n_found_pairs",
-        F.round(F.col("n_found_pairs") / F.col("n_true_pairs"), 6).alias("recall"),
+        # recall over zero true pairs is undefined -> NULL (the
+        # empty-input gate: ANSI division on the empty corpus threw)
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.round(F.col("n_found_pairs") / F.col("n_true_pairs"), 6),
+        ).alias("recall"),
     )
     out._cached_frames = getattr(found, "_cached_frames", [])
     return out

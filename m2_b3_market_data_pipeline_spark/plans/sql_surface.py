@@ -251,10 +251,18 @@ SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_extendedprice), 6)  AS total_price
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+-- empty-input contract: Spark's Expand+aggregate emits ZERO rows on an
+-- empty relation (no grand-total row); the SQL standard emits one.
+-- HAVING COUNT(*) > 0 is a no-op on any non-empty input (every
+-- grouping-set row aggregates >= 1 source row) and drops exactly the
+-- standard's empty-input grand total (empty-input gate, round 8).
+HAVING COUNT(*) > 0
 """,
 )
 def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets (subtotals + grand total), one pass."""
+    """ROLLUP grouping sets (subtotals + grand total), one pass. On an
+    EMPTY relation the engine emits zero rows (no grand total) — the
+    oracle mirrors with HAVING COUNT(*) > 0."""
     li = load(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 6).alias("total_price")

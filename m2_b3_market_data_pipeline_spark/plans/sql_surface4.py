@@ -516,6 +516,9 @@ SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+-- empty-input contract: see rollup_lineitem (Spark emits zero rows on
+-- an empty relation; the HAVING is a no-op otherwise)
+HAVING COUNT(*) > 0
 """,
 )
 def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -336,3 +336,48 @@ def test_c4_line_filters_planted_lines(spark):
     assert got[2].n_lines == 0 and got[2].n_kept == 0 and got[2].clean_md5 is None
     assert got[3].n_kept == 0
     assert got[3].clean_md5 == hashlib.md5(b"").hexdigest()
+
+
+def test_empty_input_contract_representatives(spark, tmp_path):
+    """Degenerate-but-valid input: every operator family's
+    representative must run cleanly over ZERO-row tables (same schema),
+    and the round-8 empty-gate fixes must hold — no ANSI division crash
+    in the recall ratio, no read of a skipped write, zero rows (no
+    grand total) from Expand-based CUBE/ROLLUP, 0-not-NULL null counts
+    in the profiler."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import make_empty_data
+
+    argv = sys.argv
+    sys.argv = ["make_empty_data.py", "/root/testdata/sf0.001", str(tmp_path)]
+    try:
+        make_empty_data.main()
+    finally:
+        sys.argv = argv
+
+    from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+    from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
+
+    sf = str(tmp_path)
+    expect_rows = {
+        "cube_lineitem": 0,
+        "rollup_lineitem": 0,
+        "refined_write_roundtrip": 0,
+        "lsh_recall_check": 1,
+        "profile_events": 5,
+        "refined_pipeline": 0,
+        "minhash_dedup": 0,
+        "gopher_rules": 0,
+        "c4_line_filters": 0,
+        "sessionize_stats": 0,
+        "countmin_check": 0,
+    }
+    for name, want in expect_rows.items():
+        df = QUERIES[name](spark, sf)
+        rows = df.collect()
+        release_cached(df)
+        assert len(rows) == want, (name, len(rows), want)
+    lr = QUERIES["lsh_recall_check"](spark, sf).collect()[0]
+    assert lr.n_true_pairs == 0 and lr.recall is None
