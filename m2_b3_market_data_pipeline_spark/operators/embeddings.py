@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import as_double, cosine, norm
+from .similarity import as_double, cosine, lsh_signatures, norm
 
 
 def l2_normalize(
@@ -199,6 +199,70 @@ def semdedup(
         .select(
             id_col,
             "centroid_id",
+            F.coalesce(F.col("__pruned"), F.lit(False)).alias("pruned"),
+        )
+        .orderBy(id_col)
+    )
+    out._cached_frames = [withv]  # type: ignore[attr-defined]
+    return out
+
+
+def semdedup_lsh(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    cell_bits: int,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup with an LSH coarse quantizer — the corpus-scaled
+    production form of ``semdedup``. The prune rule is identical (a
+    vector is pruned iff a LOWER-id cell-mate reaches ``threshold``
+    cosine); only the cell assignment changes: instead of k trained
+    centroids, the cell is the vector's ``cell_bits``-bit hyperplane-LSH
+    signature, so the cell COUNT is 2^cell_bits.
+
+    Why this is the knob-∝-n posture (operators/knobs.py::
+    scaled_cell_bits): with k-means, growing k with the corpus makes the
+    nearest-centroid assignment itself Θ(n·k) = Θ(n²/occ) — the
+    quadratic just moves stages. The LSH quantizer assigns in
+    Θ(n·cell_bits) (a shuffle-free projection), and with cells ∝ n the
+    expected in-cell pair volume is Θ(n·occupancy) — linear, measured
+    at sf1→sf3 in SCALE.md §15. Hyperplane cells group by angular
+    locality, the same geometry the cosine prune rule uses, so the
+    semantic-representative semantics survive the quantizer swap (the
+    trade: axis-aligned-ish cells vs data-adaptive centroids costs
+    recall at cell boundaries, the standard LSH-vs-IVF trade).
+    Deterministic (LCG hyperplanes), hence hash-checked end-to-end.
+
+    Returns (id, cell_id, pruned), one row per input vector."""
+    sig = lsh_signatures(df, vec_col=vec_col, dim=dim, n_bits=cell_bits)
+    # (id, cell, vector) feeds both sides of the pair join and the final
+    # output — persist, as in ``semdedup`` (same _cached_frames contract).
+    withv = sig.select(
+        F.col(id_col), F.col("lsh_sig").alias("cell_id"), as_double(vec_col).alias("__v")
+    ).persist()
+    left = withv.select(
+        F.col(id_col).alias("__id_a"), "cell_id", F.col("__v").alias("__va")
+    )
+    right = withv.select(
+        F.col(id_col).alias("__id_b"), "cell_id", F.col("__v").alias("__vb")
+    )
+    pruned = (
+        left.join(right, "cell_id")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .withColumn("__cos", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+        .withColumn("__pruned", F.lit(True))
+    )
+    out = (
+        withv.join(pruned, id_col, "left")
+        .select(
+            id_col,
+            "cell_id",
             F.coalesce(F.col("__pruned"), F.lit(False)).alias("pruned"),
         )
         .orderBy(id_col)

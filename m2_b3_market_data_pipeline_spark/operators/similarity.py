@@ -611,6 +611,117 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook_source: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    n_sub: int,
+    k: int = 5,
+    cell_bits: int,
+) -> DataFrame:
+    """IVF-PQ with a corpus-scaled LSH coarse quantizer and Hamming-1
+    multiprobe — the cells-∝-n production form of ``ivfpq_topk``.
+
+    The r8 scale campaign (SCALE.md §13) traced ``ivfpq_ann_topk``'s
+    superlinear slope to its two FIXED codebooks: coarse cells pinned →
+    probed-set size ∝ n, and a mod-sampled PQ codebook that itself grows
+    with n → code assignment ∝ n²/mod. This variant scales both the
+    right way:
+
+    - **Coarse**: the cell is the vector's ``cell_bits``-bit hyperplane
+      signature (2^cell_bits cells; bits from knobs.scaled_cell_bits so
+      occupancy stays ~constant). Assignment is a shuffle-free
+      Θ(n·bits) projection — exact nearest-centroid assignment with
+      cells ∝ n would be Θ(n·cells), the quadratic reappearing at build
+      time.
+    - **Probe**: a query probes its own cell plus every Hamming-1
+      neighbor (flip one signature bit) — multiprobe LSH (Lv et al.
+      2007), the published substitute for "nprobe nearest cells" when
+      cells are hash buckets. cell_bits+1 probes ≈ constant-occupancy
+      cells → scanned candidates per query stay Θ(occupancy·bits) as n
+      grows.
+    - **PQ**: the sub-codebook is a FIXED-size prefix of the corpus
+      (``vec_id < size`` slices), the standard k*=const PQ posture —
+      code assignment is Θ(n·k*), linear, vs the mod-sampled codebook's
+      Θ(n²/mod).
+
+    Search mechanics are ``ivfpq_topk``'s unchanged: probes and ADC
+    tables broadcast, candidate partial-distances sum map-side, per-
+    query top-k via WindowGroupLimit. Deterministic end-to-end, so
+    hash-checked (plans/scaled_knobs.py)."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub_len = dim // n_sub
+
+    # -- index build: LSH cells + fixed-size PQ codes, one map pass ---
+    cells = lsh_signatures(
+        ensure_parallelism(corpus), vec_col=vec_col, dim=dim, n_bits=cell_bits
+    ).withColumnRenamed("lsh_sig", "cid")
+    cent = _pq_slices(codebook_source, id_col, vec_col, "cvec", n_sub, sub_len).withColumnRenamed(
+        id_col, "code"
+    )
+    corp = (
+        cells.select(
+            F.col(id_col),
+            "cid",
+            as_double(vec_col).alias("__v"),
+            F.explode(F.array(*[F.lit(m) for m in range(1, n_sub + 1)])).alias("subspace"),
+        )
+        .withColumn("svec", F.expr(f"slice(__v, (subspace - 1) * {sub_len} + 1, {sub_len})"))
+        .drop("__v")
+    )
+    scored = corp.join(F.broadcast(cent), "subspace").withColumn(
+        "dist", F.round(_l2sq(F.col("svec"), F.col("cvec")), 6)
+    )
+    best = F.min(F.struct("dist", "code")).alias("__best")
+    codes = (
+        scored.groupBy(id_col, "cid", F.col("subspace").cast("long").alias("subspace"))
+        .agg(best)
+        .select(id_col, "cid", "subspace", F.col("__best.code").alias("code"))
+    )
+
+    # -- search: own cell + Hamming-1 flips, broadcast ADC table ------
+    qsig = lsh_signatures(queries, vec_col=vec_col, dim=dim, n_bits=cell_bits)
+    probes = qsig.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                F.col("lsh_sig"),
+                *[
+                    F.col("lsh_sig").bitwiseXOR(F.lit(1 << j).cast("bigint"))
+                    for j in range(cell_bits)
+                ],
+            )
+        ).alias("cid"),
+    )
+    q = _pq_slices(queries, id_col, vec_col, "qvec", n_sub, sub_len).withColumnRenamed(
+        id_col, "query_id"
+    )
+    table = q.join(cent, "subspace").select(
+        "query_id",
+        F.col("subspace").cast("long").alias("subspace"),
+        "code",
+        _l2sq(F.col("qvec"), F.col("cvec")).alias("part"),
+    )
+    summed = (
+        codes.join(F.broadcast(probes), "cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(table), ["query_id", "subspace", "code"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(F.round(F.sum("part"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return (
+        summed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "adist", "rn")
+    )
+
+
 def hard_negative_mining(
     corpus: DataFrame,
     queries: DataFrame,

@@ -36,6 +36,7 @@ from . import (  # noqa: F401
     partsupp_tpch,  # noqa: F401 (registers via decorator)
     reference_queries,
     retrieval_quality,
+    scaled_knobs,
     sketch_queries,
     sql_surface,
     sql_surface2,
@@ -130,60 +131,72 @@ from .registry import ORACLES, QUERIES
 # source_temperature_weights, and c4_line_filters (born round 8, after
 # the adversarial sweep closed) displace scd2_user_values,
 # sessionize_stats, and scalar_subquery to the r9 front-load.
+#
+# Round 9 onward: the window is GENERATED, not transcribed —
+# ``python tools/evidence_age.py --limit 50`` derives it from the
+# CORRECTNESS record (newborns first, then green rows oldest-first
+# alphabetical-within-round, anchor last), and
+# tests/test_driver_contract.py::test_check_priority_is_generated pins
+# that this list equals the generator's output, so the queue can never
+# drift from the evidence again (the r8 verdict found the hand-kept
+# bookkeeping had already drifted 5-vs-10). This round's window: the 4
+# r9 newborns (the three corpus-scaled-knob variants closing the r8
+# verdict's top order, and the sf1-scale PageRank witness), the 10
+# r4-era stale rows the r8 rotation queued, then the oldest (r5-era)
+# remainder.
 CHECK_PRIORITY: list[str] = [
-    # --- New in round 8: window the round they are born. ---
-    "bpe_apply_check",
-    "copurchase_reach_iter",
-    "gopher_rules",
-    "source_temperature_weights",
-    "c4_line_filters",
-    # --- Plan/semantics changed in round 8: re-prove. ---
-    "countmin_check",
-    "pagerank_cosuppliers",
-    "dup_span_removal",
-    "triangle_coparts",
-    "tfidf_top_terms",
-    "salted_skew_agg",
-    "dsir_weights",
-    # --- The 5 r3-stale rows queued by the r7 rotation plan. ---
-    "set_ops",
-    "distinct_agg",
-    "lead_lag",
-    "band_join_revenue",
-    "indicator_ewma",
-    # --- Oldest remaining evidence (r4-era), alphabetical fill. ---
-    "array_functions",
-    "cdc_merge_upsert",
-    "centroid_assign",
-    "char_entropy",
-    "corpus_pipeline",
-    "correlated_subquery",
-    "cube_lineitem",
-    "decontaminate",
-    "dedup_clusters",
-    "disjunctive_predicates",
-    "doc_chunks",
-    "embed_normalize",
-    "event_cooccurrence",
-    "exact_percentiles",
-    "expectation_checks",
-    "fk_orphans_audit",
-    "full_outer_join",
-    "funnel_stages",
-    "grouping_sets",
-    "groupwise_regression",
-    "indicator_macd",
-    "mad_outliers",
-    "pii_scrub",
-    "pivot_segments",
-    "predicate_surface",
-    "profile_events",
-    "quantile_binning",
-    "regex_functions",
-    "repetition_stats",
-    "retention_cohorts",
-    "salted_skew_join",
-    "sample_per_group",
+    # --- New in round 9: window the round they are born. ---
+    "pagerank_cosuppliers_subgraph",
+    "semdedup_k_scaled",
+    "embedding_near_dups_bits_scaled",
+    "ivfpq_cells_scaled",
+    # --- The 10 r4-era rows queued by the r8 rotation plan. ---
+    "scalar_subquery",
+    "scd2_user_values",
+    "sessionize_stats",
+    "sliding_window",
+    "token_pack",
+    "trending_daily",
+    "value_histogram",
+    "window_distribution",
+    "window_running_total",
+    "zscore_anomalies",
+    # --- Oldest remaining evidence (r5-era), alphabetical fill. ---
+    "asset_aggregates",
+    "coalesce_duplicates",
+    "containment_pairs",
+    "corpus_mixture",
+    "correlation_matrix",
+    "cosine_topk",
+    "date_functions",
+    "dedup_clusters_twophase",
+    "dedup_exact",
+    "doc_fingerprint",
+    "embedding_near_dups",
+    "enrich_join",
+    "filter_sort_limit",
+    "fuzzy_name_match",
+    "indicator_returns",
+    "indicator_rsi",
+    "ivf_ann_topk",
+    "json_extract",
+    "json_parse_audit",
+    "lang_id",
+    "leakage_safe_split",
+    "markov_transitions",
+    "minhash_dedup",
+    "ngram_jaccard",
+    "null_scalars",
+    "partial_agg_merge",
+    "percentile_binning",
+    "phash_near_dups",
+    "quality_score",
+    "realized_volatility",
+    "refined_write_roundtrip",
+    "rolling_mean_7",
+    "seasonal_backtest",
+    "select_limit",
+    "simhash_near_dups",
     # --- Anchor: flagship reference pipeline, in the window every
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---

@@ -78,6 +78,64 @@ def pagerank_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     out._cached_frames = pr._cached_frames  # survive the orderBy wrapper
     return out
 
+
+# Deterministic node sample for the sf1-scale PageRank witness: keep a
+# supplier iff the first hex nibble of md5(suppkey-as-string) is '0'
+# (~1/16 of nodes, hash-uniform, engine-identical — both engines emit
+# lowercase hex md5 of the same decimal string).
+_PR_SAMPLE_SQL = "substr(md5(CAST({k} AS STRING)), 1, 1) = '0'"
+
+
+@register(
+    "pagerank_cosuppliers_subgraph",
+    oracle=f"""
+WITH su0 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+su AS (SELECT * FROM su0 WHERE {_PR_SAMPLE_SQL.format(k="l_suppkey")}),
+e AS (
+    SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+    FROM su a JOIN su b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+p0 AS (SELECT node, CAST(1 AS DOUBLE) / nn.n AS pr FROM nodes CROSS JOIN n nn),
+{_PR_ITER_CTES}
+SELECT node, pr AS pagerank FROM p{PR_ITERS} ORDER BY node
+""",
+)
+def pagerank_cosuppliers_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pagerank_cosuppliers`` on a deterministic md5-seeded node
+    sample (~1/16 of suppliers, so ~1/256 of co-supply edges) — the
+    bounded differential witness the r8 verdict ordered: at sf1 the
+    FULL graph's unrolled-CTE oracle out-scales DuckDB (>70 GB spill
+    while Spark finished in 18s), so 10×-scale hash evidence for the
+    operator comes from this subgraph instead, where both engines run
+    the identical trajectory. The sample pushes BELOW the edge-build
+    self-join (suppliers filter before pairing) — at 100 TB the witness
+    costs 1/256 of the edge build, not a full-graph pass; the full-graph
+    companion evidence is the Spark-side rank-conservation invariant
+    (tests/test_round9.py::test_pagerank_rank_sum_conserved)."""
+    from ..operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    su = (
+        li.select("l_orderkey", "l_suppkey")
+        .distinct()
+        .filter(F.expr(_PR_SAMPLE_SQL.format(k="l_suppkey")))
+    )
+    a = su.select(F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("src"))
+    b = su.select(F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("dst"))
+    edges = (
+        a.join(b, "__ok")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    pr = pagerank(edges, damping=PR_DAMPING, iters=PR_ITERS)
+    out = pr.orderBy("node")
+    out._cached_frames = pr._cached_frames
+    return out
+
 @register(
     "triangle_coparts",
     oracle="""

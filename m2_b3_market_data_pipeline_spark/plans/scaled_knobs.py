@@ -1,0 +1,221 @@
+"""Corpus-scaled-knob variants of the three fixed-knob quantized
+operators — the r8 verdict's top order.
+
+SCALE.md §13 measured superlinear sf1→sf3 slopes on ``semdedup_prune``
+(7.1×), ``embedding_near_dups`` (7.7×) and ``ivfpq_ann_topk`` (3.9×),
+each caused by a quantization knob pinned for oracle determinism. These
+three queries are the production posture — the knob derived from the
+corpus cardinality (operators/knobs.py) — registered as first-class
+oracle-checked queries, so the "near-linear at scale" claim is
+gate-checked, not argued. The DuckDB oracles compute the SAME knob from
+``COUNT(*)`` (knobs.knob_sql), so one SQL string stays correct at every
+scale factor (driver sf0.01, local sf1/sf3 differential gates).
+
+Knob parity: Spark reads the corpus cardinality once at plan-build time
+(the count() over the validity-filtered scan — at production scale,
+catalog statistics); the oracle reads it as a scalar subquery. The
+ceil(log2(·)) formula is engine-exact (knobs.py module doc).
+
+The fixed-knob originals stay registered — they are the judged
+baselines whose slopes named the problem; these are the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.embeddings import semdedup_lsh
+from ..operators.knobs import knob_sql, scaled_band_bits, scaled_cell_bits
+from ..operators.similarity import ivfpq_multiprobe_topk, lsh_near_dup_pairs
+from .dedup_quality import SEM_THRESHOLD
+from .expansion_similarity import (
+    _PQ_LEN,
+    _lsh_sig_sql,
+    EMBED_DIM,
+    NEAR_DUP_THRESHOLD,
+    PQ_SUB,
+    QUERY_MOD,
+    TOP_K,
+)
+from .registry import load, register
+from .sql_fragments import EMB
+
+# Knob bounds — ONE definition each, consumed by both the Spark side
+# (operators/knobs.py defaults) and the oracle scalar below. hi bounds
+# double as the hyperplane-literal count in the oracle SQL (the oracle
+# always computes the widest signature and masks down to the knob).
+CELL_OCC, CELL_LO, CELL_HI = 64, 2, 20  # semdedup / IVF coarse cells
+BAND_OCC, BAND_LO, BAND_HI = 4, 4, 15   # near-dup band width
+ND_BANDS = 4                            # near-dup band COUNT (fixed)
+PQ_CODEBOOK = 64                        # fixed PQ k* (prefix codebook)
+
+_CELL_KNOB = knob_sql(occupancy=CELL_OCC, lo=CELL_LO, hi=CELL_HI, count_from=EMB)
+_BAND_KNOB = knob_sql(occupancy=BAND_OCC, lo=BAND_LO, hi=BAND_HI, count_from=EMB)
+
+_COS_AB = (
+    "ROUND(list_inner_product(a.v, b.v) / "
+    "(sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6)"
+)
+
+
+def _emb_count(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """The corpus and its valid-vector cardinality (the one plan-build
+    scalar the scaled knobs need; see knobs.py module doc)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb, emb.count()
+
+
+@register(
+    "semdedup_k_scaled",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
+cells AS (
+    SELECT vec_id, v,
+           ({_lsh_sig_sql("v", n_bits=CELL_HI)})
+               % CAST(pow(2, {_CELL_KNOB}) AS BIGINT) AS cell_id
+    FROM c),
+pr AS (
+    SELECT b.vec_id, TRUE AS pruned
+    FROM cells a JOIN cells b
+      ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    WHERE {_COS_AB} >= {SEM_THRESHOLD}
+    GROUP BY b.vec_id)
+SELECT w.vec_id, w.cell_id, COALESCE(p.pruned, FALSE) AS pruned
+FROM cells w LEFT JOIN pr p ON p.vec_id = w.vec_id
+ORDER BY w.vec_id
+""",
+)
+def semdedup_k_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the cell count ∝ corpus size (k-∝-n posture):
+    cells = 2^bits hyperplane-LSH buckets with bits =
+    scaled_cell_bits(n), so expected occupancy — and with it the
+    in-cell pair volume that made the fixed-k form 7.1× at 3× data —
+    stays ~constant (operators/embeddings.py::semdedup_lsh; slope
+    measured in SCALE.md §15). Same prune rule as ``semdedup_prune``."""
+    emb, n = _emb_count(spark, sf_dir)
+    return semdedup_lsh(
+        emb,
+        dim=EMBED_DIM,
+        cell_bits=scaled_cell_bits(n, target_occupancy=CELL_OCC, lo=CELL_LO, hi=CELL_HI),
+        threshold=SEM_THRESHOLD,
+    )
+
+
+@register(
+    "embedding_near_dups_bits_scaled",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
+sigs AS (SELECT vec_id, {_lsh_sig_sql("v", n_bits=ND_BANDS * BAND_HI)} AS sig FROM c),
+bands AS (
+    SELECT vec_id, b AS band_id,
+           (sig // CAST(pow(2, b * {_BAND_KNOB}) AS BIGINT))
+               % CAST(pow(2, {_BAND_KNOB}) AS BIGINT) AS band_val
+    FROM sigs, unnest([{", ".join(str(b) for b in range(ND_BANDS))}]) AS t(b)),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+SELECT p.id_a, p.id_b,
+       ROUND(list_inner_product(sa.v, sb.v) /
+             (sqrt(list_inner_product(sa.v, sa.v)) * sqrt(list_inner_product(sb.v, sb.v))), 6) AS cos
+FROM cand p
+JOIN c sa ON sa.vec_id = p.id_a
+JOIN c sb ON sb.vec_id = p.id_b
+WHERE ROUND(list_inner_product(sa.v, sb.v) /
+            (sqrt(list_inner_product(sa.v, sa.v)) * sqrt(list_inner_product(sb.v, sb.v))), 6)
+      >= {NEAR_DUP_THRESHOLD}
+""",
+)
+def embedding_near_dups_bits_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with the band WIDTH ∝ log n (band count
+    fixed at {ND_BANDS}): per-band buckets number 2^bits, so bucket
+    occupancy — and with it the candidate-pair volume that made the
+    fixed-width form 7.7× at 3× data — stays ~constant as the corpus
+    grows. Same verify (exact cosine on candidates, precision 1.0) and
+    threshold as ``embedding_near_dups``; slope in SCALE.md §15."""
+    emb, n = _emb_count(spark, sf_dir)
+    bb = scaled_band_bits(n, target_occupancy=BAND_OCC, lo=BAND_LO, hi=BAND_HI)
+    return lsh_near_dup_pairs(
+        emb,
+        dim=EMBED_DIM,
+        threshold=NEAR_DUP_THRESHOLD,
+        n_bits=ND_BANDS * bb,
+        band_bits=bb,
+    )
+
+
+_PQ_DIST_P = (
+    "ROUND(list_sum([ (s.sv[i] - pcent.cv[i]) * (s.sv[i] - pcent.cv[i]) "
+    f"for i in generate_series(1, {_PQ_LEN}) ]), 6)"
+)
+
+
+@register(
+    "ivfpq_cells_scaled",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
+sigs AS (
+    SELECT vec_id,
+           ({_lsh_sig_sql("v", n_bits=CELL_HI)})
+               % CAST(pow(2, {_CELL_KNOB}) AS BIGINT) AS cid
+    FROM c),
+qsig AS (SELECT vec_id AS query_id, cid FROM sigs WHERE vec_id % {QUERY_MOD} = 0),
+probe AS (
+    SELECT query_id, cid FROM qsig
+    UNION ALL
+    SELECT query_id, xor(cid, CAST(pow(2, j) AS BIGINT)) AS cid
+    FROM qsig, unnest(generate_series(0, {_CELL_KNOB} - 1)) AS t(j)),
+m AS (SELECT unnest(generate_series(1, {PQ_SUB})) AS m),
+sub AS (
+    SELECT vec_id, m, list_slice(v, (m - 1) * {_PQ_LEN} + 1, m * {_PQ_LEN}) AS sv
+    FROM c, m),
+pcent AS (
+    SELECT vec_id AS code, m, list_slice(v, (m - 1) * {_PQ_LEN} + 1, m * {_PQ_LEN}) AS cv
+    FROM c, m WHERE vec_id < {PQ_CODEBOOK}),
+codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, pcent.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {_PQ_DIST_P} ASC, pcent.code) AS rn
+        FROM sub s JOIN pcent ON s.m = pcent.m) WHERE rn = 1),
+qs AS (SELECT vec_id AS query_id, m, sv AS qv2 FROM sub WHERE vec_id % {QUERY_MOD} = 0),
+tbl AS (
+    SELECT qs.query_id, qs.m, pcent.code,
+           list_sum([ (qs.qv2[i] - pcent.cv[i]) * (qs.qv2[i] - pcent.cv[i])
+                      for i in generate_series(1, {_PQ_LEN}) ]) AS part
+    FROM qs JOIN pcent ON qs.m = pcent.m),
+summed AS (
+    SELECT t.query_id, k.vec_id AS neighbor_id, ROUND(SUM(t.part), 6) AS adist
+    FROM codes k
+    JOIN sigs s ON s.vec_id = k.vec_id
+    JOIN probe p ON p.cid = s.cid
+    JOIN tbl t ON t.query_id = p.query_id AND t.m = k.m AND t.code = k.code
+    WHERE k.vec_id <> p.query_id
+    GROUP BY t.query_id, k.vec_id)
+SELECT query_id, neighbor_id, adist, rn FROM (
+    SELECT query_id, neighbor_id, adist,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adist ASC, neighbor_id) AS rn
+    FROM summed) WHERE rn <= {TOP_K}
+""",
+)
+def ivfpq_cells_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN with coarse cells ∝ corpus size: LSH cells with bits =
+    scaled_cell_bits(n) (occupancy ~{CELL_OCC}), Hamming-1 multiprobe,
+    and a FIXED-size PQ codebook (k* = {PQ_CODEBOOK} prefix vectors) —
+    the two levers that made the fixed-knob ``ivfpq_ann_topk`` 3.9× at
+    3× data, both scaled the production way (operators/similarity.py::
+    ivfpq_multiprobe_topk; slope in SCALE.md §15)."""
+    emb, n = _emb_count(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
+    codebook = emb.filter(F.col("vec_id") < PQ_CODEBOOK)
+    return ivfpq_multiprobe_topk(
+        emb,
+        queries,
+        codebook,
+        dim=EMBED_DIM,
+        n_sub=PQ_SUB,
+        k=TOP_K,
+        cell_bits=scaled_cell_bits(n, target_occupancy=CELL_OCC, lo=CELL_LO, hi=CELL_HI),
+    )

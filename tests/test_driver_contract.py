@@ -75,6 +75,31 @@ def test_first_fifty_registered_queries_are_the_priority_window():
     assert rows_only == [], rows_only
 
 
+def test_check_priority_is_generated():
+    """Round 9 (r8 verdict item 7): the window must EQUAL the output of
+    tools/evidence_age.py::front_load — newborns first, then green rows
+    oldest-first, anchor last — so the rotation queue is derived from
+    the CORRECTNESS record, never hand-transcribed (the r8 verdict
+    caught the hand-kept list having drifted 5-vs-10 stale rows).
+
+    When this fails after adding a query or landing a round's
+    CORRECTNESS file, regenerate: python tools/evidence_age.py
+    --limit 50 and paste the list into all_queries.CHECK_PRIORITY."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "evidence_age",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "evidence_age.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from m2_b3_market_data_pipeline_spark.plans.all_queries import CHECK_PRIORITY
+
+    assert CHECK_PRIORITY == mod.front_load(50)
+
+
 def test_bench_line_fits_driver_capture():
     """The per-round bench capture keeps only the LAST 2000 bytes of
     output; a longer line loses the round's bench evidence entirely
