@@ -229,7 +229,7 @@ def semdedup_lsh(
     quadratic just moves stages. The LSH quantizer assigns in
     Θ(n·cell_bits) (a shuffle-free projection), and with cells ∝ n the
     expected in-cell pair volume is Θ(n·occupancy) — linear, measured
-    at sf1→sf3 in SCALE.md §15. Hyperplane cells group by angular
+    at sf1→sf3 in SCALE.md §14. Hyperplane cells group by angular
     locality, the same geometry the cosine prune rule uses, so the
     semantic-representative semantics survive the quantizer swap (the
     trade: axis-aligned-ish cells vs data-adaptive centroids costs

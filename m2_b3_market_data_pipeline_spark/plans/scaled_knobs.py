@@ -92,7 +92,7 @@ def semdedup_k_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled_cell_bits(n), so expected occupancy — and with it the
     in-cell pair volume that made the fixed-k form 7.1× at 3× data —
     stays ~constant (operators/embeddings.py::semdedup_lsh; slope
-    measured in SCALE.md §15). Same prune rule as ``semdedup_prune``."""
+    measured in SCALE.md §14). Same prune rule as ``semdedup_prune``."""
     emb, n = _emb_count(spark, sf_dir)
     return semdedup_lsh(
         emb,
@@ -133,7 +133,7 @@ def embedding_near_dups_bits_scaled(spark: SparkSession, sf_dir: str) -> DataFra
     occupancy — and with it the candidate-pair volume that made the
     fixed-width form 7.7× at 3× data — stays ~constant as the corpus
     grows. Same verify (exact cosine on candidates, precision 1.0) and
-    threshold as ``embedding_near_dups``; slope in SCALE.md §15."""
+    threshold as ``embedding_near_dups``; slope in SCALE.md §14."""
     emb, n = _emb_count(spark, sf_dir)
     bb = scaled_band_bits(n, target_occupancy=BAND_OCC, lo=BAND_LO, hi=BAND_HI)
     return lsh_near_dup_pairs(
@@ -206,7 +206,7 @@ def ivfpq_cells_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a FIXED-size PQ codebook (k* = {PQ_CODEBOOK} prefix vectors) —
     the two levers that made the fixed-knob ``ivfpq_ann_topk`` 3.9× at
     3× data, both scaled the production way (operators/similarity.py::
-    ivfpq_multiprobe_topk; slope in SCALE.md §15)."""
+    ivfpq_multiprobe_topk; slope in SCALE.md §14)."""
     emb, n = _emb_count(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % QUERY_MOD == 0)
     codebook = emb.filter(F.col("vec_id") < PQ_CODEBOOK)
