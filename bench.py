@@ -187,6 +187,26 @@ def main() -> None:
         for q, t in parsed.get("queries", {}).items():
             if q in best_known and isinstance(t, (int, float)):
                 best_known[q] = min(best_known[q], t)
+    # Re-baselined best-knowns (round 9, r8 verdict item 4): a best-known
+    # set by a PRE-FLOOR plan in a fast VM window is not a target the
+    # current (better-at-scale) plan can ever hit, so it flags forever
+    # and trains everyone to ignore the flag list. For queries whose
+    # plan change was ADJUDICATED a win (same-window A/B + plan pins,
+    # BASELINE.md rounds 7-8), historical numbers below the floored
+    # form's recorded best are clamped UP to it; the current run can
+    # still lower the bar by actually beating it. Values = the floored
+    # form's best across every recorded round since the floor landed
+    # (r7: 1.70/1.17, r8: 1.09/1.22) — the r9 measurement day was a
+    # documented slow phase (best-of-3 idle 1.16-3.60s / 1.74-2.24s), so
+    # the recorded-round min is the tighter, more defensible bar
+    # (BASELINE.md "Round-9 re-baseline").
+    REBASED_FLOOR = {
+        "boilerplate_frac": 1.09,
+        "dsir_weights": 1.17,
+    }
+    for q, floor_t in REBASED_FLOOR.items():
+        if q in best_known:
+            best_known[q] = min(timings[q], max(best_known[q], floor_t))
     flagged = sorted(
         q for q, t in timings.items() if t > 2 * best_known[q] and t - best_known[q] > 0.5
     )

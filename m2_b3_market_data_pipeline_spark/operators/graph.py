@@ -316,6 +316,30 @@ def bounded_reach(
     return reached
 
 
+# Wedge-stage sizing (SCALE.md §13 finding 1): the orientation bounds
+# TOTAL wedge volume, but not wedge volume PER PARTITION — at sf3 the
+# wedge join GC-thrashed an 8 GB JVM at the session default of 32
+# shuffle partitions (38M wedge rows each) and ran cleanly linear at 96
+# (13M each). Target ~8M wedge rows per partition, a ~2x margin under
+# the measured-clean density.
+WEDGE_ROWS_PER_PARTITION = 8_000_000
+WEDGE_PARTITION_CAP = 10_000  # scheduler-overhead guard
+
+
+def wedge_partitions(wedges_est: int, session_parts: int) -> int | None:
+    """Partition count for the wedge-producing and wedge-closing
+    exchanges, derived from the EXACT oriented wedge count (sum of
+    outdeg-choose-2 — cheap: one aggregate over the persisted oriented
+    edges). Returns None when the session default already keeps
+    partitions under the target — small inputs get an UNCHANGED plan
+    (pinned in tests), mirroring how ensure_parallelism scopes its
+    floor."""
+    need = -(-wedges_est // WEDGE_ROWS_PER_PARTITION)  # ceil
+    if need <= session_parts:
+        return None
+    return min(need, WEDGE_PARTITION_CAP)
+
+
 def triangle_counts(
     edges: DataFrame,
     *,
@@ -345,6 +369,16 @@ def triangle_counts(
     closes wedges against the oriented edge set — all equi-joins, no
     disjunctions, no cross product. Corner counts ride an explode +
     sum with map-side combine.
+
+    Wedge-stage partitioning is SELF-SIZING (``wedge_partitions``): the
+    orientation bounds total wedge volume but not volume per partition,
+    and SCALE.md §13 measured the sf3 wedge stage OOMing at the session
+    default partition count while linear at 3x that. The operator
+    computes the exact oriented wedge count (one aggregate on the
+    already-persisted oriented frame) and widens the two wedge-bearing
+    exchanges to ~{WEDGE_ROWS_PER_PARTITION} rows each when — and only
+    when — the session default would exceed that density; small inputs
+    keep an unchanged plan (pinned in tests/test_round9.py).
 
     Returns (node, triangles, clustering_coeff) for every node with at
     least one edge; coefficient = 2T / (deg * (deg-1)), 0 when deg < 2,
@@ -403,12 +437,38 @@ def triangle_counts(
         )
         .persist()
     )
+    # Wedge-stage partition rule (r8 verdict item 3, automatic now):
+    # the exact wedge count is one aggregate over the persisted
+    # oriented frame (sum of outdeg-choose-2; the materialization was
+    # needed by the wedge join anyway), read as a single driver scalar
+    # to size the plan — the same bounded-scalar class as the BPE
+    # argmax and the label-prop convergence count. When the estimate
+    # exceeds the target per-partition density, BOTH wedge-bearing
+    # exchanges (the producing self-join and the closing join, which
+    # re-shuffles the full wedge set on (p, q)) are widened; on small
+    # inputs the plan is untouched.
+    wedges_est = int(
+        oriented.groupBy("src")
+        .agg(F.count("*").alias("__c"))
+        .agg(F.sum(F.col("__c") * (F.col("__c") - 1) / 2).alias("__w"))
+        .first()[0]
+        or 0
+    )
+    spark = edges.sparkSession
+    parts = wedge_partitions(
+        wedges_est, int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
     # Wedges rooted at the lowest-rank corner, arms in rank order;
     # close each against the oriented edge set (x->p, x->q, p->q).
     w1 = oriented.select("src", F.col("dst").alias("p"), F.col("dst_rank").alias("pr"))
     w2 = oriented.select("src", F.col("dst").alias("q"), F.col("dst_rank").alias("qr"))
+    if parts is not None:
+        w1 = w1.repartition(parts, "src")
+        w2 = w2.repartition(parts, "src")
     wedges = w1.join(w2, "src").filter(F.col("pr") < F.col("qr"))
     closing = oriented.select(F.col("src").alias("p"), F.col("dst").alias("q"))
+    if parts is not None:
+        wedges = wedges.repartition(parts, "p", "q")
     triangles = wedges.join(closing, ["p", "q"]).select(
         F.col("src").alias("x"), "p", "q"
     )

@@ -201,6 +201,37 @@ def test_pagerank_subgraph_sample_pushes_below_edge_build(spark, sf_dir):
     assert first_md5 > first_join, plan[:2000]
 
 
+def test_wedge_partitions_rule():
+    """The self-sizing wedge-stage rule (r8 verdict item 3): no-op at or
+    under the session default, exact ceil above it, capped."""
+    from m2_b3_market_data_pipeline_spark.operators.graph import (
+        WEDGE_PARTITION_CAP,
+        WEDGE_ROWS_PER_PARTITION,
+        wedge_partitions,
+    )
+
+    assert wedge_partitions(0, 32) is None
+    assert wedge_partitions(32 * WEDGE_ROWS_PER_PARTITION, 32) is None
+    assert wedge_partitions(32 * WEDGE_ROWS_PER_PARTITION + 1, 32) == 33
+    # the measured sf3 volume (1.23B wedges) at the 32-partition default
+    assert wedge_partitions(1_232_624_730, 32) == 155
+    assert wedge_partitions(10**15, 32) == WEDGE_PARTITION_CAP
+
+
+def test_triangle_plan_unwidened_on_small_input(spark, sf_dir):
+    """On small inputs the wedge rule must leave the plan untouched —
+    no RepartitionByExpression anywhere in triangle_coparts' plan."""
+    from m2_b3_market_data_pipeline_spark.plans.graph_queries import (
+        triangle_coparts,
+    )
+
+    df = triangle_coparts(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for f in getattr(df, "_cached_frames", []):
+        f.unpersist()
+    assert "RepartitionByExpression" not in plan, plan[:1500]
+
+
 def test_semdedup_lsh_cells_are_signature_prefix(spark, sf_dir):
     """cell_bits=b cells must equal the low b bits of a wider
     signature — the contract that lets the oracle compute one wide
