@@ -46,14 +46,11 @@ HEADLINE = [
     "window_rank",
     "asof_join_quotes",
     "resample_ohlc",
-    "tumbling_window",
     "session_window",
-    "dedup_exact",
     "minhash_dedup",
     "ngram_jaccard",
     "simhash_signatures",
     "cosine_topk",
-    "text_stats",
     "tfidf_top_terms",
     # added with round-1 coverage growth (TPC-H wave 4, streaming joins,
     # IVF ANN) — totals before/after are not comparable 1:1; compare
@@ -87,7 +84,6 @@ HEADLINE = [
     "approx_quantile_check",
     "ann_recall_check",
     "boilerplate_frac",
-    "token_fertility",
     "quality_gate_funnel",
     "audio_frame_energy",
     "lsh_recall_check",
@@ -132,6 +128,19 @@ HEADLINE = [
     # dominated by session fan-out of a 20-row aggregate) stay out —
     # families covered by this rep and the hash-checked rows.
     "gopher_rules",
+    # round-9: the corpus-scaled-knob production forms of the three
+    # §13-superlinear operators (SCALE.md §14) join their fixed-knob
+    # judged baselines so the scale path has per-round perf evidence.
+    # Capture-cap rotation (standing policy — history persists in
+    # BENCH_r01-r08): text_stats (0.30s; text-signal family covered by
+    # gopher_rules + tfidf_top_terms), tumbling_window (0.32s;
+    # streaming-window family keeps session_window), dedup_exact
+    # (0.47s hash-groupBy; dedup family keeps minhash/ngram/simhash,
+    # correctness row in the r9 window), token_fertility (0.43s;
+    # tokenizer family keeps bpe_learn_merges + bpe_apply_check row).
+    "semdedup_k_scaled",
+    "embedding_near_dups_bits_scaled",
+    "ivfpq_cells_scaled",
 ]
 
 
