@@ -271,6 +271,30 @@ def semdedup_lsh(
     return out
 
 
+def lsh_cell_assigner(*, dim: int, cell_bits: int):
+    """Factory: an LSH-cell assignment function with the SAME output
+    layout as ``assign_with_vector`` — (id, centroid_id, vector) — for
+    callers that take the quantizer as a strategy (the streaming
+    semantic-dedup sink). The cell is the vector's ``cell_bits``-bit
+    hyperplane signature, so assignment is a shuffle-free Θ(n·bits)
+    projection and the cell count scales as 2^bits — the same
+    cells-∝-corpus posture as ``semdedup_lsh`` / knobs.scaled_cell_bits,
+    here for continuous ingestion (bits are fixed for the stream's life
+    so cell ids stay stable across batches; pick them from the PLANNED
+    corpus size — re-sharding a live store is a rebuild, same as
+    re-training a codebook)."""
+
+    def assign(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+        sig = lsh_signatures(df, vec_col=vec_col, dim=dim, n_bits=cell_bits)
+        return sig.select(
+            F.col(id_col),
+            F.col("lsh_sig").alias("centroid_id"),
+            as_double(vec_col).alias(vec_col),
+        )
+
+    return assign
+
+
 def assign_with_vector(
     df: DataFrame,
     centroids: DataFrame,

@@ -75,18 +75,34 @@ def run_semdedup_stream(
     decisions_path: str,
     checkpoint_path: str,
     schema: T.StructType,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
     available_now: bool = True,
+    assign_fn=None,
 ) -> StreamingQuery:
     """Start the stream: file source over ``updates_path`` -> per-batch
     cell-local semantic dedup vs the admitted corpus + survivor merge.
 
-    ``centroids`` is the fixed coarse codebook (centroid_id, centroid) —
-    small by contract (it is broadcast inside every assignment), shared
-    by every batch so assignment is stable across the stream's life."""
+    The coarse quantizer is a strategy — exactly one of:
+
+    - ``centroids``: the fixed codebook (centroid_id, centroid), small
+      by contract (broadcast inside every assignment), shared by every
+      batch so assignment is stable across the stream's life; or
+    - ``assign_fn``: any df -> (id, centroid_id, vector) assignment
+      with the ``assign_with_vector`` layout — in practice
+      ``operators/embeddings.py::lsh_cell_assigner``, the cells-∝-corpus
+      posture (SCALE.md §14/§15): the codebook-form drain wall at 10x
+      backlog is the delta-vs-cell verify under a codebook whose cells
+      do NOT grow with the corpus; the LSH assigner keeps cell
+      occupancy bounded by sizing bits to the planned corpus.
+
+    Everything downstream of assignment — the shared prune rule, the
+    decisions/survivor writes, the crash-safe swap — is identical, so
+    the batch-equivalence and replay contracts hold for both."""
+    if (centroids is None) == (assign_fn is None):
+        raise ValueError("pass exactly one of centroids / assign_fn")
     stream = (
         spark.readStream.schema(schema)
         .option("recursiveFileLookup", "true")
@@ -106,12 +122,17 @@ def run_semdedup_stream(
             )
         if applied >= batch_id:
             return  # replayed batch: decisions + survivors already on disk
-        assigned = assign_with_vector(
-            batch_df.select(id_col, vec_col),
-            centroids,
-            id_col=id_col,
-            vec_col=vec_col,
-        ).persist()
+        if assign_fn is not None:
+            assigned = assign_fn(
+                batch_df.select(id_col, vec_col), id_col=id_col, vec_col=vec_col
+            ).persist()
+        else:
+            assigned = assign_with_vector(
+                batch_df.select(id_col, vec_col),
+                centroids,
+                id_col=id_col,
+                vec_col=vec_col,
+            ).persist()
         try:
             has_corpus = os.path.exists(state_path)
             if has_corpus:

@@ -146,6 +146,84 @@ def test_ivfpq_multiprobe_broadcasts_probes_and_table(spark, sf_dir):
     assert plan.count("BroadcastExchange") >= 2
 
 
+def test_semdedup_stream_lsh_assigner_matches_batch(spark, sf_dir, tmp_path):
+    """The sink with the cells-∝-corpus LSH assigner must reproduce the
+    sequential batch admission exactly — same shared prune rule, only
+    the quantizer strategy changed (SCALE.md §15 drain-wall note). Also
+    pins: exactly one of centroids/assign_fn, and replay adds nothing."""
+    from pyspark.sql import types as T
+
+    from m2_b3_market_data_pipeline_spark.operators.embeddings import (
+        lsh_cell_assigner,
+        semdedup_prune_assigned,
+    )
+    from m2_b3_market_data_pipeline_spark.streaming.semdedup_sink import (
+        read_assigned,
+        read_decisions,
+        run_semdedup_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    waves = [emb.filter(F.col("vec_id") % 3 == w) for w in range(3)]
+    assigner = lsh_cell_assigner(dim=64, cell_bits=3)
+
+    updates = str(tmp_path / "vec_in")
+    state = str(tmp_path / "store")
+    decisions_out = str(tmp_path / "dec")
+    ckpt = str(tmp_path / "ckpt")
+
+    with pytest.raises(ValueError, match="exactly one"):
+        run_semdedup_stream(
+            spark, updates_path=updates, state_path=state,
+            decisions_path=decisions_out, checkpoint_path=ckpt,
+            schema=schema,
+        )
+
+    def run():
+        run_semdedup_stream(
+            spark, updates_path=updates, state_path=state,
+            decisions_path=decisions_out, checkpoint_path=ckpt,
+            schema=schema, assign_fn=assigner, threshold=0.25,
+        ).awaitTermination(120)
+
+    for i, w in enumerate(waves):
+        w.write.parquet(f"{updates}/b{i}")
+        run()
+    run()  # replay-safe
+
+    got = {
+        (r.vec_id, r.centroid_id, r.pruned)
+        for r in read_decisions(spark, decisions_out).collect()
+    }
+
+    want = set()
+    corpus = None
+    for i, w in enumerate(waves):
+        assigned = assigner(w)
+        if i == 0:
+            dec = assigned.select(
+                "vec_id", "centroid_id", F.lit(False).alias("pruned")
+            )
+        else:
+            dec = semdedup_prune_assigned(assigned, corpus, threshold=0.25)
+        rows = dec.collect()
+        want |= {(r.vec_id, r.centroid_id, r.pruned) for r in rows}
+        keep = {r.vec_id for r in rows if not r.pruned}
+        survivors = assigned.filter(F.col("vec_id").isin(list(keep)))
+        corpus = survivors if corpus is None else corpus.unionByName(survivors)
+
+    assert got == want
+    assert any(p for _, _, p in got), "expected at least one pruned vector"
+    state_ids = {r.vec_id for r in read_assigned(spark, state).collect()}
+    assert state_ids == {v for v, _, p in want if not p}
+
+
 def test_pagerank_rank_sum_conserved(spark, sf_dir):
     """Full-graph companion to the sf1 subgraph witness
     (plans/graph_queries.py::pagerank_cosuppliers_subgraph): on the
