@@ -32,13 +32,17 @@ def test_knob_formula_engine_parity_sweep():
     ceil(log2) sits exactly on an integer), and off-by-ones around
     them. A disagreement here is a silent hash-divergence at some
     future scale factor, so pin the parity over a dense sweep."""
+    from m2_b3_market_data_pipeline_spark.plans import scaled_knobs as sk
+
     ns = list(range(0, 300)) + [
         2**k + d for k in range(8, 31) for d in (-1, 0, 1)
     ]
     for n in ns:
+        # bounds imported from the plan module so the sweep can never
+        # drift from what the registered queries actually use
         for occ, lo, hi, py in (
-            (64, 2, 20, scaled_cell_bits),
-            (4, 4, 15, scaled_band_bits),
+            (sk.CELL_OCC, sk.CELL_LO, sk.CELL_HI, scaled_cell_bits),
+            (sk.BAND_OCC, sk.BAND_LO, sk.BAND_HI, scaled_band_bits),
         ):
             sql = knob_sql(occupancy=occ, lo=lo, hi=hi, count_from="t")
             got = duckdb.sql(

@@ -18,7 +18,13 @@ profile_events, q21_sole_returned_supplier as of round 8) can flip
 hash when the REGISTRY ORDER around them changes, with every
 scale-relevant node count identical. When --diff flags one of these,
 compare the counts before treating it as a plan regression; a count
-change is always real.
+change is always real — with one caveat (round 9): an operator that
+executes a plan-SIZING action at build time (triangle_coparts' wedge
+estimate) materializes its persisted frames before the digest captures
+the plan, so InMemoryTableScan nodes print their full cached child
+plans and every count inflates by the embedded copies. For such
+operators compare the EXECUTED plan shape (tests pin it) rather than
+digest counts across the materialization change.
 """
 
 from __future__ import annotations
