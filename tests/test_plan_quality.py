@@ -433,6 +433,7 @@ def test_surface_wide_aggregate_and_join_lint(spark, sf_dir):
         # struct-argmin / first-last buffers
         "pq_codes", "pq_ann_topk", "ivfpq_ann_topk", "ivfpq_recall_check",
         "ivfpq_rerank_topk",  # inherits ivfpq_topk's struct-argmin stage 1
+        "ivfpq_cells_scaled",  # same struct-argmin PQ coding, LSH coarse
         "resample_ohlc", "streaming_dedup", "hard_negatives",
         "streaming_triplets",
         # collect_list over the BOUNDED k x dim centroid rebuild frame
