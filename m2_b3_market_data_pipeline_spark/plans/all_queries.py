@@ -144,6 +144,12 @@ from .registry import ORACLES, QUERIES
 # verdict's top order, and the sf1-scale PageRank witness), the 10
 # r4-era stale rows the r8 rotation queued, then the oldest (r5-era)
 # remainder.
+#
+# BASIS ROUND: the newest CORRECTNESS file this list was generated
+# against. The equality pin computes front_load over files <= this
+# round, so the DRIVER landing the current round's file mid-round does
+# not fail the suite; regenerating the list next round bumps it.
+CHECK_PRIORITY_BASIS_ROUND = 8
 CHECK_PRIORITY: list[str] = [
     # --- New in round 9: window the round they are born. ---
     "pagerank_cosuppliers_subgraph",

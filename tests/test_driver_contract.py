@@ -95,9 +95,14 @@ def test_check_priority_is_generated():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    from m2_b3_market_data_pipeline_spark.plans.all_queries import CHECK_PRIORITY
+    from m2_b3_market_data_pipeline_spark.plans.all_queries import (
+        CHECK_PRIORITY,
+        CHECK_PRIORITY_BASIS_ROUND,
+    )
 
-    assert CHECK_PRIORITY == mod.front_load(50)
+    assert CHECK_PRIORITY == mod.front_load(
+        50, through_round=CHECK_PRIORITY_BASIS_ROUND
+    )
 
 
 def test_bench_line_fits_driver_capture():

@@ -46,13 +46,21 @@ DELIBERATE_NO_HASH = {"approx_distinct_users", "approx_quantiles", "bpe_learn_me
 ANCHOR = "refined_pipeline"
 
 
-def newest_green() -> tuple[dict[str, int], int]:
-    """(query -> newest green round, latest round number on disk)."""
+def newest_green(through_round: int | None = None) -> tuple[dict[str, int], int]:
+    """(query -> newest green round, latest round number considered).
+
+    ``through_round`` caps which CORRECTNESS files count — the queue in
+    all_queries.py records the basis round it was generated against
+    (CHECK_PRIORITY_BASIS_ROUND), so the equality pin stays green when
+    the NEXT round's CORRECTNESS file lands mid-round; the next
+    builder regenerates and bumps the basis."""
     newest: dict[str, int] = {}
     latest = 0
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1))
+        if through_round is not None and rnd > through_round:
+            continue
         latest = max(latest, rnd)
         for name, row in json.load(open(path)).items():
             green = row.get("rows_match") and row.get("schema_match") and (
@@ -63,13 +71,13 @@ def newest_green() -> tuple[dict[str, int], int]:
     return newest, latest
 
 
-def front_load(limit: int = 50) -> list[str]:
+def front_load(limit: int = 50, through_round: int | None = None) -> list[str]:
     """The next driver window, fully generated: newborns (no green row
     anywhere) first, then green rows oldest-round-first (alphabetical
     within a round), with the anchor pinned to the final slot."""
     from m2_b3_market_data_pipeline_spark.plans import all_queries
 
-    newest, _ = newest_green()
+    newest, _ = newest_green(through_round)
     names = list(all_queries.QUERIES)
     skip = DELIBERATE_NO_HASH | {ANCHOR}
     newborn = [n for n in names if n not in newest and n not in skip]
