@@ -71,7 +71,6 @@ HEADLINE = [
     "trigram_lm_score",
     "containment_pairs",
     "phash_near_dups",
-    "json_parse_audit",
     # round-5 incremental-curation wave
     "incremental_near_dedup",
     # round-6: literal partsupp TPC-H graphs + sketch accuracy checks
@@ -94,7 +93,6 @@ HEADLINE = [
     "semdedup_prune",
     "dup_ngram_spans",
     "dsir_weights",
-    "lm_quality_buckets",
     # round-7: the rewritten exploded-band ANN path (was BNLJ; measure
     # the hash-join shape directly, not only via ann_recall_check) and
     # the incremental semantic-dedup / growing-corpus mining wave.
@@ -141,6 +139,15 @@ HEADLINE = [
     "semdedup_k_scaled",
     "embedding_near_dups_bits_scaled",
     "ivfpq_cells_scaled",
+    # round-9 second wave: BM25 lexical retrieval (inverted-index shape)
+    # and the counting-trained NB classifier (the wave's heaviest
+    # member: |V| x |labels| model grid + doc-token scoring shuffle).
+    # Capture-cap rotation: json_parse_audit (0.53s; input-audit row
+    # green in the record, dead-letter shape pinned in test_wave7) and
+    # lm_quality_buckets (0.52s; corpus-quality family keeps
+    # dsir_weights + gopher_rules + boilerplate_frac) rotate out.
+    "bm25_topk",
+    "nb_lang_classifier",
 ]
 
 

@@ -1,0 +1,230 @@
+"""Lexical retrieval and diversity selection over the documents /
+embeddings tables.
+
+Two operators the reference's users need for corpus curation and
+eval-set construction that no existing module covers:
+
+- **BM25 top-k** (Robertson-Sparck Jones / Lucene practical form):
+  keyword search over the corpus. The plan is the inverted-index shape
+  re-expressed relationally: per-(doc, term) frequencies for the QUERY
+  TERMS ONLY (tokens are intersected with the broadcast term set
+  *before* the explode, so the exploded relation is |occurrences of
+  query terms|, not |corpus tokens|), document frequencies and IDF as a
+  vocab-bounded broadcast, and a WindowGroupLimit top-k. One shuffle
+  for the tf aggregate — scan-bound at 100 TB.
+
+- **MMR (maximal marginal relevance) selection** (Carbonell &
+  Goldstein 1998): greedy diverse top-k in embedding space. Production
+  MMR is always shortlist-then-rerank — the greedy step is inherently
+  sequential, so the distributed stage is the relevance shortlist
+  (broadcast query, corpus never shuffles, TakeOrdered M rows) and the
+  greedy loop runs over the M-row shortlist only. The argmax arithmetic
+  stays IN SPARK (literal selected-vector arrays, same F.round) so the
+  scores hash-match the oracle's unrolled CTE chain bit-for-bit; the
+  driver only ever holds M <= 32 rows (the bpe.py one-row-argmax
+  precedent, bounded by the shortlist knob, never by corpus size).
+
+Both are deterministic end-to-end (6dp rounding before every argmax /
+ordering, unique-id tiebreaks) so they hash-check against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.textfns import tokens
+from .similarity import as_double, cosine
+
+# BM25 free parameters: the Robertson et al. defaults used by Lucene.
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: dict[str, tuple[str, ...]],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Top-k documents per query by BM25, Lucene's non-negative IDF form:
+
+        idf(t)  = ln((N - df + 0.5) / (df + 0.5) + 1)
+        s(d, q) = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Corpus contract: documents with non-NULL text (a NULL text has no
+    tokens to match; empty text participates with dl = 0). Only docs
+    matching >= 1 query term score (BM25 of a no-match doc is 0 — the
+    inverted index never surfaces it).
+
+    Returns (query_id, rank, doc_id, score) with rank 1..k per query,
+    scores 6dp-rounded, ties broken by doc_id.
+    """
+    spark = docs.sparkSession
+    terms = sorted({t for ts in queries.values() for t in ts})
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries.items() for t in ts],
+        schema="query_id string, term string",
+    )
+
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .withColumn("__dl", F.size("__toks"))
+    )
+    # N and avgdl: one-row aggregate, broadcast (the scalar-subquery idiom).
+    stats = base.agg(
+        F.count("*").alias("__n_docs"), F.avg("__dl").alias("__avgdl")
+    )
+    # tf per (doc, query term): intersect with the term set BEFORE
+    # exploding, so the shuffle carries query-term occurrences only.
+    tf = (
+        base.select(
+            id_col,
+            "__dl",
+            F.explode(F.filter("__toks", lambda x: x.isin(*terms))).alias("term"),
+        )
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count("*").alias("__tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+                + 1.0
+            ).alias("__idf"),
+            "__avgdl",
+        )
+    )
+    contrib = tf.join(F.broadcast(idf), "term").join(F.broadcast(qt), "term")
+    scored = contrib.groupBy("query_id", id_col).agg(
+        F.round(
+            F.sum(
+                F.col("__idf")
+                * (F.col("__tf") * (k1 + 1.0))
+                / (
+                    F.col("__tf")
+                    + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ),
+            6,
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score")
+        .orderBy("query_id", "rank")
+    )
+
+
+_MMR_SCHEMA = T.StructType(
+    [
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("mmr_score", T.DoubleType(), True),
+    ]
+)
+
+
+def mmr_select(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    lam: float = 0.7,
+    shortlist: int = 32,
+) -> DataFrame:
+    """Greedy MMR diverse top-k against the query vector = the valid
+    vector with the MINIMUM id (deterministic on both engines).
+
+    Contract, pinned 6dp on both engines:
+
+        rel(d)   = round6(cos(q, d))
+        pen_i(d) = max over selected s of round6(cos(d, s)), 0 when none
+        mmr_i(d) = round6(lam * rel(d) - (1 - lam) * pen_i(d))
+
+    pick argmax (tiebreak: id ASC) from the top-``shortlist`` relevance
+    candidates; k rows out (fewer when the corpus is smaller).
+
+    Scale shape: the relevance pass broadcasts the single query row, so
+    the corpus never shuffles; TakeOrdered keeps ``shortlist`` rows;
+    the k-step greedy loop touches only those rows (selected vectors
+    ride back in as literals so the scoring arithmetic — and its
+    rounding — is Spark's on every step, never the driver's).
+    """
+    spark = emb.sparkSession
+    q = (
+        emb.orderBy(id_col)
+        .limit(1)
+        .select(
+            F.col(id_col).alias("__qid"), as_double(vec_col).alias("__qv")
+        )
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            as_double(vec_col).alias("v"),
+            F.round(cosine(as_double(vec_col), F.col("__qv")), 6).alias("rel"),
+        )
+    )
+    short = cand.orderBy(F.desc("rel"), "vec_id").limit(shortlist).cache()
+    try:
+        picked: list[tuple[int, int, float]] = []
+        sel_vecs: list[list[float]] = []
+        remaining = short
+        for i in range(1, k + 1):
+            if sel_vecs:
+                sel_lit = F.array(
+                    *[
+                        F.array(*[F.lit(float(x)) for x in v])
+                        for v in sel_vecs
+                    ]
+                )
+                pen = F.array_max(
+                    F.transform(
+                        sel_lit, lambda s: F.round(cosine(F.col("v"), s), 6)
+                    )
+                )
+            else:
+                pen = F.lit(0.0)
+            rows = (
+                remaining.select(
+                    "vec_id",
+                    "v",
+                    # + 0.0 folds IEEE -0.0 (lam*rel and the penalty can
+                    # cancel exactly) to +0.0, matching the oracle edge.
+                    (
+                        F.round(
+                            F.lit(lam) * F.col("rel")
+                            - F.lit(1.0 - lam) * pen,
+                            6,
+                        )
+                        + F.lit(0.0)
+                    ).alias("sc"),
+                )
+                .orderBy(F.desc("sc"), "vec_id")
+                .limit(1)
+                .collect()
+            )
+            if not rows:
+                break
+            r = rows[0]
+            picked.append((i, r["vec_id"], r["sc"]))
+            sel_vecs.append(list(r["v"]))
+            remaining = remaining.filter(F.col("vec_id") != r["vec_id"])
+        return spark.createDataFrame(picked, schema=_MMR_SCHEMA)
+    finally:
+        short.unpersist()

@@ -294,3 +294,169 @@ def lang_segments(
     )
     out._cached_frames = [seg_lang]  # type: ignore[attr-defined]
     return out
+
+
+def nb_lang_scores(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Multinomial Naive Bayes trained BY COUNTING (closed form — no
+    iterations, so the whole train-and-score pass is deterministic and
+    hash-checkable): the fastText/CCNet-style corpus classifier shape,
+    here predicting the language label from token counts.
+
+    Train: alpha=1 Laplace-smoothed token likelihoods per label over
+    docs with a non-NULL label AND non-NULL text; priors from label doc
+    counts. Score: EVERY non-NULL-text doc (a doc needs no label to be
+    scored) gets log-posterior ln P(l) + sum_t n_t ln P(t|l) per label;
+    argmax on the 6dp-ROUNDED posterior, ties broken by label ASC.
+    Tokens outside the training vocabulary are skipped (the standard
+    vocabulary-restriction convention — smoothing only covers seen
+    vocab x label zeros, keeping the model relation at |V| x |labels|).
+
+    The point is the operator SHAPE, not model quality (the fixture's
+    texts do not differ by lang — accuracy is chance, like
+    knn_label_accuracy's probe): model = vocab x labels broadcast
+    relation; scoring = one doc-token-count shuffle + one per-doc
+    aggregate. No corpus self-join, no Python in the hot path.
+
+    Returns (doc_id, lang, pred_lang, log_post, correct) per scored doc.
+    """
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.col(label_col).alias("__label"), tokens(text_col).alias("__toks")
+    )
+    train = base.filter(F.col("__label").isNotNull())
+    # (label, token) occurrence counts — vocab-bounded, and read FOUR
+    # times downstream (vocab, |V|, per-label totals, the model grid's
+    # left join), so cache it: uncached, each reference re-runs the
+    # corpus explode+shuffle (4 corpus passes instead of 1 at 100 TB).
+    # Scoped release via result._cached_frames / release_cached.
+    lt = (
+        train.select("__label", F.explode("__toks").alias("__tok"))
+        .groupBy("__label", "__tok")
+        .agg(F.count("*").alias("__c"))
+        .persist()
+    )
+    vocab = lt.groupBy("__tok").agg(F.lit(1).alias("__one")).drop("__one")
+    vsize = vocab.agg(F.count("*").alias("__v"))
+    ltot = lt.groupBy("__label").agg(F.sum("__c").alias("__tot"))
+    priors = (
+        train.groupBy("__label")
+        .agg(F.count("*").alias("__nd"))
+        .crossJoin(F.broadcast(train.agg(F.count("*").alias("__n"))))
+        .select(
+            "__label", F.log(F.col("__nd") / F.col("__n")).alias("__lprior")
+        )
+    )
+    # Dense |V| x |labels| grid so zero counts get the smoothed value.
+    model = (
+        vocab.crossJoin(F.broadcast(ltot))
+        .join(lt, ["__tok", "__label"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "__tok",
+            "__label",
+            F.log(
+                (F.coalesce(F.col("__c"), F.lit(0)) + 1.0)
+                / (F.col("__tot") + F.col("__v"))
+            ).alias("__lp"),
+        )
+    )
+    doc_tok = (
+        base.select(
+            id_col,
+            F.col("__label").alias("__actual"),
+            F.explode("__toks").alias("__tok"),
+        )
+        .groupBy(id_col, "__actual", "__tok")
+        .agg(F.count("*").alias("__n"))
+    )
+    per_label = (
+        doc_tok.join(F.broadcast(model), "__tok")
+        .groupBy(id_col, "__actual", "__label")
+        .agg(F.sum(F.col("__n") * F.col("__lp")).alias("__ll"))
+        .join(F.broadcast(priors), "__label")
+        .select(
+            id_col,
+            "__actual",
+            "__label",
+            # + 0.0 folds IEEE -0.0 (see dsir_weights) before the argmax.
+            (F.round(F.col("__lprior") + F.col("__ll"), 6) + F.lit(0.0)).alias(
+                "__post"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__post"), F.col("__label"))
+    out = (
+        per_label.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("__actual").alias("lang"),
+            F.col("__label").alias("pred_lang"),
+            F.col("__post").alias("log_post"),
+            (F.col("__actual") == F.col("__label")).cast("int").alias("correct"),
+        )
+        .orderBy(id_col)
+    )
+    out._cached_frames = [lt]  # type: ignore[attr-defined]
+    return out
+
+
+def source_unigram_kl(
+    docs: DataFrame,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """KL(p_source || p_corpus) of unigram token distributions — the
+    mixture diagnostic telling a curation run how far each source's
+    token distribution sits from the corpus blend (the quantity
+    temperature sampling and DSIR reweighting act on). No smoothing
+    needed: every source token is by construction in the corpus
+    distribution, so q(t) > 0 wherever p(t) > 0.
+
+    One (group, token) shuffle; the corpus marginal re-aggregates the
+    same partials and rides back as a vocab-bounded broadcast.
+
+    Returns (source, n_tokens, kl_divergence) per non-NULL group (a
+    NULL source would silently drop at the totals equi-join anyway —
+    filter it explicitly so the contract is visible, not incidental).
+    """
+    st = (
+        docs.filter(F.col(text_col).isNotNull() & F.col(group_col).isNotNull())
+        .select(group_col, F.explode(tokens(text_col)).alias("__tok"))
+        .groupBy(group_col, "__tok")
+        .agg(F.count("*").alias("__c"))
+    )
+    stot = st.groupBy(group_col).agg(F.sum("__c").alias("__stot"))
+    ct = st.groupBy("__tok").agg(F.sum("__c").alias("__cc"))
+    ctot = ct.agg(F.sum("__cc").alias("__ctot"))
+    return (
+        st.join(stot, group_col)
+        .join(F.broadcast(ct), "__tok")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy(group_col)
+        .agg(
+            F.max("__stot").alias("n_tokens"),
+            # p*ln(p/q) terms can dip negative; the sum is >= 0 only in
+            # exact arithmetic — fold a float -0.0 edge like dsir_weights.
+            (
+                F.round(
+                    F.sum(
+                        (F.col("__c") / F.col("__stot"))
+                        * F.log(
+                            (F.col("__c") / F.col("__stot"))
+                            / (F.col("__cc") / F.col("__ctot"))
+                        )
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("kl_divergence"),
+        )
+        .orderBy(group_col)
+    )

@@ -156,6 +156,10 @@ CHECK_PRIORITY: list[str] = [
     "semdedup_k_scaled",
     "embedding_near_dups_bits_scaled",
     "ivfpq_cells_scaled",
+    "nb_lang_classifier",
+    "source_kl_divergence",
+    "bm25_topk",
+    "mmr_select",
     # --- The 10 r4-era rows queued by the r8 rotation plan. ---
     "scalar_subquery",
     "scd2_user_values",
@@ -199,10 +203,6 @@ CHECK_PRIORITY: list[str] = [
     "quality_score",
     "realized_volatility",
     "refined_write_roundtrip",
-    "rolling_mean_7",
-    "seasonal_backtest",
-    "select_limit",
-    "simhash_near_dups",
     # --- Anchor: flagship reference pipeline, in the window every
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---

@@ -807,3 +807,97 @@ def c4_line_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free projections — parquet-scan-bound at 100 TB."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return c4_line_filters(docs)
+
+
+# --- Counting-trained corpus classifier + mixture KL diagnostic -------------
+
+from ..operators.text import nb_lang_scores, source_unigram_kl  # noqa: E402
+
+_NB_ORACLE = f"""
+WITH base AS (
+    SELECT doc_id, lang AS actual, {TK} AS toks
+    FROM documents WHERE text IS NOT NULL
+),
+train AS (SELECT * FROM base WHERE actual IS NOT NULL),
+ex AS (SELECT actual AS label, unnest(toks) AS tok FROM train),
+lt AS (SELECT label, tok, COUNT(*) AS c FROM ex GROUP BY label, tok),
+vocab AS (SELECT DISTINCT tok FROM lt),
+vs AS (SELECT COUNT(*) AS v FROM vocab),
+ltot AS (SELECT label, SUM(c) AS tot FROM lt GROUP BY label),
+pri AS (
+    SELECT actual AS label,
+           ln(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM train)) AS lprior
+    FROM train GROUP BY actual
+),
+model AS (
+    SELECT v.tok, l.label,
+           ln((COALESCE(lt.c, 0) + 1.0) / (l.tot + vs.v)) AS lp
+    FROM vocab v CROSS JOIN ltot l CROSS JOIN vs
+    LEFT JOIN lt ON lt.tok = v.tok AND lt.label = l.label
+),
+dt AS (SELECT doc_id, actual, unnest(toks) AS tok FROM base),
+dtc AS (SELECT doc_id, actual, tok, COUNT(*) AS n
+        FROM dt GROUP BY doc_id, actual, tok),
+pl AS (
+    SELECT d.doc_id, d.actual, m.label, SUM(d.n * m.lp) AS ll
+    FROM dtc d JOIN model m USING (tok) GROUP BY d.doc_id, d.actual, m.label
+),
+post AS (
+    SELECT pl.doc_id, pl.actual, pl.label,
+           ROUND(p.lprior + pl.ll, 6) + 0 AS post
+    FROM pl JOIN pri p ON p.label = pl.label
+)
+SELECT doc_id, actual AS lang, label AS pred_lang, post AS log_post,
+       CAST(actual = label AS INT) AS correct
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY post DESC, label) AS rn
+      FROM post)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("nb_lang_classifier", oracle=_NB_ORACLE)
+def nb_lang_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes corpus classifier, trained by counting
+    (the fastText/CCNet quality-classifier shape with a closed-form,
+    hash-checkable trainer): alpha=1 token likelihoods + doc priors
+    from the labeled docs, 6dp-rounded log-posterior argmax per doc
+    (operators/text.py::nb_lang_scores). Model = |V| x |labels|
+    broadcast relation; scoring = one doc-token-count shuffle — no
+    corpus self-join, linear at 100 TB."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return nb_lang_scores(docs)
+
+
+_KL_ORACLE = f"""
+WITH st AS (
+    SELECT source, unnest({TK}) AS tok
+    FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+),
+sc AS (SELECT source, tok, COUNT(*) AS c FROM st GROUP BY source, tok),
+stot AS (SELECT source, SUM(c) AS stot FROM sc GROUP BY source),
+ct AS (SELECT tok, SUM(c) AS cc FROM sc GROUP BY tok),
+ctot AS (SELECT SUM(cc) AS ctot FROM ct)
+SELECT sc.source,
+       CAST(MAX(stot.stot) AS BIGINT) AS n_tokens,
+       ROUND(SUM((sc.c * 1.0 / stot.stot)
+                 * ln((sc.c * 1.0 / stot.stot)
+                      / (ct.cc * 1.0 / ctot.ctot))), 6) + 0 AS kl_divergence
+FROM sc
+JOIN stot USING (source)
+JOIN ct USING (tok)
+CROSS JOIN ctot
+GROUP BY sc.source
+ORDER BY sc.source
+"""
+
+
+@register("source_kl_divergence", oracle=_KL_ORACLE)
+def source_kl_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(p_source || p_corpus) over unigram token distributions — the
+    mixture diagnostic temperature sampling / DSIR act on
+    (operators/text.py::source_unigram_kl). One (source, token)
+    shuffle; the corpus marginal is a vocab-bounded broadcast."""
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    return source_unigram_kl(docs)

@@ -30,7 +30,7 @@ from .expansion_similarity import (
     TOP_K,
 )
 from .registry import load, register
-from .sql_fragments import EMB
+from .sql_fragments import EMB, TK
 
 @register(
     "ann_recall_check",
@@ -374,3 +374,139 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("label")
     )
 
+
+
+# --- Lexical retrieval (BM25) + MMR diversity selection ---------------------
+
+from ..operators.retrieval import BM25_B, BM25_K1, bm25_topk, mmr_select  # noqa: E402
+
+# Fixed keyword queries over the fixture vocabulary. The terms are
+# ordinary corpus words — zero-match terms would simply contribute no
+# postings (the adversarial fixture exercises that path).
+BM25_QUERIES: dict[str, tuple[str, ...]] = {
+    "q1": ("spark", "table"),
+    "q2": ("window", "merge", "stream"),
+    "q3": ("customer", "value", "scan"),
+}
+BM25_TOP = 10
+
+_BM25_VALUES = ", ".join(
+    f"('{qid}', '{t}')" for qid, ts in BM25_QUERIES.items() for t in ts
+)
+
+_BM25_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, {TK} AS toks FROM documents WHERE text IS NOT NULL
+),
+dl AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+s AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+qt(query_id, term) AS (VALUES {_BM25_VALUES}),
+terms AS (SELECT DISTINCT term FROM qt),
+tf AS (
+    SELECT doc_id, dl, term,
+           len(list_filter(toks, x -> x = term)) AS tf
+    FROM dl CROSS JOIN terms
+),
+tfp AS (SELECT * FROM tf WHERE tf > 0),
+dfq AS (SELECT term, COUNT(*) AS df FROM tfp GROUP BY term),
+sc AS (
+    SELECT q.query_id, t.doc_id,
+           ROUND(SUM(
+               ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (t.tf * ({BM25_K1} + 1.0))
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * t.dl / s.avgdl))
+           ), 6) AS score
+    FROM tfp t JOIN dfq f USING (term) JOIN qt q USING (term) CROSS JOIN s
+    GROUP BY q.query_id, t.doc_id
+)
+SELECT query_id, CAST(rnk AS INT) AS "rank", doc_id, score
+FROM (SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc)
+WHERE rnk <= {BM25_TOP}
+ORDER BY query_id, "rank"
+"""
+
+
+@register("bm25_topk", oracle=_BM25_ORACLE)
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search, Lucene's non-negative IDF form, over the
+    documents table (operators/retrieval.py::bm25_topk). The inverted-
+    index shape re-expressed relationally: tokens intersect the
+    broadcast query-term set BEFORE the explode, document frequencies /
+    IDF ride back as a vocab-bounded broadcast, top-k is a
+    WindowGroupLimit — one small shuffle, scan-bound at 100 TB."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, BM25_QUERIES, k=BM25_TOP)
+
+
+MMR_K = 8
+MMR_LAMBDA = 0.7
+MMR_SHORTLIST = 32
+
+_MMR_COS_ST = (
+    "ROUND(list_inner_product(s.v, t.v) / "
+    "(sqrt(list_inner_product(s.v, s.v)) * sqrt(list_inner_product(t.v, t.v))), 6)"
+)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy chain: sel_i picks the argmax of
+    round6(lam*rel - (1-lam)*max round6(cos to selected)) among
+    shortlist rows not yet selected — the same contract
+    operators/retrieval.py::mmr_select pins step by step.
+
+    ``short`` / ``selu_i`` are AS MATERIALIZED: each selu is referenced
+    2-3 times (penalty subquery, NOT IN, next union) and DuckDB inlines
+    non-materialized CTEs per reference site, re-evaluating the chain
+    exponentially (~3^k corpus scans — the sf0.01 oracle took minutes;
+    materialized, 0.1s)."""
+    lam, mu = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    parts = [
+        f"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
+mn AS (SELECT MIN(vec_id) AS qid FROM c),
+q AS (SELECT c.v AS qv FROM c, mn WHERE c.vec_id = mn.qid),
+cand AS (
+    SELECT c.vec_id, c.v,
+           ROUND(list_inner_product(q.qv, c.v) /
+                 (sqrt(list_inner_product(q.qv, q.qv)) *
+                  sqrt(list_inner_product(c.v, c.v))), 6) AS rel
+    FROM c CROSS JOIN q CROSS JOIN mn WHERE c.vec_id <> mn.qid),
+short AS MATERIALIZED (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT {MMR_SHORTLIST}),
+sel1 AS (
+    SELECT vec_id, v, sc FROM (
+        SELECT vec_id, v, ROUND({lam} * rel, 6) + 0 AS sc FROM short)
+    ORDER BY sc DESC, vec_id LIMIT 1),
+selu1 AS MATERIALIZED (SELECT vec_id, v FROM sel1)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        parts.append(
+            f"""sel{i} AS (
+    SELECT vec_id, v, sc FROM (
+        SELECT s.vec_id, s.v,
+               ROUND({lam} * s.rel - {mu} *
+                     (SELECT MAX({_MMR_COS_ST}) FROM selu{i - 1} t), 6) + 0 AS sc
+        FROM short s
+        WHERE s.vec_id NOT IN (SELECT vec_id FROM selu{i - 1}))
+    ORDER BY sc DESC, vec_id LIMIT 1),
+selu{i} AS MATERIALIZED (SELECT * FROM selu{i - 1} UNION ALL SELECT vec_id, v FROM sel{i})"""
+        )
+    union = "\nUNION ALL ".join(
+        f'SELECT {i} AS "rank", vec_id, sc AS mmr_score FROM sel{i}'
+        for i in range(1, MMR_K + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY \"rank\""
+
+
+@register("mmr_select", oracle=_mmr_oracle())
+def mmr_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR diverse top-k (Carbonell & Goldstein 1998) against
+    the min-id query vector (operators/retrieval.py::mmr_select).
+    Distributed stage = the broadcast-query relevance shortlist (corpus
+    never shuffles, TakeOrdered {MMR_SHORTLIST} rows); the inherently
+    sequential greedy loop runs over the shortlist only, with every
+    score computed IN SPARK so the rounding is the engine's on both
+    sides. The oracle unrolls the same {MMR_K} steps as a CTE chain."""
+    emb = load(spark, sf_dir, "embeddings")
+    return mmr_select(emb, k=MMR_K, lam=MMR_LAMBDA, shortlist=MMR_SHORTLIST)
