@@ -574,3 +574,78 @@ def test_triangle_wedge_join_all_equi_no_nested_loop(spark, sf_dir):
     plan = _plan(all_queries.QUERIES["triangle_coparts"](spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bm25_filters_tokens_before_explode_and_broadcasts_model(spark, sf_dir):
+    """BM25's scale contract: the explode's input array is the token
+    list ALREADY intersected with the query-term set (the exploded
+    relation carries only query-term postings — at 100 TB exploding all
+    corpus tokens first would shuffle the whole corpus token stream),
+    and the vocab-bounded IDF/query relations join back as broadcasts,
+    never a shuffled or nested-loop join."""
+    plan = _plan(all_queries.QUERIES["bm25_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # BroadcastNestedLoopJoin appears ONLY as the one-row broadcast
+    # stats crossJoin (the collect-free scalar-subquery idiom); the
+    # keyed joins must all be broadcast-HASH, never shuffled:
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the filter() HOF sits inside the Generate node's input expression
+    gen = re.search(r"\(\d+\) Generate[\s\S]{0,400}", plan)
+    assert gen and "filter(" in gen.group(0), (
+        "token filter must be fused into the explode input",
+        gen.group(0) if gen else plan,
+    )
+    assert "BroadcastHashJoin" in plan
+    # top-k per query is a window group limit, not a global sort
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+
+
+def test_nb_classifier_model_join_is_broadcast(spark, sf_dir):
+    """The NB model (|V| x |labels|) and priors must reach the
+    doc-token relation as broadcasts: a shuffled model join would
+    repartition the corpus token stream by token — the hot-key shape
+    (stopwords) the broadcast exists to avoid."""
+    plan = _plan(all_queries.QUERIES["nb_lang_classifier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # one-row broadcast crossJoins (|V|, doc total) are the scalar
+    # idiom and fine; every KEYED join must be broadcast-hash:
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan  # the cached (label, token) counts
+
+
+def test_mmr_relevance_pass_broadcasts_query_not_corpus(spark, sf_dir):
+    """MMR's distributed stage: the single query row is the broadcast
+    side of the relevance pass; the corpus side must not shuffle, and
+    the shortlist must compile to TakeOrderedAndProject (O(M) state),
+    not a global sort."""
+    from m2_b3_market_data_pipeline_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+    from m2_b3_market_data_pipeline_spark.plans.retrieval_quality import (
+        MMR_SHORTLIST,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("__qid"), as_double("embedding").alias("__qv"))
+    )
+    short = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("__qid"))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.round(cosine(as_double("embedding"), F.col("__qv")), 6).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_SHORTLIST)
+    )
+    plan = _plan(short)
+    assert "TakeOrderedAndProject" in plan
+    # one broadcast exchange (the query row); no shuffle exchange of the corpus
+    assert "BroadcastExchange" in plan
+    assert not re.search(r"Exchange hashpartitioning", plan), plan
