@@ -95,3 +95,54 @@ def zorder_key_n(cols: list[str | Column], *, bits: int = 16) -> Column:
             )
             out = term if out is None else out.bitwiseOR(term)
     return out
+
+
+def training_shards(
+    docs,
+    *,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 777,
+):
+    """Deterministic training-delivery manifest: every non-NULL-text doc
+    is assigned a shard by keyed md5 hash (`pmod(hash60(md5(seed|id)),
+    n_shards)` — the same keyed-admission family mixture_rebalance and
+    leakage_safe_split use), and each shard reports the counts a trainer
+    needs to validate its input: docs, tokens, an ORDER-INSENSITIVE
+    bit_xor checksum of the member key hashes, and the first/last doc in
+    md5-key order (the epoch read order).
+
+    Scale shape: ONE shuffle (groupBy shard); every aggregate is a
+    fixed-width codegen buffer (sum/xor/min_by) — no per-shard list
+    materialization, no global sort. bit_xor instead of sum: hash60
+    values are ~2^60, so a sum overflows BIGINT after ~2^3 rows under
+    ANSI; xor is order-insensitive, overflow-free, and equally
+    collision-resistant for a manifest checksum.
+
+    Returns (shard_id, n_docs, n_tokens, id_checksum, first_doc_id,
+    last_doc_id) ordered by shard_id.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.textfns import seeded_md5, seeded_hash60, token_count
+
+    key = seeded_md5(F.col(id_col).cast("string"), seed)
+    h = seeded_hash60(F.col(id_col).cast("string"), seed)
+    staged = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        key.alias("__key"),
+        h.alias("__h"),
+        token_count(text_col).alias("__nt"),
+    )
+    return (
+        staged.groupBy(F.pmod("__h", F.lit(n_shards)).cast("int").alias("shard_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+            F.bit_xor("__h").alias("id_checksum"),
+            F.min_by(id_col, F.col("__key")).alias("first_doc_id"),
+            F.max_by(id_col, F.col("__key")).alias("last_doc_id"),
+        )
+        .orderBy("shard_id")
+    )

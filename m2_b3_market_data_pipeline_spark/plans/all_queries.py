@@ -139,11 +139,12 @@ from .registry import ORACLES, QUERIES
 # tests/test_driver_contract.py::test_check_priority_is_generated pins
 # that this list equals the generator's output, so the queue can never
 # drift from the evidence again (the r8 verdict found the hand-kept
-# bookkeeping had already drifted 5-vs-10). This round's window: the 4
+# bookkeeping had already drifted 5-vs-10). This round's window: the 10
 # r9 newborns (the three corpus-scaled-knob variants closing the r8
-# verdict's top order, and the sf1-scale PageRank witness), the 10
-# r4-era stale rows the r8 rotation queued, then the oldest (r5-era)
-# remainder.
+# verdict's top order, the sf1-scale PageRank witness, the retrieval/
+# classifier wave — NB, source-KL, BM25, MMR — and the JL projection +
+# training-shard manifest), the 10 r4-era stale rows the r8 rotation
+# queued, then the oldest (r5-era) remainder.
 #
 # BASIS ROUND: the newest CORRECTNESS file this list was generated
 # against. The equality pin computes front_load over files <= this
@@ -160,6 +161,8 @@ CHECK_PRIORITY: list[str] = [
     "source_kl_divergence",
     "bm25_topk",
     "mmr_select",
+    "jl_project_norms",
+    "training_shards",
     # --- The 10 r4-era rows queued by the r8 rotation plan. ---
     "scalar_subquery",
     "scd2_user_values",
@@ -201,8 +204,6 @@ CHECK_PRIORITY: list[str] = [
     "percentile_binning",
     "phash_near_dups",
     "quality_score",
-    "realized_volatility",
-    "refined_write_roundtrip",
     # --- Anchor: flagship reference pipeline, in the window every
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---

@@ -178,3 +178,61 @@ def centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
     return assign_centroids(emb, centroids)
+
+
+# --- Johnson-Lindenstrauss random projection -------------------------------
+
+from ..operators.embeddings import jl_project, jl_signs  # noqa: E402
+from ..operators.similarity import as_double, norm  # noqa: E402
+
+JL_OUT = 16
+JL_SEED = 9000
+
+
+def _jl_oracle() -> str:
+    """The same ±1 sign matrix as literals; proj components y_i are
+    named CTE columns so the norm sum references each exactly once, and
+    the squared sum parenthesizes left-to-right to match Spark's
+    aggregate fold."""
+    scale = JL_OUT ** 0.5
+    ys = ", ".join(
+        f"list_inner_product(v, {signs}) / {scale!r} AS y{i}"
+        for i, signs in enumerate(jl_signs(EMBED_DIM, JL_OUT, JL_SEED))
+    )
+    sq = ""
+    for i in range(JL_OUT):
+        sq = f"({sq} + y{i} * y{i})" if sq else f"(0.0 + y0 * y0)"
+    return f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
+proj AS (SELECT vec_id, v, {ys} FROM c)
+SELECT vec_id,
+       ROUND(sqrt(list_inner_product(v, v)), 6) AS orig_norm,
+       ROUND(sqrt({sq}), 6) AS proj_norm,
+       ROUND(sqrt({sq}) / sqrt(list_inner_product(v, v)), 6) AS norm_ratio
+FROM proj
+ORDER BY vec_id
+"""
+
+
+@register("jl_project_norms", oracle=_jl_oracle())
+def jl_project_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson-Lindenstrauss
+    with Achlioptas ±1 signs, operators/embeddings.py::jl_project) —
+    the pre-ANN shrink step (64 -> 16 here; 1024 -> 64 in production).
+    Per-vector norm preservation is the checked signal: orig/projected
+    norms and their ratio, 6dp. Pure codegen projection, no shuffle —
+    parquet-scan-bound at any corpus size; the sign matrix is literals
+    on both engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    proj = jl_project(
+        emb, vec_col="embedding", dim=EMBED_DIM, out_dim=JL_OUT, seed=JL_SEED
+    )
+    v = as_double("embedding")
+    onorm = norm(v)
+    pnorm = norm(F.col("projected"))
+    return proj.select(
+        "vec_id",
+        F.round(onorm, 6).alias("orig_norm"),
+        F.round(pnorm, 6).alias("proj_norm"),
+        F.round(pnorm / onorm, 6).alias("norm_ratio"),
+    ).orderBy("vec_id")

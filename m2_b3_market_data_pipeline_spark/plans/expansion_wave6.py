@@ -26,7 +26,7 @@ from ..operators.dedup import containment_pairs
 from ..operators.layout import zorder_key, zorder_key_sql
 from ..operators.text import trigram_lm_scores
 from .registry import load, register
-from .sql_fragments import TK
+from .sql_fragments import NTOK, TK
 
 CONTAIN_NGRAM = 5
 CONTAIN_THRESHOLD = 0.6
@@ -274,3 +274,43 @@ def phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(pert)
     sigs = perceptual_hash(attach_binary(corpus))
     return simhash_near_pairs(sigs, max_hamming=PHASH_MAX_HAMMING)
+
+
+# --- Training-delivery shard manifest ---------------------------------------
+
+from ..operators.layout import training_shards  # noqa: E402
+
+SHARD_N = 16
+SHARD_SEED = 777
+
+_SHARD_KEY = f"md5('{SHARD_SEED}|' || CAST(doc_id AS VARCHAR))"
+_SHARD_H = f"CAST(('0x' || substr({_SHARD_KEY}, 1, 15)) AS BIGINT)"
+
+_SHARDS_ORACLE = f"""
+WITH staged AS (
+    SELECT doc_id, {_SHARD_KEY} AS key, {_SHARD_H} AS h, {NTOK} AS nt
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT CAST(h % {SHARD_N} AS INT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       bit_xor(h) AS id_checksum,
+       arg_min(doc_id, key) AS first_doc_id,
+       arg_max(doc_id, key) AS last_doc_id
+FROM staged
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("training_shards", oracle=_SHARDS_ORACLE)
+def training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-delivery manifest
+    (operators/layout.py::training_shards): every usable doc lands in a
+    keyed-md5 shard; per shard the manifest reports docs, tokens, an
+    order-insensitive bit_xor checksum of member key hashes, and the
+    first/last doc in epoch read order. One shuffle, every aggregate a
+    fixed-width codegen buffer — the manifest a trainer validates its
+    input against without listing members."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return training_shards(docs, n_shards=SHARD_N, seed=SHARD_SEED)
