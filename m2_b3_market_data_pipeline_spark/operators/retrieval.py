@@ -93,30 +93,10 @@ def bm25_topk(
         .agg(F.count("*").alias("__tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
-    idf = (
-        dfreq.crossJoin(F.broadcast(stats))
-        .select(
-            "term",
-            F.log(
-                (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
-                + 1.0
-            ).alias("__idf"),
-            "__avgdl",
-        )
-    )
+    idf = dfreq.crossJoin(F.broadcast(stats))
     contrib = tf.join(F.broadcast(idf), "term").join(F.broadcast(qt), "term")
     scored = contrib.groupBy("query_id", id_col).agg(
-        F.round(
-            F.sum(
-                F.col("__idf")
-                * (F.col("__tf") * (k1 + 1.0))
-                / (
-                    F.col("__tf")
-                    + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
-                )
-            ),
-            6,
-        ).alias("score")
+        F.round(F.sum(bm25_contrib(k1, b)), 6).alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
     return (
@@ -228,3 +208,78 @@ def mmr_select(
         return spark.createDataFrame(picked, schema=_MMR_SCHEMA)
     finally:
         short.unpersist()
+
+
+def bm25_contrib(k1: float = BM25_K1, b: float = BM25_B):
+    """THE BM25 per-(doc, term) contribution, defined once so the batch
+    query and the streamed-stats scoring path cannot drift: expects
+    columns __tf, __df, __n_docs, __avgdl, __dl."""
+
+    def expr():
+        idf = F.log(
+            (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+        )
+        return idf * (F.col("__tf") * (k1 + 1.0)) / (
+            F.col("__tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+        )
+
+    return expr()
+
+
+def bm25_topk_with_stats(
+    docs: DataFrame,
+    queries: dict[str, tuple[str, ...]],
+    term_stats: DataFrame,
+    corpus_stats: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k against EXTERNALLY MAINTAINED index statistics — the
+    serving shape of the streaming postings sink: ``term_stats`` is
+    (term, __df) and ``corpus_stats`` a single row (__n_docs, __avgdl),
+    e.g. from streaming/postings_sink.read_bm25_stats. Scoring recomputes
+    per-doc tf from the docs relation (the postings themselves live in
+    the landed parquet; only vocab-bounded statistics are state).
+
+    Identical contract to ``bm25_topk`` — when the stats are computed
+    over the same corpus, outputs match row-for-row (pinned in
+    tests/test_streaming_round9.py)."""
+    spark = docs.sparkSession
+    terms = sorted({t for ts in queries.values() for t in ts})
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries.items() for t in ts],
+        schema="query_id string, term string",
+    )
+    base = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .withColumn("__dl", F.size("__toks"))
+    )
+    tf = (
+        base.select(
+            id_col,
+            "__dl",
+            F.explode(F.filter("__toks", lambda x: x.isin(*terms))).alias("term"),
+        )
+        .groupBy(id_col, "__dl", "term")
+        .agg(F.count("*").alias("__tf"))
+    )
+    contrib = (
+        tf.join(F.broadcast(term_stats), "term")
+        .crossJoin(F.broadcast(corpus_stats))
+        .join(F.broadcast(qt), "term")
+    )
+    scored = contrib.groupBy("query_id", id_col).agg(
+        F.round(F.sum(bm25_contrib(k1, b)), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score")
+        .orderBy("query_id", "rank")
+    )
