@@ -118,20 +118,22 @@ def training_shards(
     materialization, no global sort. bit_xor instead of sum: hash60
     values are ~2^60, so a sum overflows BIGINT after ~2^3 rows under
     ANSI; xor is order-insensitive, overflow-free, and equally
-    collision-resistant for a manifest checksum.
+    collision-resistant for a manifest checksum. min_by/max_by order on
+    the NUMERIC hash, not the md5 string: a var-length ordering key
+    kicks the whole aggregate to SortAggregate (the seeded_hash60
+    lesson; caught by the surface-wide plan lint), and hash60 orders
+    identically to the hex string up to 60-bit ties.
 
     Returns (shard_id, n_docs, n_tokens, id_checksum, first_doc_id,
     last_doc_id) ordered by shard_id.
     """
     from pyspark.sql import functions as F
 
-    from ..functions.textfns import seeded_md5, seeded_hash60, token_count
+    from ..functions.textfns import seeded_hash60, token_count
 
-    key = seeded_md5(F.col(id_col).cast("string"), seed)
     h = seeded_hash60(F.col(id_col).cast("string"), seed)
     staged = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        key.alias("__key"),
         h.alias("__h"),
         token_count(text_col).alias("__nt"),
     )
@@ -141,8 +143,8 @@ def training_shards(
             F.count("*").alias("n_docs"),
             F.sum("__nt").alias("n_tokens"),
             F.bit_xor("__h").alias("id_checksum"),
-            F.min_by(id_col, F.col("__key")).alias("first_doc_id"),
-            F.max_by(id_col, F.col("__key")).alias("last_doc_id"),
+            F.min_by(id_col, F.col("__h")).alias("first_doc_id"),
+            F.max_by(id_col, F.col("__h")).alias("last_doc_id"),
         )
         .orderBy("shard_id")
     )

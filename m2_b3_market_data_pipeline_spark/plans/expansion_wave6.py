@@ -288,15 +288,15 @@ _SHARD_H = f"CAST(('0x' || substr({_SHARD_KEY}, 1, 15)) AS BIGINT)"
 
 _SHARDS_ORACLE = f"""
 WITH staged AS (
-    SELECT doc_id, {_SHARD_KEY} AS key, {_SHARD_H} AS h, {NTOK} AS nt
+    SELECT doc_id, {_SHARD_H} AS h, {NTOK} AS nt
     FROM documents WHERE text IS NOT NULL
 )
 SELECT CAST(h % {SHARD_N} AS INT) AS shard_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(nt) AS BIGINT) AS n_tokens,
        bit_xor(h) AS id_checksum,
-       arg_min(doc_id, key) AS first_doc_id,
-       arg_max(doc_id, key) AS last_doc_id
+       arg_min(doc_id, h) AS first_doc_id,
+       arg_max(doc_id, h) AS last_doc_id
 FROM staged
 GROUP BY 1
 ORDER BY 1
