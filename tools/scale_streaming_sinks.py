@@ -18,7 +18,9 @@ and scale:
     semdedup    : state rows == surviving vectors (admitted, not seen),
     countmin    : state rows == depth*width COUNTERS — constant in the
                   corpus, identical at every scale,
-    agg         : state rows == distinct group keys, not event count.
+    agg         : state rows == distinct group keys, not event count,
+    postings    : state rows == |distinct vocabulary| + 1 — the BM25
+                  statistics follow the vocab, never the doc count.
 
 Usage: python tools/scale_streaming_sinks.py [SF_DIR ...]
        (default: /root/testdata/sf0.1 /root/repo/.scale/sf1)
@@ -142,6 +144,22 @@ def run_sink(spark, sink: str, sf_dir: str, work: str) -> dict:
                 width=CM_WIDTH,
             ).awaitTermination(600)
 
+    elif sink == "postings":
+        src = load(spark, sf_dir, "documents").select("doc_id", "text")
+        waves = [src.filter(F.col("doc_id") % N_WAVES == w) for w in range(N_WAVES)]
+        from m2_b3_market_data_pipeline_spark.streaming.postings_sink import (
+            run_bm25_stats_stream,
+        )
+
+        def drain():
+            run_bm25_stats_stream(
+                spark,
+                updates_path=updates,
+                state_path=state,
+                checkpoint_path=ckpt,
+                schema=DOC_SCHEMA,
+            ).awaitTermination(600)
+
     elif sink == "agg":
         src = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
         waves = [src.filter(F.col("user_id") % N_WAVES == w) for w in range(N_WAVES)]
@@ -200,6 +218,20 @@ def run_sink(spark, sink: str, sf_dir: str, work: str) -> dict:
     elif sink == "countmin":
         rec["invariant"] = f"state rows == depth*width == {CM_DEPTH * CM_WIDTH}"
         rec["invariant_ok"] = state_rows == CM_DEPTH * CM_WIDTH
+    elif sink == "postings":
+        from m2_b3_market_data_pipeline_spark.functions.textfns import tokens
+
+        vocab = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(updates)
+            .filter(F.col("text").isNotNull())
+            .select(F.explode(tokens("text")).alias("t"))
+            .distinct()
+            .count()
+        )
+        rec["vocab"] = vocab
+        rec["invariant"] = "state rows == |vocab| + 1 (corpus row)"
+        rec["invariant_ok"] = state_rows == vocab + 1
     elif sink == "agg":
         distinct_keys = (
             spark.read.option("recursiveFileLookup", "true")
@@ -222,7 +254,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     ok = True
     for sf_dir in sf_dirs:
-        for sink in ("countmin", "agg", "semdedup", "near_dedup"):
+        for sink in ("countmin", "agg", "postings", "semdedup", "near_dedup"):
             work = tempfile.mkdtemp(prefix=f"sinkscale-{sink}-")
             try:
                 rec = run_sink(spark, sink, sf_dir, work)
