@@ -140,7 +140,9 @@ def test_rerun_equality_per_family(spark, sf_dir):
     lint). Covers reference pipeline, relational, window, dedup, ANN,
     text, embeddings, events, graph, sketch, skew-salt, and split
     families; salted_skew_agg exercises the deterministic row-hash salt
-    directly."""
+    directly. Round 9 adds the retrieval wave's representatives (BM25,
+    the iterative-greedy MMR, and the xor-checksummed shard manifest —
+    the three new shapes where retry nondeterminism could hide)."""
     from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
     from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
 
@@ -157,6 +159,9 @@ def test_rerun_equality_per_family(spark, sf_dir):
         "countmin_check",       # sketches
         "salted_skew_agg",      # skew salting (row-hash salt)
         "train_test_split",     # leakage-safe splits
+        "bm25_topk",            # lexical retrieval (r9)
+        "mmr_select",           # greedy diversity selection (r9)
+        "training_shards",      # delivery manifest / bit_xor checksum (r9)
     ]
 
     def rows(name):
