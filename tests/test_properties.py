@@ -446,3 +446,96 @@ def test_marker_count_matches_python_membership_property(spark, texts):
         for k, words in sets.items():
             want = sum(1 for w in toks if w in words)
             assert got[i][f"c_{k}"] == want, (t, k, got[i][f"c_{k}"], want)
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["apple", "pear", "plum", "kiwi"]), min_size=1, max_size=12),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_bm25_golden_recompute_property(spark, docs):
+    """BM25 scores over hypothesis corpora match a plain-Python
+    recompute of the Lucene formula — the published-definition witness
+    for the retrieval wave (same pattern as the BPE/triangle goldens)."""
+    import math as m
+
+    from m2_b3_market_data_pipeline_spark.operators.retrieval import (
+        BM25_B,
+        BM25_K1,
+        bm25_topk,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = {"q": ("apple", "kiwi")}
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_topk(sdf, queries, k=len(docs)).collect()
+    }
+
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs) / n
+    df_ = {
+        t: sum(1 for toks in docs if t in toks) for t in queries["q"]
+    }
+    want = {}
+    for i, toks in enumerate(docs):
+        s = 0.0
+        hit = False
+        for t in queries["q"]:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            hit = True
+            idf = m.log((n - df_[t] + 0.5) / (df_[t] + 0.5) + 1.0)
+            s += idf * (tf * (BM25_K1 + 1.0)) / (
+                tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(toks) / avgdl)
+            )
+        if hit:
+            want[("q", i)] = round(s, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=10),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_source_kl_nonnegative_and_golden_property(spark, docs):
+    """KL(p_source || p_corpus) is >= 0 for every source (Gibbs), and
+    matches a plain-Python recompute."""
+    import math as m
+    from collections import Counter
+
+    from m2_b3_market_data_pipeline_spark.operators.text import source_unigram_kl
+
+    rows = [(i, src, " ".join(toks)) for i, (src, toks) in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in source_unigram_kl(sdf).collect()}
+
+    per_src: dict[str, Counter] = {}
+    corpus: Counter = Counter()
+    for src, toks in docs:
+        per_src.setdefault(src, Counter()).update(toks)
+        corpus.update(toks)
+    ctot = sum(corpus.values())
+    for src, cnt in per_src.items():
+        stot = sum(cnt.values())
+        kl = sum(
+            (c / stot) * m.log((c / stot) / (corpus[t] / ctot))
+            for t, c in cnt.items()
+        )
+        assert got[src]["n_tokens"] == stot
+        assert got[src]["kl_divergence"] >= 0.0
+        assert abs(got[src]["kl_divergence"] - round(kl + 0.0, 6)) < 1e-9
