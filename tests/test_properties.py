@@ -539,3 +539,59 @@ def test_source_kl_nonnegative_and_golden_property(spark, docs):
         assert got[src]["n_tokens"] == stot
         assert got[src]["kl_divergence"] >= 0.0
         assert abs(got[src]["kl_divergence"] - round(kl + 0.0, 6)) < 1e-9
+
+
+@_slow
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["aa", "bb", None]),
+            st.lists(st.sampled_from(["u", "v", "w", "x"]), min_size=0, max_size=8),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_nb_classifier_golden_recompute_property(spark, docs):
+    """The NB posterior argmax over hypothesis corpora matches a plain-
+    Python recompute of the alpha=1 multinomial definition (priors,
+    dense vocab x label smoothing, vocabulary restriction, rounded-
+    posterior argmax with label-ASC tiebreak)."""
+    import math as m
+    from collections import Counter
+
+    from m2_b3_market_data_pipeline_spark.operators.text import nb_lang_scores
+
+    rows = [(i, lab, " ".join(toks)) for i, (lab, toks) in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r["doc_id"]: r for r in nb_lang_scores(sdf).collect()}
+
+    labeled = [(lab, toks) for lab, toks in docs if lab is not None]
+    counts: dict[str, Counter] = {}
+    for lab, toks in labeled:
+        counts.setdefault(lab, Counter()).update(toks)
+    vocab = sorted({t for c in counts.values() for t in c})
+    labels = sorted(counts)
+    if not labels or not vocab:
+        assert got == {}
+        return
+    n_train = len(labeled)
+    prior = {l: m.log(sum(1 for la, _ in labeled if la == l) / n_train) for l in labels}
+    tot = {l: sum(counts[l].values()) for l in labels}
+    lp = {
+        (t, l): m.log((counts[l].get(t, 0) + 1.0) / (tot[l] + len(vocab)))
+        for t in vocab
+        for l in labels
+    }
+    for i, (lab, toks) in enumerate(docs):
+        known = [t for t in toks if t in set(vocab)]
+        if not known:
+            assert i not in got
+            continue
+        posts = {
+            l: round(prior[l] + sum(lp[(t, l)] for t in known), 6) + 0.0
+            for l in labels
+        }
+        best = sorted(posts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[i]["pred_lang"] == best[0], (i, posts, got[i])
+        assert abs(got[i]["log_post"] - best[1]) < 1e-9
