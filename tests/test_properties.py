@@ -595,3 +595,73 @@ def test_nb_classifier_golden_recompute_property(spark, docs):
         best = sorted(posts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         assert got[i]["pred_lang"] == best[0], (i, posts, got[i])
         assert abs(got[i]["log_post"] - best[1]) < 1e-9
+
+
+@_slow
+@given(
+    seeds=st.lists(st.integers(0, 10**6), min_size=4, max_size=10, unique=True)
+)
+def test_mmr_golden_recompute_property(spark, seeds):
+    """The MMR selection over hypothesis vector sets matches a plain-
+    Python greedy that replicates the pinned contract EXACTLY —
+    float32-cast inputs, left-to-right dot/norm folds, and Spark's
+    ROUND semantics (BigDecimal.valueOf == Decimal(repr(x)), HALF_UP) —
+    so selection order and scores are equal, not approximately equal."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from m2_b3_market_data_pipeline_spark.operators.retrieval import mmr_select
+
+    def r6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    dim = 4
+    vecs = {}
+    for i, s in enumerate(sorted(seeds)):
+        comps = [((s * 2654435761 + j * 97 + 13) % 1000) / 999.0 + 0.01 for j in range(dim)]
+        vecs[i] = [float(np.float32(c)) for c in comps]
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    k, lam, short_m = 4, 0.7, 6
+    got = [(r["rank"], r["vec_id"], r["mmr_score"]) for r in
+           mmr_select(emb, k=k, lam=lam, shortlist=short_m).collect()]
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s = s + x * y
+        return s
+
+    def nrm(a):
+        s = 0.0
+        for x in a:
+            s = s + x * x
+        return s ** 0.5
+
+    def cos(a, b):
+        return dot(a, b) / (nrm(a) * nrm(b))
+
+    qid = min(vecs)
+    q = vecs[qid]
+    cand = {i: v for i, v in vecs.items() if i != qid}
+    rel = {i: r6(cos(q, v)) for i, v in cand.items()}
+    short = sorted(cand, key=lambda i: (-rel[i], i))[:short_m]
+    sel, want = [], []
+    remaining = list(short)
+    for rank in range(1, k + 1):
+        if not remaining:
+            break
+        scores = {}
+        for i in remaining:
+            pen = max((r6(cos(cand[i], vecs[s])) for s in sel), default=0.0)
+            scores[i] = r6(lam * rel[i] - (1.0 - lam) * pen) + 0.0
+        pick = sorted(remaining, key=lambda i: (-scores[i], i))[0]
+        want.append((rank, pick, scores[pick]))
+        sel.append(pick)
+        remaining.remove(pick)
+    assert got == want, (got, want)
