@@ -342,7 +342,6 @@ def nb_lang_scores(
     )
     vocab = lt.groupBy("__tok").agg(F.lit(1).alias("__one")).drop("__one")
     vsize = vocab.agg(F.count("*").alias("__v"))
-    ltot = lt.groupBy("__label").agg(F.sum("__c").alias("__tot"))
     priors = (
         train.groupBy("__label")
         .agg(F.count("*").alias("__nd"))
@@ -350,6 +349,18 @@ def nb_lang_scores(
         .select(
             "__label", F.log(F.col("__nd") / F.col("__n")).alias("__lprior")
         )
+    )
+    # Label universe = labels with >= 1 TRAINING DOC (the priors
+    # relation), NOT labels with >= 1 token: a label whose training
+    # docs are all empty-text has tot = 0 but a real prior, and under
+    # Laplace smoothing scores every token at ln(1/V). Deriving the
+    # universe from lt silently dropped such labels from the model —
+    # found by the pure-Python golden (test_properties.py), invisible
+    # to the differential gate because the oracle shared the flaw.
+    ltot = (
+        priors.select("__label")
+        .join(lt.groupBy("__label").agg(F.sum("__c").alias("__t")), "__label", "left")
+        .select("__label", F.coalesce(F.col("__t"), F.lit(0)).alias("__tot"))
     )
     # Dense |V| x |labels| grid so zero counts get the smoothed value.
     model = (

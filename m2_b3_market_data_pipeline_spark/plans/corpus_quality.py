@@ -823,11 +823,18 @@ ex AS (SELECT actual AS label, unnest(toks) AS tok FROM train),
 lt AS (SELECT label, tok, COUNT(*) AS c FROM ex GROUP BY label, tok),
 vocab AS (SELECT DISTINCT tok FROM lt),
 vs AS (SELECT COUNT(*) AS v FROM vocab),
-ltot AS (SELECT label, SUM(c) AS tot FROM lt GROUP BY label),
 pri AS (
     SELECT actual AS label,
            ln(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM train)) AS lprior
     FROM train GROUP BY actual
+),
+-- label universe from the TRAINING DOCS (pri), not from lt: a label
+-- whose training docs are all empty-text has tot = 0 but a real prior
+-- (mirrors operators/text.py::nb_lang_scores; golden-found defect)
+ltot AS (
+    SELECT p.label, COALESCE(SUM(lt.c), 0) AS tot
+    FROM pri p LEFT JOIN lt ON lt.label = p.label
+    GROUP BY p.label
 ),
 model AS (
     SELECT v.tok, l.label,

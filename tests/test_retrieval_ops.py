@@ -170,3 +170,22 @@ def test_kl_zero_when_every_source_matches_corpus(spark):
     )
     out = source_unigram_kl(docs).collect()
     assert {r["kl_divergence"] for r in out} == {0.0}
+
+
+def test_nb_zero_token_label_stays_in_the_model(spark):
+    """Regression (golden-found): a label whose training docs are all
+    empty-text has zero token mass but a real prior — it must stay in
+    the label universe and score every vocab token at ln(1/V), not drop
+    from the model. Here 'bb' has 2 of 3 training docs, so its prior
+    dominates the single-token evidence for 'aa'."""
+    docs = _docs(
+        spark,
+        [(1, "bb", "s", ""), (2, "aa", "s", "w"), (3, "bb", "s", "")],
+    )
+    out = {r["doc_id"]: r for r in nb_lang_scores(docs).collect()}
+    # only doc 2 has an in-vocab token, and it must classify as 'bb':
+    # post_bb = ln(2/3) + ln(1/1) = -0.405465 beats
+    # post_aa = ln(1/3) + ln(2/2) = -1.098612
+    assert set(out) == {2}
+    assert out[2]["pred_lang"] == "bb"
+    assert out[2]["log_post"] == round(math.log(2 / 3), 6)
