@@ -223,8 +223,23 @@ def main() -> None:
     for q, floor_t in REBASED_FLOOR.items():
         if q in best_known:
             best_known[q] = min(timings[q], max(best_known[q], floor_t))
+    # Throttle-robust flagging: this VM's GLOBAL speed swings 1.5-4x
+    # between windows (BASELINE.md), which used to flag whole groups of
+    # unrelated queries in a slow window (round-9 measurement: a quiet
+    # run at uniform ~1.4x inflation flagged 4 queries whose code had
+    # not changed). A real regression is a RELATIVE outlier: its
+    # time/best-known ratio stands out against the window's median
+    # ratio (the throttle factor), not just against an absolute 2x. So
+    # flag iff ratio > max(2, 2 * median_ratio) — a fast window keeps
+    # the old absolute rule; a slow window raises the bar uniformly and
+    # still catches anything 2x worse than its peers.
+    ratios = sorted(t / best_known[q] for q, t in timings.items() if best_known[q] > 0)
+    median_ratio = ratios[len(ratios) // 2] if ratios else 1.0
+    bar = max(2.0, 2.0 * median_ratio)
     flagged = sorted(
-        q for q, t in timings.items() if t > 2 * best_known[q] and t - best_known[q] > 0.5
+        q
+        for q, t in timings.items()
+        if t > bar * best_known[q] and t - best_known[q] > 0.5
     )
     # The printed line must stay small: round 5's line (with a per-query
     # best_known dict inlined) outgrew the driver's tail capture and the
@@ -248,6 +263,10 @@ def main() -> None:
                 **summary,
                 "queries": timings,
                 "best_known": {q: round(t, 3) for q, t in best_known.items()},
+                # the window's throttle factor and the flag bar actually
+                # applied (full file only — the printed line is capped)
+                "window_median_ratio": round(median_ratio, 3),
+                "flag_bar": round(bar, 3),
             },
             fh,
             indent=2,
