@@ -35,8 +35,11 @@ BARE_SESSION_SCRIPT = textwrap.dedent(
 
     qs = entrymod.queries()
     # Representative set: the flagship (events reader through the full
-    # normalize path), a windowed indicator, and a plain events scan.
-    for name in ["refined_pipeline", "indicator_ewma", "select_limit", "json_parse_audit"]:
+    # normalize path), a windowed indicator, a plain events scan, and
+    # the round-9 shapes that do session-side work (MMR's driver-side
+    # greedy loop + createDataFrame; NB's persist + broadcast grid).
+    for name in ["refined_pipeline", "indicator_ewma", "select_limit",
+                 "json_parse_audit", "mmr_select", "nb_lang_classifier"]:
         df = qs[name](spark, "/root/testdata/sf0.001")
         n = df.count()
         assert n >= 0, name
