@@ -64,8 +64,9 @@ HEADLINE = [
     "dedup_clusters",
     "decontaminate",
     "centroid_assign",
-    # round-2 event-log analytics + CDC wave
-    "sessionize_stats",
+    # round-2 event-log analytics + CDC wave (sessionize_stats rotated
+    # out in round 10 for the capture cap — 0.49s, events family covered
+    # by session_window; its correctness row is green in the r9 record)
     "cdc_merge_upsert",
     # round-4 wave 6
     "trigram_lm_score",
@@ -74,13 +75,14 @@ HEADLINE = [
     # round-5 incremental-curation wave
     "incremental_near_dedup",
     # round-6: literal partsupp TPC-H graphs + sketch accuracy checks
+    # (q11/q16_partsupp and approx_quantile_check rotated out in round
+    # 10 for the capture cap — 0.58-0.67s; the partsupp family keeps
+    # q2/q9/q20 + the TPC-H core reps, the sketch family keeps
+    # approx_distinct_check, and all three keep green correctness rows)
     "q2_partsupp",
     "q9_partsupp",
-    "q11_partsupp",
-    "q16_partsupp",
     "q20_partsupp",
     "approx_distinct_check",
-    "approx_quantile_check",
     "ann_recall_check",
     "boilerplate_frac",
     "quality_gate_funnel",
@@ -148,6 +150,12 @@ HEADLINE = [
     # dsir_weights + gopher_rules + boilerplate_frac) rotate out.
     "bm25_topk",
     "nb_lang_classifier",
+    # round-10: the hashed-feature NB variant (bounded model broadcast
+    # at open vocab — the production twin of nb_lang_classifier) and
+    # the MMR shortlist recall gate (4 greedy chains per run, the
+    # heaviest retrieval-quality member).
+    "nb_hashed",
+    "mmr_recall_check",
 ]
 
 
@@ -216,9 +224,29 @@ def main() -> None:
     # documented slow phase (best-of-3 idle 1.16-3.60s / 1.74-2.24s), so
     # the recorded-round min is the tighter, more defensible bar
     # (BASELINE.md "Round-9 re-baseline").
+    #
+    # Round 10 (r9 verdict item 3) extends the clamp to the three
+    # queries the r9 judge adjudicated as carrying the same class of
+    # pre-floor / fast-window best-knowns (VERDICT.md r9 "Flag
+    # adjudication", judge-run same-window control A/B):
+    # - trigram_lm_score / minhash_dedup: BASELINE.md's own round-7
+    #   floor table lists their 0.81 / 0.77 best-knowns as PRE-FLOOR
+    #   fast-window records; clamp to the floored form's recorded-round
+    #   min (r7-r9: trigram 1.16/1.08/2.32 -> 1.08; minhash
+    #   1.03/1.04/1.03 -> 1.03).
+    # - centroid_assign: plan shape unchanged since it registered (the
+    #   broadcast-argmin BNLJ, PLAN_DIGEST), but its 0.299 best-known is
+    #   an r3-era fast-window record the judge's idle A/B showed the
+    #   identical plan running 2.7x of in a slow window while unflagged
+    #   peers ran 3.6x; clamp to the r6 recorded 0.39 (the newest
+    #   fast-window round on record — trigram's pre-floor 0.81 record
+    #   was set in that same window).
     REBASED_FLOOR = {
         "boilerplate_frac": 1.09,
         "dsir_weights": 1.17,
+        "trigram_lm_score": 1.08,
+        "minhash_dedup": 1.03,
+        "centroid_assign": 0.39,
     }
     for q, floor_t in REBASED_FLOOR.items():
         if q in best_known:
@@ -228,14 +256,37 @@ def main() -> None:
     # unrelated queries in a slow window (round-9 measurement: a quiet
     # run at uniform ~1.4x inflation flagged 4 queries whose code had
     # not changed). A real regression is a RELATIVE outlier: its
-    # time/best-known ratio stands out against the window's median
-    # ratio (the throttle factor), not just against an absolute 2x. So
-    # flag iff ratio > max(2, 2 * median_ratio) — a fast window keeps
-    # the old absolute rule; a slow window raises the bar uniformly and
-    # still catches anything 2x worse than its peers.
+    # time/best-known ratio stands out against the window's throttle
+    # factor, not just against an absolute 2x.
+    #
+    # Round 10 (r9 verdict item 3): the phase index is now a FIXED
+    # 3-query CONTROL SET, not the headline-set median. The median is
+    # biased by entries whose best-knowns were themselves set in slow
+    # windows (they read "fast" and drag the median down — exactly how
+    # 2.8x ratios flagged in r9 while an unflagged query ran 3.6x in
+    # the same minutes). The controls are plain, plan-stable queries
+    # whose best-knowns are r1-era fast-window records (0.377 / 0.313 /
+    # 0.322), so their ratio in THIS window measures the window itself;
+    # median-of-3 tolerates one control genuinely regressing (which the
+    # flag rule below would then catch, since its ratio would stand 2x
+    # above the other two). Flag iff ratio > max(2, 2 * control_ratio).
+    WINDOW_CONTROLS = ("q1_pricing_summary", "window_rank", "resample_ohlc")
+    ctl = sorted(
+        timings[q] / best_known[q] for q in WINDOW_CONTROLS if best_known.get(q)
+    )
+    control_ratio = ctl[len(ctl) // 2] if ctl else 1.0
     ratios = sorted(t / best_known[q] for q, t in timings.items() if best_known[q] > 0)
     median_ratio = ratios[len(ratios) // 2] if ratios else 1.0
-    bar = max(2.0, 2.0 * median_ratio)
+    bar = max(2.0, 2.0 * control_ratio)
+    # Uniform-regression guard (r9 ADVICE): a code change that slows
+    # EVERYTHING equally inflates the controls too and would suppress
+    # every relative flag. The historically observed throttle envelope
+    # tops out near 4x (BASELINE.md: identical queries 0.9s vs 4.2s);
+    # a control ratio beyond it is either an extreme VM phase or a
+    # genuine global regression — either way it needs a human read, so
+    # it is surfaced on the printed line instead of silently raising
+    # the bar further.
+    window_anomaly = control_ratio > 4.0
     flagged = sorted(
         q
         for q, t in timings.items()
@@ -255,7 +306,12 @@ def main() -> None:
         "sf": sf,
         "best_known_total": round(sum(best_known.values()), 3),
         "over_2x_best_known": flagged,
+        # the window's phase index from the fixed control set (see
+        # WINDOW_CONTROLS above): ~1 = fast window, >4 = anomaly
+        "window_control_ratio": round(control_ratio, 3),
     }
+    if window_anomaly:
+        summary["window_anomaly"] = True
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     with open(full_path, "w") as fh:
         json.dump(
@@ -263,9 +319,12 @@ def main() -> None:
                 **summary,
                 "queries": timings,
                 "best_known": {q: round(t, 3) for q, t in best_known.items()},
-                # the window's throttle factor and the flag bar actually
-                # applied (full file only — the printed line is capped)
+                # the window's throttle factors and the flag bar actually
+                # applied (full file only — the printed line is capped).
+                # window_median_ratio is retained for cross-round
+                # comparison; the bar normalizes by the CONTROL ratio.
                 "window_median_ratio": round(median_ratio, 3),
+                "window_control_ratio": round(control_ratio, 3),
                 "flag_bar": round(bar, 3),
             },
             fh,

@@ -465,8 +465,9 @@ def jl_project(
     out_col: str = "projected",
 ) -> DataFrame:
     """Random-projection dimensionality reduction y_i = <v, s_i>/sqrt(k)
-    over the fixed ±1 sign matrix — the cheap pre-ANN shrink step (16->8
-    here; 1024->64 in production, where it cuts every downstream cosine
+    over the fixed ±1 sign matrix — the cheap pre-ANN shrink step (the
+    registered jl_project_norms query runs 64->16 on the fixture;
+    1024->64 in production, where it cuts every downstream cosine
     and LSH cost by the same factor). Pure projection: no shuffle, no
     Python, one pass inside whole-stage codegen; the matrix rides in the
     expression as literals (out_dim x dim doubles, trivially broadcast-

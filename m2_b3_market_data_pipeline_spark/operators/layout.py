@@ -124,6 +124,18 @@ def training_shards(
     lesson; caught by the surface-wide plan lint), and hash60 orders
     identically to the hex string up to 60-bit ties.
 
+    Known tie behavior (r9 ADVICE, kept deliberately): on an exact
+    60-bit hash collision between two member ids, the min_by/max_by
+    winner is engine/partition-order arbitrary (Spark min_by and DuckDB
+    arg_min both pick any tied row). Probability is ~n_shard_pairs/2^61
+    — negligible at any realistic shard size — and the in-key fix was
+    probed and REJECTED on measurement: a struct(__h, id) ordering key
+    demotes the whole aggregate to SortAggregate on Spark (the exact
+    regression this function avoids), and DuckDB's arg_min does not
+    accept a composite ordering argument at all, so the oracle could
+    not mirror it. A collision would surface as a first/last_doc_id
+    hash mismatch against the oracle, never silently.
+
     Returns (shard_id, n_docs, n_tokens, id_checksum, first_doc_id,
     last_doc_id) ordered by shard_id.
     """

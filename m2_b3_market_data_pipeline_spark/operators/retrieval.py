@@ -142,6 +142,17 @@ def mmr_select(
     the k-step greedy loop touches only those rows (selected vectors
     ride back in as literals so the scoring arithmetic — and its
     rounding — is Spark's on every step, never the driver's).
+
+    Shortlist sizing rule (measured, not argued — the knob's recall
+    curve is the hash-checked ``mmr_recall_check`` sweep): greedy MMR
+    only ever reaches below the relevance top-k when the diversity
+    penalty outweighs relevance, bounded by the (1-lam)/lam ratio, so a
+    shortlist of c*k with small margin c suffices; at lam=0.7, c=2
+    (shortlist 16 for k=8) already reproduced the EXACT full-candidate
+    greedy selection on every gate fixture, and the default
+    shortlist=4k carries 2x headroom on top. Unlike the §13/§14 corpus
+    knobs, this one scales with the REQUEST (k), not the corpus —
+    growing the corpus does not move it.
     """
     spark = emb.sparkSession
     q = (

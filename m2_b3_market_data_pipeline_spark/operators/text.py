@@ -296,12 +296,18 @@ def lang_segments(
     return out
 
 
+# Seed for the hashed-feature NB variant's bucket hash (seeded_hash60
+# family — the DSIR precedent, operators/corpus.py::DSIR_SEED).
+NB_HASH_SEED = 47
+
+
 def nb_lang_scores(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "lang",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Multinomial Naive Bayes trained BY COUNTING (closed form — no
     iterations, so the whole train-and-score pass is deterministic and
@@ -310,12 +316,32 @@ def nb_lang_scores(
 
     Train: alpha=1 Laplace-smoothed token likelihoods per label over
     docs with a non-NULL label AND non-NULL text; priors from label doc
-    counts. Score: EVERY non-NULL-text doc (a doc needs no label to be
-    scored) gets log-posterior ln P(l) + sum_t n_t ln P(t|l) per label;
+    counts. Score: a non-NULL-text doc needs no label to be scored —
+    it gets log-posterior ln P(l) + sum_t n_t ln P(t|l) per label;
     argmax on the 6dp-ROUNDED posterior, ties broken by label ASC.
     Tokens outside the training vocabulary are skipped (the standard
     vocabulary-restriction convention — smoothing only covers seen
-    vocab x label zeros, keeping the model relation at |V| x |labels|).
+    vocab x label zeros, keeping the model relation at |V| x |labels|);
+    consequently a doc whose tokens are ALL out-of-vocabulary —
+    including every empty-text doc — produces NO output row (pinned in
+    tests/test_retrieval_ops.py::test_nb_out_of_vocab_doc_drops and
+    matched by the oracle; a prior-only fallback would be the textbook
+    alternative, deliberately not taken so the scored relation is
+    exactly "docs with evidence").
+
+    ``n_buckets`` switches on the HASHED-FEATURE variant (the hashing
+    trick — exactly the posture dsir_log_weights already ships): every
+    token maps to ``seeded_hash60(token, NB_HASH_SEED) % n_buckets``
+    before any counting, so the model relation is at most
+    ``n_buckets`` x |labels| rows NO MATTER the corpus vocabulary.
+    This is the 100 TB form: the dense-vocab model grows with corpus
+    CONTENT (|V| is unbounded on open web text — the same fixed-knob
+    class SCALE.md §14 retired), while the hashed model is bounded by
+    contract and the broadcast can never outgrow an executor.
+    Collisions fold distinct tokens into one feature (the standard
+    accuracy-for-boundedness trade); "vocabulary" becomes the set of
+    OCCUPIED training buckets, and the OOV-drop rule applies to buckets
+    the training corpus never occupied.
 
     The point is the operator SHAPE, not model quality (the fixture's
     texts do not differ by lang — accuracy is chance, like
@@ -325,8 +351,18 @@ def nb_lang_scores(
 
     Returns (doc_id, lang, pred_lang, log_post, correct) per scored doc.
     """
+    toks_expr = tokens(text_col)
+    if n_buckets is not None:
+        from ..functions.textfns import seeded_hash60
+
+        # Hash at the ARRAY level, inside the same tokenize projection,
+        # so train and score paths cannot drift and the explode streams
+        # bucket ids (8-byte longs), never raw token strings.
+        toks_expr = F.transform(
+            toks_expr, lambda t: seeded_hash60(t, NB_HASH_SEED) % n_buckets
+        )
     base = docs.filter(F.col(text_col).isNotNull()).select(
-        id_col, F.col(label_col).alias("__label"), tokens(text_col).alias("__toks")
+        id_col, F.col(label_col).alias("__label"), toks_expr.alias("__toks")
     )
     train = base.filter(F.col("__label").isNotNull())
     # (label, token) occurrence counts — vocab-bounded, and read FOUR

@@ -146,64 +146,69 @@ from .registry import ORACLES, QUERIES
 # training-shard manifest), the 10 r4-era stale rows the r8 rotation
 # queued, then the oldest (r5-era) remainder.
 #
+# Round 10: regenerated against the r9 record (the r9 verdict's item
+# 1 — the 17 r5-era hash rows front-load right behind the two
+# newborns; then the oldest r6-era remainder fills the window).
+#
 # BASIS ROUND: the newest CORRECTNESS file this list was generated
 # against. The equality pin computes front_load over files <= this
 # round, so the DRIVER landing the current round's file mid-round does
 # not fail the suite; regenerating the list next round bumps it.
-CHECK_PRIORITY_BASIS_ROUND = 8
+CHECK_PRIORITY_BASIS_ROUND = 9
 CHECK_PRIORITY: list[str] = [
-    # --- New in round 9: window the round they are born. ---
-    "pagerank_cosuppliers_subgraph",
-    "semdedup_k_scaled",
-    "embedding_near_dups_bits_scaled",
-    "ivfpq_cells_scaled",
-    "nb_lang_classifier",
-    "source_kl_divergence",
-    "bm25_topk",
-    "mmr_select",
-    "jl_project_norms",
-    "training_shards",
-    # --- The 10 r4-era rows queued by the r8 rotation plan. ---
-    "scalar_subquery",
-    "scd2_user_values",
-    "sessionize_stats",
-    "sliding_window",
-    "token_pack",
-    "trending_daily",
-    "value_histogram",
-    "window_distribution",
-    "window_running_total",
-    "zscore_anomalies",
-    # --- Oldest remaining evidence (r5-era), alphabetical fill. ---
-    "asset_aggregates",
-    "coalesce_duplicates",
-    "containment_pairs",
-    "corpus_mixture",
-    "correlation_matrix",
-    "cosine_topk",
-    "date_functions",
-    "dedup_clusters_twophase",
-    "dedup_exact",
-    "doc_fingerprint",
-    "embedding_near_dups",
-    "enrich_join",
-    "filter_sort_limit",
-    "fuzzy_name_match",
-    "indicator_returns",
-    "indicator_rsi",
-    "ivf_ann_topk",
-    "json_extract",
-    "json_parse_audit",
-    "lang_id",
-    "leakage_safe_split",
-    "markov_transitions",
-    "minhash_dedup",
-    "ngram_jaccard",
-    "null_scalars",
-    "partial_agg_merge",
-    "percentile_binning",
-    "phash_near_dups",
-    "quality_score",
+    # --- New in round 10: window the round they are born. ---
+    "nb_hashed",
+    "mmr_recall_check",
+    # --- The 17 r5-era hash rows the r9 verdict front-loaded (oldest
+    # evidence first, alphabetical within the round). ---
+    "realized_volatility",
+    "refined_write_roundtrip",
+    "rolling_mean_7",
+    "seasonal_backtest",
+    "select_limit",
+    "simhash_near_dups",
+    "simhash_signatures",
+    "snapshot_diff",
+    "string_functions",
+    "text_stats",
+    "top_bigram_frac",
+    "trigram_lm_score",
+    "twap_daily",
+    "union_all",
+    "unpivot_metrics",
+    "weighted_sample",
+    "zorder_keys",
+    # --- Oldest remaining evidence (r6-era), alphabetical fill. ---
+    "approx_distinct_check",
+    "approx_quantile_check",
+    "audio_frame_energy",
+    "balanced_sample",
+    "boilerplate_frac",
+    "cluster_size_histogram",
+    "csv_roundtrip",
+    "dedup_rate_by_source",
+    "dup_ngram_spans",
+    "embed_quantize",
+    "frame_dedup",
+    "incremental_near_dedup",
+    "indicator_vwap_drawdown",
+    "jsonl_roundtrip",
+    "kmeans_clusters",
+    "label_centroids",
+    "lsh_recall_check",
+    "mixture_rebalance",
+    "multimodal_frames",
+    "multimodal_meta",
+    "normalized_vectors",
+    "orc_roundtrip",
+    "pq_ann_topk",
+    "pq_codes",
+    "q11_partsupp",
+    "q16_partsupp",
+    "q1_pricing_summary",
+    "q20_partsupp",
+    "q2_partsupp",
+    "q3_shipping_priority",
     # --- Anchor: flagship reference pipeline, in the window every
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---

@@ -811,11 +811,18 @@ def c4_line_filters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Counting-trained corpus classifier + mixture KL diagnostic -------------
 
-from ..operators.text import nb_lang_scores, source_unigram_kl  # noqa: E402
+from ..operators.text import NB_HASH_SEED, nb_lang_scores, source_unigram_kl  # noqa: E402
 
-_NB_ORACLE = f"""
+
+def _nb_oracle_sql(toks_sql: str) -> str:
+    """The NB train-and-score chain over any token expression — the
+    dense-vocab form passes the raw tokenizer, the hashed-feature form
+    passes the bucket mapping, and everything downstream (counts,
+    smoothing, priors, argmax) is ONE definition that cannot drift
+    between the two registered variants."""
+    return f"""
 WITH base AS (
-    SELECT doc_id, lang AS actual, {TK} AS toks
+    SELECT doc_id, lang AS actual, {toks_sql} AS toks
     FROM documents WHERE text IS NOT NULL
 ),
 train AS (SELECT * FROM base WHERE actual IS NOT NULL),
@@ -864,6 +871,21 @@ ORDER BY doc_id
 """
 
 
+_NB_ORACLE = _nb_oracle_sql(TK)
+
+# Hashed-feature variant: every token maps to a seeded-md5 bucket
+# BEFORE any counting (operators/text.py::nb_lang_scores n_buckets).
+# 16 buckets over the ~31-token fixture vocabulary forces real
+# collisions, so the differential gate exercises the fold, not an
+# accidentally-injective mapping.
+NB_BUCKETS = 16
+_NB_HASHED_ORACLE = _nb_oracle_sql(
+    f"list_transform({TK}, t -> "
+    f"CAST(('0x' || substr(md5('{NB_HASH_SEED}|' || t), 1, 15)) AS BIGINT)"
+    f" % {NB_BUCKETS})"
+)
+
+
 @register("nb_lang_classifier", oracle=_NB_ORACLE)
 def nb_lang_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes corpus classifier, trained by counting
@@ -875,6 +897,21 @@ def nb_lang_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus self-join, linear at 100 TB."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     return nb_lang_scores(docs)
+
+
+@register("nb_hashed", oracle=_NB_HASHED_ORACLE)
+def nb_hashed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature Naive Bayes (r9 verdict item 2): the same
+    counting trainer with tokens folded into {NB_BUCKETS} seeded-hash
+    buckets (the DSIR hashing-trick posture,
+    operators/corpus.py::dsir_log_weights), so the broadcast model is
+    AT MOST n_buckets x |labels| rows regardless of corpus vocabulary —
+    the open-web-scale form of nb_lang_classifier, whose dense
+    |V| x |labels| grid grows with corpus content and stays registered
+    as the judged baseline. Scale shape otherwise identical: one
+    doc-bucket-count shuffle, no corpus self-join."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return nb_lang_scores(docs, n_buckets=NB_BUCKETS)
 
 
 _KL_ORACLE = f"""

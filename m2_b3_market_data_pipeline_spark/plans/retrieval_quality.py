@@ -499,6 +499,121 @@ selu{i} AS MATERIALIZED (SELECT * FROM selu{i - 1} UNION ALL SELECT vec_id, v FR
     return "WITH " + ",\n".join(parts) + f"\n{union}\nORDER BY \"rank\""
 
 
+MMR_SWEEP = (8, 16, 32)
+# "Exact" greedy = the same contract with the shortlist cap beyond any
+# gate fixture's candidate count (sf10 = 200k vectors), i.e. greedy MMR
+# over the FULL candidate set.
+MMR_FULL = 1_000_000
+
+
+def _mmr_chain(tag: str, limit: int | None) -> str:
+    """The unrolled greedy-MMR CTE chain with ``tag``-prefixed names and
+    a parameterized shortlist cap (``None`` = full candidate set) —
+    shares the c/mn/q/cand prelude emitted once by the caller. Same
+    step contract as _mmr_oracle; AS MATERIALIZED for the same
+    exponential-inlining reason."""
+    lam, mu = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    lim = f" LIMIT {limit}" if limit is not None else ""
+    parts = [
+        f"""sh{tag} AS MATERIALIZED (SELECT * FROM cand ORDER BY rel DESC, vec_id{lim}),
+sel{tag}1 AS (
+    SELECT vec_id, v, sc FROM (
+        SELECT vec_id, v, ROUND({lam} * rel, 6) + 0 AS sc FROM sh{tag})
+    ORDER BY sc DESC, vec_id LIMIT 1),
+selu{tag}1 AS MATERIALIZED (SELECT vec_id, v FROM sel{tag}1)"""
+    ]
+    for i in range(2, MMR_K + 1):
+        parts.append(
+            f"""sel{tag}{i} AS (
+    SELECT vec_id, v, sc FROM (
+        SELECT s.vec_id, s.v,
+               ROUND({lam} * s.rel - {mu} *
+                     (SELECT MAX({_MMR_COS_ST}) FROM selu{tag}{i - 1} t), 6) + 0 AS sc
+        FROM sh{tag} s
+        WHERE s.vec_id NOT IN (SELECT vec_id FROM selu{tag}{i - 1}))
+    ORDER BY sc DESC, vec_id LIMIT 1),
+selu{tag}{i} AS MATERIALIZED (SELECT * FROM selu{tag}{i - 1} UNION ALL SELECT vec_id, v FROM sel{tag}{i})"""
+        )
+    return ",\n".join(parts)
+
+
+def _mmr_recall_oracle() -> str:
+    """Four greedy chains over one shared candidate prelude — the full
+    set (the exact reference) and the three sweep shortlists — then the
+    per-shortlist overlap with the exact selection."""
+    prelude = f"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
+mn AS (SELECT MIN(vec_id) AS qid FROM c),
+q AS (SELECT c.v AS qv FROM c, mn WHERE c.vec_id = mn.qid),
+cand AS MATERIALIZED (
+    SELECT c.vec_id, c.v,
+           ROUND(list_inner_product(q.qv, c.v) /
+                 (sqrt(list_inner_product(q.qv, q.qv)) *
+                  sqrt(list_inner_product(c.v, c.v))), 6) AS rel
+    FROM c CROSS JOIN q CROSS JOIN mn WHERE c.vec_id <> mn.qid)"""
+    chains = [_mmr_chain("f", None)] + [_mmr_chain(f"s{s}", s) for s in MMR_SWEEP]
+    sweep = "\nUNION ALL ".join(
+        f"SELECT {s} AS shortlist, vec_id FROM selus{s}{MMR_K}" for s in MMR_SWEEP
+    )
+    return (
+        "WITH "
+        + ",\n".join([prelude] + chains)
+        + f""",
+exact AS (SELECT vec_id FROM seluf{MMR_K}),
+sweep AS ({sweep})
+SELECT shortlist,
+       CAST(COUNT(*) AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       ROUND(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM exact)
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS overlap_frac
+FROM sweep GROUP BY shortlist ORDER BY shortlist"""
+    )
+
+
+@register("mmr_recall_check", oracle=_mmr_recall_oracle())
+def mmr_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MMR shortlist knob's recall gate (r9 verdict item 4): the
+    32-row shortlist was the one quantization knob without measured
+    evidence — this sweeps shortlist ∈ {MMR_SWEEP} against the EXACT
+    greedy MMR over the full candidate set (shortlist cap beyond any
+    fixture's candidate count) and reports, per shortlist, how much of
+    the exact diverse selection the shortlist-bounded production form
+    recovers. Same ann_recall_check posture: both sides deterministic,
+    so even the approximate path's QUALITY is hash-checked, and the
+    driver record carries the knob's recall curve instead of an argued
+    default. Scale note: the exact reference is fixture-only evidence —
+    at corpus scale the full-set greedy is exactly what the shortlist
+    exists to avoid; the gate's point is measuring what the shortlist
+    gives up (operators/retrieval.py::mmr_select docstring carries the
+    sizing rule)."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = (
+        mmr_select(emb, k=MMR_K, lam=MMR_LAMBDA, shortlist=MMR_FULL)
+        .select("vec_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    sweep = None
+    for s in MMR_SWEEP:
+        sel = mmr_select(emb, k=MMR_K, lam=MMR_LAMBDA, shortlist=s).select(
+            F.lit(s).alias("shortlist"), "vec_id"
+        )
+        sweep = sel if sweep is None else sweep.unionByName(sel)
+    return (
+        sweep.join(exact, "vec_id", "left")
+        .groupBy("shortlist")
+        .agg(
+            F.count("*").alias("n_selected"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap"),
+        )
+        .withColumn(
+            "overlap_frac", F.round(F.col("n_overlap") / F.col("n_selected"), 6)
+        )
+        .orderBy("shortlist")
+    )
+
+
 @register("mmr_select", oracle=_mmr_oracle())
 def mmr_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy MMR diverse top-k (Carbonell & Goldstein 1998) against

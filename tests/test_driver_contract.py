@@ -36,10 +36,11 @@ BARE_SESSION_SCRIPT = textwrap.dedent(
     qs = entrymod.queries()
     # Representative set: the flagship (events reader through the full
     # normalize path), a windowed indicator, a plain events scan, and
-    # the round-9 shapes that do session-side work (MMR's driver-side
-    # greedy loop + createDataFrame; NB's persist + broadcast grid).
+    # the round-9/10 shapes that do session-side work (MMR's
+    # driver-side greedy loops + createDataFrame unions — the recall
+    # check runs four of them; NB's persist + broadcast grid).
     for name in ["refined_pipeline", "indicator_ewma", "select_limit",
-                 "json_parse_audit", "mmr_select", "nb_lang_classifier"]:
+                 "json_parse_audit", "mmr_recall_check", "nb_hashed"]:
         df = qs[name](spark, "/root/testdata/sf0.001")
         n = df.count()
         assert n >= 0, name
@@ -129,6 +130,8 @@ def test_bench_line_fits_driver_capture():
             "sf": 0.1,
             "best_known_total": 99999.999,
             "over_2x_best_known": flagged,
+            "window_control_ratio": 99.999,
+            "window_anomaly": True,
         }
     )
     assert len(line) < 1900, (len(line), "trim HEADLINE or shorten the line")
