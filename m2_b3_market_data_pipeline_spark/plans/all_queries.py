@@ -159,6 +159,8 @@ CHECK_PRIORITY: list[str] = [
     # --- New in round 10: window the round they are born. ---
     "nb_hashed",
     "mmr_recall_check",
+    "dedup_clusters_sample",
+    "triangle_coparts_subgraph",
     # --- The 17 r5-era hash rows the r9 verdict front-loaded (oldest
     # evidence first, alphabetical within the round). ---
     "realized_volatility",
@@ -207,8 +209,6 @@ CHECK_PRIORITY: list[str] = [
     "q16_partsupp",
     "q1_pricing_summary",
     "q20_partsupp",
-    "q2_partsupp",
-    "q3_shipping_priority",
     # --- Anchor: flagship reference pipeline, in the window every
     # round (its row also re-validates the events loader against the
     # current testdata's ts layout). ---

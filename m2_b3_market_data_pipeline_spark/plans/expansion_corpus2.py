@@ -62,6 +62,55 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Deterministic doc sample for scale-decade witnesses: keep a doc iff
+# the first hex nibble of md5(doc_id-as-string) is '0' (~1/16,
+# hash-uniform, engine-identical — the pagerank_cosuppliers_subgraph
+# idiom from plans/graph_queries.py).
+_DOC_SAMPLE_SQL = "substr(md5(CAST(doc_id AS STRING)), 1, 1) = '0'"
+
+
+@register(
+    "dedup_clusters_sample",
+    oracle=f"""
+WITH RECURSIVE sdocs AS (
+    SELECT doc_id, text FROM documents WHERE {_DOC_SAMPLE_SQL}),
+{minhash_pairs_sql("sdocs")},
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM mh_pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM mh_pairs
+),
+reach(node, lab) AS (
+    SELECT doc_id, doc_id FROM sdocs
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+""",
+)
+def dedup_clusters_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` on a deterministic md5-seeded ~1/16 doc
+    sample — the bounded differential witness for the scale decades
+    where the full-corpus clustering oracle (16 md5 min-hashes per
+    shingle over EVERY doc, then a recursive closure) out-scales
+    DuckDB. The sample pushes below the shingle/signature computation,
+    so the witness costs 1/16 of the signature work and ~1/256 of the
+    candidate pairs at any corpus size; the components found are the
+    true components of the induced sub-corpus (sampling is applied
+    before pairing on BOTH engines). Full-corpus evidence at those
+    scales stays Spark-side (linear label-prop rounds, SCALE.md §13)."""
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.expr(_DOC_SAMPLE_SQL))
+    )
+    pairs = minhash_dedup_pairs(docs, threshold=JACCARD_THRESHOLD)
+    out = connected_components(pairs, docs.select("doc_id"), node_col="doc_id")
+    release_cached(pairs)
+    return out
+
+
 @register(
     "cluster_size_histogram",
     oracle=f"""

@@ -197,6 +197,71 @@ def triangle_coparts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("node")
     out._cached_frames = tc._cached_frames
     return out
+
+
+@register(
+    "triangle_coparts_subgraph",
+    oracle=f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE {_PR_SAMPLE_SQL.format(k="l_partkey")}),
+e AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+tr AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (
+    SELECT a AS node FROM tr
+    UNION ALL SELECT b FROM tr
+    UNION ALL SELECT c FROM tr),
+t AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM corners GROUP BY node),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+    GROUP BY node)
+SELECT d.node,
+       COALESCE(t.triangles, CAST(0 AS BIGINT)) AS triangles,
+       ROUND(CASE WHEN d.degree >= 2
+                  THEN CAST(2 AS DOUBLE) * COALESCE(t.triangles, 0)
+                       / (d.degree * (d.degree - 1))
+                  ELSE CAST(0 AS DOUBLE) END, 9) AS clustering_coeff
+FROM deg d LEFT JOIN t ON t.node = d.node
+ORDER BY d.node
+""",
+)
+def triangle_coparts_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``triangle_coparts`` on the induced subgraph of a deterministic
+    md5-seeded part sample (~1/16 of parts, so ~1/256 of co-purchase
+    edges and ~1/4096 of triangles) — the bounded differential witness
+    for the scale decades where the full-graph triangle oracle
+    out-scales DuckDB (the pagerank_cosuppliers_subgraph pattern, r9).
+    The sample pushes BELOW the edge-build self-join, so the witness
+    costs 1/256 of the edge build at any corpus size; full-graph
+    evidence at those scales stays Spark-side (the degree-oriented
+    wedge plan pins + the self-sizing wedge partitions,
+    operators/graph.py:329)."""
+    from ..operators.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem")
+    op = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .filter(F.expr(_PR_SAMPLE_SQL.format(k="l_partkey")))
+    )
+    a = op.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "__ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+    )
+    tc = triangle_counts(edges)
+    out = tc.select("node", "triangles", "clustering_coeff").orderBy("node")
+    out._cached_frames = tc._cached_frames
+    return out
 REACH_SEED_MOD = 1000  # seed parts: l_partkey % 1000 == 0
 REACH_DEPTH = 2  # hop bound: depth guard makes UNION ALL recursion finite
 

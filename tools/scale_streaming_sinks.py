@@ -22,9 +22,19 @@ and scale:
     postings    : state rows == |distinct vocabulary| + 1 — the BM25
                   statistics follow the vocab, never the doc count.
 
-Usage: python tools/scale_streaming_sinks.py [SF_DIR ...]
-       (default: /root/testdata/sf0.1 /root/repo/.scale/sf1)
+Usage: python tools/scale_streaming_sinks.py [--sinks a,b]
+           [--semdedup-assigner codebook|lsh] [SF_DIR ...]
+       (default: all sinks, codebook assigner,
+        /root/testdata/sf0.1 /root/repo/.scale/sf1)
 Prints one JSON object per (sink, sf_dir) plus an invariant verdict.
+
+Round 10 (r9 verdict item 5): ``--sinks`` scopes a campaign to a
+subset (the 30x step targets the two dedup sinks), and
+``--semdedup-assigner lsh`` drains the semantic-dedup sink under
+``operators/embeddings.py::lsh_cell_assigner`` with cell bits from the
+corpus-scaled knob formula over the BACKLOG size — the cells-∝-corpus
+posture whose batch form SCALE.md §14 gate-checked; the sf1 drain's
+103s under the fixed mod-50 codebook was the cost this retires.
 """
 
 from __future__ import annotations
@@ -76,7 +86,7 @@ def _rows(spark, path: str) -> int:
     return spark.read.parquet(path).count()
 
 
-def run_sink(spark, sink: str, sf_dir: str, work: str) -> dict:
+def run_sink(spark, sink: str, sf_dir: str, work: str, *, semdedup_assigner: str = "codebook") -> dict:
     from m2_b3_market_data_pipeline_spark.plans.registry import load
 
     updates = os.path.join(work, "in")
@@ -104,15 +114,36 @@ def run_sink(spark, sink: str, sf_dir: str, work: str) -> dict:
 
     elif sink == "semdedup":
         emb = load(spark, sf_dir, "embeddings")
-        centroids = emb.filter(F.col("vec_id") % SEM_CENTROID_MOD == 0).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.col("embedding").alias("centroid"),
-        )
         src = emb.select("vec_id", "embedding")
         waves = [src.filter(F.col("vec_id") % N_WAVES == w) for w in range(N_WAVES)]
         from m2_b3_market_data_pipeline_spark.streaming.semdedup_sink import (
             run_semdedup_stream,
         )
+
+        quantizer: dict = {}
+        if semdedup_assigner == "lsh":
+            # Cells ∝ the planned corpus (= this campaign's backlog),
+            # bits from the same knob formula the batch scaled variant
+            # gate-checked (SCALE.md §14). dim from the fixture layout.
+            from m2_b3_market_data_pipeline_spark.operators.embeddings import (
+                lsh_cell_assigner,
+            )
+            from m2_b3_market_data_pipeline_spark.operators.knobs import (
+                scaled_cell_bits,
+            )
+
+            n = src.count()
+            dim = len(src.select("embedding").first()["embedding"])
+            quantizer["assign_fn"] = lsh_cell_assigner(
+                dim=dim, cell_bits=scaled_cell_bits(n)
+            )
+        else:
+            quantizer["centroids"] = emb.filter(
+                F.col("vec_id") % SEM_CENTROID_MOD == 0
+            ).select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("centroid"),
+            )
 
         def drain():
             run_semdedup_stream(
@@ -122,8 +153,8 @@ def run_sink(spark, sink: str, sf_dir: str, work: str) -> dict:
                 decisions_path=out,
                 checkpoint_path=ckpt,
                 schema=EMB_SCHEMA,
-                centroids=centroids,
                 threshold=SEM_THRESHOLD,
+                **quantizer,
             ).awaitTermination(600)
 
     elif sink == "countmin":
@@ -194,6 +225,11 @@ def run_sink(spark, sink: str, sf_dir: str, work: str) -> dict:
     rec = {
         "sink": sink,
         "sf_dir": sf_dir,
+        **(
+            {"assigner": semdedup_assigner}
+            if sink == "semdedup"
+            else {}
+        ),
         "input_rows": input_rows,
         "waves": N_WAVES,
         "wall_s": round(wall, 1),
@@ -247,17 +283,28 @@ def run_sink(spark, sink: str, sf_dir: str, work: str) -> dict:
 
 
 def main() -> None:
-    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1", f"{REPO}/.scale/sf1"]
+    args = sys.argv[1:]
+    sinks = ("countmin", "agg", "postings", "semdedup", "near_dedup")
+    assigner = "codebook"
+    if "--sinks" in args:
+        i = args.index("--sinks")
+        sinks = tuple(args[i + 1].split(","))
+        del args[i : i + 2]
+    if "--semdedup-assigner" in args:
+        i = args.index("--semdedup-assigner")
+        assigner = args[i + 1]
+        del args[i : i + 2]
+    sf_dirs = args or ["/root/testdata/sf0.1", f"{REPO}/.scale/sf1"]
     from m2_b3_market_data_pipeline_spark.session import get_spark
 
     spark = get_spark("sink-scale-step")
     spark.sparkContext.setLogLevel("ERROR")
     ok = True
     for sf_dir in sf_dirs:
-        for sink in ("countmin", "agg", "postings", "semdedup", "near_dedup"):
+        for sink in sinks:
             work = tempfile.mkdtemp(prefix=f"sinkscale-{sink}-")
             try:
-                rec = run_sink(spark, sink, sf_dir, work)
+                rec = run_sink(spark, sink, sf_dir, work, semdedup_assigner=assigner)
             finally:
                 shutil.rmtree(work, ignore_errors=True)
             print(json.dumps(rec))
