@@ -143,16 +143,21 @@ def mmr_select(
     ride back in as literals so the scoring arithmetic — and its
     rounding — is Spark's on every step, never the driver's).
 
-    Shortlist sizing rule (measured, not argued — the knob's recall
-    curve is the hash-checked ``mmr_recall_check`` sweep): greedy MMR
-    only ever reaches below the relevance top-k when the diversity
-    penalty outweighs relevance, bounded by the (1-lam)/lam ratio, so a
-    shortlist of c*k with small margin c suffices; at lam=0.7, c=2
-    (shortlist 16 for k=8) already reproduced the EXACT full-candidate
-    greedy selection on every gate fixture, and the default
-    shortlist=4k carries 2x headroom on top. Unlike the §13/§14 corpus
-    knobs, this one scales with the REQUEST (k), not the corpus —
-    growing the corpus does not move it.
+    Shortlist semantics and sizing (measured, not argued — the knob's
+    recall curve is the hash-checked ``mmr_recall_check`` sweep): the
+    selection is EXACT greedy MMR over the top-``shortlist`` relevance
+    pool — the production reranking definition, where the shortlist IS
+    the retrieval depth. Against the FULL-corpus greedy (the sweep's
+    reference) the pool bound costs more as the corpus grows: the
+    penalty term can promote a candidate up to 2*(1-lam)/lam relevance
+    units below the top (pen and rel both span [-1, 1]), and the number
+    of candidates inside that band grows with the corpus. Measured at
+    lam=0.7, k=8, shortlist=32: exact-set reproduction at <= 2k
+    vectors, 0.75 overlap at 60k, 0.50 at 200k. So this knob is NOT
+    corpus-free either: when full-corpus-greedy parity is the goal the
+    shortlist must cover the relevance band the penalty can reach
+    (size it from the measured near-top relevance density), and the
+    registered sweep is the gate that says whether a chosen depth does.
     """
     spark = emb.sparkSession
     q = (

@@ -23,8 +23,12 @@ identical-twin replication of the earlier one-off probes:
   scaling, the shape a 10x traffic year lands in).
 
 Usage:
-    python tools/make_scale_data.py SRC_DIR DST_DIR FACTOR
+    python tools/make_scale_data.py SRC_DIR DST_DIR FACTOR [--tables a,b]
     python tools/make_scale_data.py /root/testdata/sf0.1 .scale/sf1 10
+
+``--tables`` writes only the named tables (round 10: the sf10 dir
+already carries real documents/embeddings; the graph-family witnesses
+additionally need a real 10x lineitem, not the sf1 symlink).
 """
 
 from __future__ import annotations
@@ -64,13 +68,18 @@ def _suffix(col: str):
     ).alias(col)
 
 
-def main(src: str, dst: str, factor: int) -> None:
+def main(src: str, dst: str, factor: int, tables: list[str] | None = None) -> None:
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("make_scale_data")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # A 10x lineitem replica shuffles ~60M rows through the final
+        # repartition; the stock 1g driver heap GC-thrashes (observed:
+        # GCLocker retry warnings, then a dead write). Generator-only
+        # setting — engine sessions size theirs in session.py.
+        .config("spark.driver.memory", "24g")
         .getOrCreate()
     )
     t = {n: spark.read.parquet(f"{src}/{n}.parquet") for n in TABLES}
@@ -156,6 +165,8 @@ def main(src: str, dst: str, factor: int) -> None:
     )
 
     for name, df in out.items():
+        if tables and name not in tables:
+            continue
         # Splits proportional to volume (the shape a real 10x crawl
         # lands in): factor files per table for the replicated ones.
         parts = factor if name not in ("region", "nation") else 1
@@ -165,5 +176,11 @@ def main(src: str, dst: str, factor: int) -> None:
 
 
 if __name__ == "__main__":
-    src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    main(src, dst, factor)
+    argv = list(sys.argv[1:])
+    only = None
+    if "--tables" in argv:
+        i = argv.index("--tables")
+        only = argv[i + 1].split(",")
+        del argv[i : i + 2]
+    src, dst, factor = argv[0], argv[1], int(argv[2])
+    main(src, dst, factor, tables=only)
