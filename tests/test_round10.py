@@ -121,3 +121,84 @@ def test_nb_hashed_model_bounded_by_buckets(spark):
     # the hashed model's feature space is 75x smaller by contract.
     dense = nb_lang_scores(sdf).collect()
     assert len(dense) == 100
+
+
+def test_triangle_subgraph_sample_pushes_below_edge_build(spark, sf_dir):
+    """The md5 part sample must filter the (order, part) pairs BEFORE
+    the co-purchase self-join — sampling after edge build would cost
+    the full quadratic pairing at 100 TB (the pagerank-witness pin,
+    applied to the triangle witness). Logical plans print root-first,
+    so a filter BELOW the join appears AFTER the first Join line."""
+    from m2_b3_market_data_pipeline_spark.plans.graph_queries import (
+        triangle_coparts_subgraph,
+    )
+
+    df = triangle_coparts_subgraph(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for f in getattr(df, "_cached_frames", []):
+        f.unpersist()
+    first_md5 = plan.find("md5")
+    first_join = plan.find("Join")
+    assert first_md5 != -1 and first_join != -1
+    assert first_md5 > first_join, plan[:2000]
+
+
+def test_dedup_clusters_sample_filters_before_shingling(spark, sf_dir):
+    """The doc sample must reach the scan side of the signature
+    pipeline, so 15/16 of docs are never shingled or hashed. The final
+    clusters frame is a LogicalRDD (connected_components
+    localCheckpoints each round), so the pin inspects the PAIRS stage
+    the query builds — the same sampled relation
+    (plans/expansion_corpus2.py::dedup_clusters_sample): the
+    md5(doc_id) sample filter prints BELOW (after, in root-first
+    order) the signature work, i.e. it feeds the scan, not the pair
+    output."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        release_cached,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.expansion_corpus2 import (
+        _DOC_SAMPLE_SQL,
+        JACCARD_THRESHOLD,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.expr(_DOC_SAMPLE_SQL))
+    )
+    pairs = minhash_dedup_pairs(docs, threshold=JACCARD_THRESHOLD)
+    # The pair frame's own plan hides the scan behind the persisted
+    # signature frame (InMemoryRelation leaf), so inspect THAT frame:
+    # the sample predicate must appear in the file scan's DataFilters —
+    # evaluated per row AT the scan, before any shingle/min-hash work.
+    sig_plan = pairs._cached_frames[0]._jdf.queryExecution().optimizedPlan().toString()
+    release_cached(pairs)
+    scan_filters = sig_plan.find("DataFilters: [")
+    assert scan_filters != -1, sig_plan[:2000]
+    assert "substr(md5(cast(cast(doc_id" in sig_plan[scan_filters : scan_filters + 300], (
+        sig_plan[scan_filters : scan_filters + 300]
+    )
+
+
+def test_mmr_recall_overlap_bounds(spark, sf_dir):
+    """Structural invariants of the recall sweep: one row per swept
+    shortlist, n_selected <= k, overlap_frac = n_overlap / n_selected
+    exactly. Overlap is deliberately NOT asserted monotone in the
+    shortlist: a larger pool can reroute the greedy trajectory away
+    from exact-selection members — measured immediately at sf0.001
+    (shortlist 8 -> 0.875 but 16 -> 0.75 before 32 -> 1.0), the same
+    lesson as the corpus-decay curve in SCALE.md §18."""
+    from m2_b3_market_data_pipeline_spark.plans import all_queries
+
+    rows = {
+        r["shortlist"]: r
+        for r in all_queries.QUERIES["mmr_recall_check"](spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [8, 16, 32]
+    for s in (8, 16, 32):
+        r = rows[s]
+        assert 0 < r["n_selected"] <= 8
+        assert 0 <= r["n_overlap"] <= r["n_selected"]
+        assert abs(r["overlap_frac"] - round(r["n_overlap"] / r["n_selected"], 6)) < 1e-9
