@@ -168,6 +168,16 @@ def main() -> None:
     # warm-up: JVM/codegen/file-listing paths
     spark.read.parquet(f"{target}/lineitem.parquet").count()
     spark.read.parquet(f"{target}/events.parquet").count()
+    # ... and one UNTIMED execution of the first headline query: the
+    # first query in the loop uniquely pays whole-session lazy-init +
+    # codegen warm-up that every later query amortizes (measured in the
+    # r10 window: refined_pipeline 1.85s timed first vs 0.68s idle
+    # best-of-3 — a 3.7x-vs-best flag that was pure session position,
+    # while the same-window controls ran 1.3-1.4x). The scan counts
+    # above do not exercise window/codegen paths.
+    first = all_queries.QUERIES[HEADLINE[0]](spark, target)
+    first.write.format("noop").mode("overwrite").save()
+    release_cached(first)
 
     # Best-of-2 per query: this VM throttles under sustained load
     # (identical queries measured 0.9s vs 4.2s back-to-back; see
