@@ -159,7 +159,27 @@ def mmr_select(
     (size it from the measured near-top relevance density), and the
     registered sweep is the gate that says whether a chosen depth does.
     """
-    spark = emb.sparkSession
+    short = (
+        mmr_relevance(emb, id_col=id_col, vec_col=vec_col)
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(shortlist)
+        .cache()
+    )
+    try:
+        return mmr_greedy(short, k=k, lam=lam)
+    finally:
+        short.unpersist()
+
+
+def mmr_relevance(
+    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """The MMR candidate relation (vec_id, v, rel): every valid vector
+    except the min-id query, with its 6dp-rounded cosine relevance to
+    that query. One broadcast-query corpus pass, no shuffle — split out
+    so a caller running SEVERAL greedy variants (the recall sweep)
+    computes it ONCE instead of once per variant (4 corpus scans -> 1
+    at any scale)."""
     q = (
         emb.orderBy(id_col)
         .limit(1)
@@ -167,7 +187,7 @@ def mmr_select(
             F.col(id_col).alias("__qid"), as_double(vec_col).alias("__qv")
         )
     )
-    cand = (
+    return (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("__qid"))
         .select(
@@ -176,54 +196,60 @@ def mmr_select(
             F.round(cosine(as_double(vec_col), F.col("__qv")), 6).alias("rel"),
         )
     )
-    short = cand.orderBy(F.desc("rel"), "vec_id").limit(shortlist).cache()
-    try:
-        picked: list[tuple[int, int, float]] = []
-        sel_vecs: list[list[float]] = []
-        remaining = short
-        for i in range(1, k + 1):
-            if sel_vecs:
-                sel_lit = F.array(
-                    *[
-                        F.array(*[F.lit(float(x)) for x in v])
-                        for v in sel_vecs
-                    ]
-                )
-                pen = F.array_max(
-                    F.transform(
-                        sel_lit, lambda s: F.round(cosine(F.col("v"), s), 6)
-                    )
-                )
-            else:
-                pen = F.lit(0.0)
-            rows = (
-                remaining.select(
-                    "vec_id",
-                    "v",
-                    # + 0.0 folds IEEE -0.0 (lam*rel and the penalty can
-                    # cancel exactly) to +0.0, matching the oracle edge.
-                    (
-                        F.round(
-                            F.lit(lam) * F.col("rel")
-                            - F.lit(1.0 - lam) * pen,
-                            6,
-                        )
-                        + F.lit(0.0)
-                    ).alias("sc"),
-                )
-                .orderBy(F.desc("sc"), "vec_id")
-                .limit(1)
-                .collect()
+
+
+def mmr_greedy(pool: DataFrame, *, k: int, lam: float) -> DataFrame:
+    """The inherently-sequential greedy MMR loop over an
+    already-CACHED candidate pool (mmr_relevance layout). The caller
+    owns the pool's persist/unpersist; each of the k steps is one
+    TakeOrdered(1) Spark job over the pool — scores stay IN SPARK
+    (selected vectors ride back as literals) so rounding matches the
+    oracle bit-for-bit."""
+    spark = pool.sparkSession
+    picked: list[tuple[int, int, float]] = []
+    sel_vecs: list[list[float]] = []
+    remaining = pool
+    for i in range(1, k + 1):
+        if sel_vecs:
+            sel_lit = F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in v])
+                    for v in sel_vecs
+                ]
             )
-            if not rows:
-                break
-            r = rows[0]
-            picked.append((i, r["vec_id"], r["sc"]))
-            sel_vecs.append(list(r["v"]))
-            remaining = remaining.filter(F.col("vec_id") != r["vec_id"])
-        return spark.createDataFrame(picked, schema=_MMR_SCHEMA)
-    finally:
-        short.unpersist()
+            pen = F.array_max(
+                F.transform(
+                    sel_lit, lambda s: F.round(cosine(F.col("v"), s), 6)
+                )
+            )
+        else:
+            pen = F.lit(0.0)
+        rows = (
+            remaining.select(
+                "vec_id",
+                "v",
+                # + 0.0 folds IEEE -0.0 (lam*rel and the penalty can
+                # cancel exactly) to +0.0, matching the oracle edge.
+                (
+                    F.round(
+                        F.lit(lam) * F.col("rel")
+                        - F.lit(1.0 - lam) * pen,
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("sc"),
+            )
+            .orderBy(F.desc("sc"), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            break
+        r = rows[0]
+        picked.append((i, r["vec_id"], r["sc"]))
+        sel_vecs.append(list(r["v"]))
+        remaining = remaining.filter(F.col("vec_id") != r["vec_id"])
+    return spark.createDataFrame(picked, schema=_MMR_SCHEMA)
 
 
 def bm25_contrib(k1: float = BM25_K1, b: float = BM25_B):

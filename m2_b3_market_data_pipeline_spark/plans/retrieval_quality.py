@@ -500,10 +500,6 @@ selu{i} AS MATERIALIZED (SELECT * FROM selu{i - 1} UNION ALL SELECT vec_id, v FR
 
 
 MMR_SWEEP = (8, 16, 32)
-# "Exact" greedy = the same contract with the shortlist cap beyond any
-# gate fixture's candidate count (sf10 = 200k vectors), i.e. greedy MMR
-# over the FULL candidate set.
-MMR_FULL = 1_000_000
 
 
 def _mmr_chain(tag: str, limit: int | None) -> str:
@@ -585,33 +581,54 @@ def mmr_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     at corpus scale the full-set greedy is exactly what the shortlist
     exists to avoid; the gate's point is measuring what the shortlist
     gives up (operators/retrieval.py::mmr_select docstring carries the
-    sizing rule)."""
+    sizing rule).
+
+    Shared-relevance shape: the corpus relevance pass runs ONCE
+    (mmr_relevance, cached); the exact greedy runs over that cached
+    candidate set directly, and the three sweep pools are prefixes of
+    one TakeOrdered(max shortlist) 32-row cache — 1 corpus scan total
+    where the naive per-variant form paid 4 (plus a corpus-wide
+    sort-limit materialization on the exact side)."""
+    from ..operators.retrieval import mmr_greedy, mmr_relevance
+
     emb = load(spark, sf_dir, "embeddings")
-    exact = (
-        mmr_select(emb, k=MMR_K, lam=MMR_LAMBDA, shortlist=MMR_FULL)
-        .select("vec_id")
-        .withColumn("__hit", F.lit(1))
-    )
-    sweep = None
-    for s in MMR_SWEEP:
-        sel = mmr_select(emb, k=MMR_K, lam=MMR_LAMBDA, shortlist=s).select(
-            F.lit(s).alias("shortlist"), "vec_id"
+    cand = mmr_relevance(emb).cache()
+    pool = cand.orderBy(F.desc("rel"), "vec_id").limit(max(MMR_SWEEP)).cache()
+    try:
+        exact = (
+            mmr_greedy(cand, k=MMR_K, lam=MMR_LAMBDA)
+            .select("vec_id")
+            .withColumn("__hit", F.lit(1))
         )
-        sweep = sel if sweep is None else sweep.unionByName(sel)
-    return (
-        sweep.join(exact, "vec_id", "left")
-        .groupBy("shortlist")
-        .agg(
-            F.count("*").alias("n_selected"),
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_overlap"),
+        sweep = None
+        for s in MMR_SWEEP:
+            short = pool.orderBy(F.desc("rel"), "vec_id").limit(s)
+            sel = mmr_greedy(short, k=MMR_K, lam=MMR_LAMBDA).select(
+                F.lit(s).alias("shortlist"), "vec_id"
+            )
+            sweep = sel if sweep is None else sweep.unionByName(sel)
+        return (
+            sweep.join(exact, "vec_id", "left")
+            .groupBy("shortlist")
+            .agg(
+                F.count("*").alias("n_selected"),
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_overlap"),
+            )
+            .withColumn(
+                "overlap_frac",
+                F.round(F.col("n_overlap") / F.col("n_selected"), 6),
+            )
+            .orderBy("shortlist")
         )
-        .withColumn(
-            "overlap_frac", F.round(F.col("n_overlap") / F.col("n_selected"), 6)
-        )
-        .orderBy("shortlist")
-    )
+    finally:
+        # The greedy loops have already executed (driver-sequenced
+        # collects) and the returned frame is a driver-side
+        # createDataFrame composition — nothing downstream re-reads
+        # these caches, so they release here, not via _cached_frames.
+        pool.unpersist()
+        cand.unpersist()
 
 
 @register("mmr_select", oracle=_mmr_oracle())
