@@ -310,8 +310,15 @@ def bm25_topk_with_stats(
         .groupBy(id_col, "__dl", "term")
         .agg(F.count("*").alias("__tf"))
     )
+    # Restrict the maintained stats to the QUERY terms before the
+    # broadcast (round-10 audit): term_stats follows the index
+    # vocabulary — |vocab|+1 rows in the postings sink's state, which
+    # on an open web-scale vocabulary grows with corpus content and
+    # would outgrow a broadcast; the query-term slice is
+    # request-bounded forever. isin over the sorted term list is the
+    # same fused filter shape the tf explode uses above.
     contrib = (
-        tf.join(F.broadcast(term_stats), "term")
+        tf.join(F.broadcast(term_stats.filter(F.col("term").isin(*terms))), "term")
         .crossJoin(F.broadcast(corpus_stats))
         .join(F.broadcast(qt), "term")
     )

@@ -165,7 +165,19 @@ def trigram_lm_scores(
     1. TRAIN: explode trigrams once, aggregate conditional counts
        P(c3 | c1c2) = count(trigram) / count(prefix-bigram). The model is
        bounded by |charset|^3 rows regardless of corpus size, so it
-       BROADCASTS — the defining scale property.
+       BROADCASTS — the defining scale property. Boundedness caveat
+       (round-10 broadcast audit): |charset| is a property of the
+       ALPHABET contract, not the corpus — real for a
+       Latin/Cyrillic-script pipeline (<= a few hundred chars), but an
+       open multilingual charset (CJK: 20k+ chars) makes |charset|^3
+       nominal only and the observed-trigram model can genuinely reach
+       1e8 rows. At that point the scale-safe twin is the same
+       seeded-hash bucket fold nb_lang_scores(n_buckets=...) and
+       dsir_log_weights ship (gram -> hash % n_buckets before both
+       count passes); the forced broadcast stays correct here because
+       the scoring join MUST be map-side (removing it would shuffle the
+       corpus-sized gram stream on model keys, the worse trade in every
+       regime where the model fits).
     2. SCORE: re-join the exploded trigrams to the broadcast model and
        average log2 P per document. The 100 TB side never shuffles on
        model keys; the only wide ops are the two bounded-size count
@@ -467,7 +479,14 @@ def source_unigram_kl(
     distribution, so q(t) > 0 wherever p(t) > 0.
 
     One (group, token) shuffle; the corpus marginal re-aggregates the
-    same partials and rides back as a vocab-bounded broadcast.
+    same partials. The marginal lookup is a plain token equi-join, NOT
+    a forced broadcast (round-10 audit): the marginal is VOCAB-sized,
+    and an open web-scale vocabulary grows with corpus content — the
+    same unbounded-broadcast class the hashed-NB variant retired; the
+    bigram_pmi docstring states the identical rule for its marginals.
+    AQE still broadcasts it at runtime whenever it measures small (the
+    closed-fixture case), so nothing is lost at bench scale. The 1-row
+    grand total stays an explicit broadcast.
 
     Returns (source, n_tokens, kl_divergence) per non-NULL group (a
     NULL source would silently drop at the totals equi-join anyway —
@@ -484,7 +503,7 @@ def source_unigram_kl(
     ctot = ct.agg(F.sum("__cc").alias("__ctot"))
     return (
         st.join(stot, group_col)
-        .join(F.broadcast(ct), "__tok")
+        .join(ct, "__tok")
         .crossJoin(F.broadcast(ctot))
         .groupBy(group_col)
         .agg(
