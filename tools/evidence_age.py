@@ -117,10 +117,24 @@ def main() -> None:
         print(f'    "{n}",')
 
     if "--check" in args:
-        if stale:
-            print(f"\nFRESHNESS VIOLATION (> {MAX_AGE} rounds): {stale}", file=sys.stderr)
+        # Mid-round state is legitimate: a query with NO green row yet
+        # whose slot is already in the CURRENT front-load window is a
+        # scheduled newborn, not a freshness violation — the next
+        # driver run produces its row. Anything never-evidenced AND
+        # not scheduled, or with a genuinely old newest row, fails.
+        scheduled = set(all_queries.CHECK_PRIORITY)
+        violations = [
+            n for n in stale if not (newest.get(n) is None and n in scheduled)
+        ]
+        if violations:
+            print(
+                f"\nFRESHNESS VIOLATION (> {MAX_AGE} rounds): {violations}",
+                file=sys.stderr,
+            )
             sys.exit(1)
-        print(f"\nfreshness OK: every hash row <= {MAX_AGE} rounds old")
+        waived = sorted(set(stale) - set(violations))
+        suffix = f" (newborns scheduled in-window: {waived})" if waived else ""
+        print(f"\nfreshness OK: every hash row <= {MAX_AGE} rounds old{suffix}")
 
 
 if __name__ == "__main__":
