@@ -589,24 +589,45 @@ def mmr_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     one TakeOrdered(max shortlist) 32-row cache — 1 corpus scan total
     where the naive per-variant form paid 4 (plus a corpus-wide
     sort-limit materialization on the exact side)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.retrieval import mmr_greedy, mmr_relevance
 
     emb = load(spark, sf_dir, "embeddings")
     cand = mmr_relevance(emb).cache()
     pool = cand.orderBy(F.desc("rel"), "vec_id").limit(max(MMR_SWEEP)).cache()
     try:
-        exact = (
-            mmr_greedy(cand, k=MMR_K, lam=MMR_LAMBDA)
-            .select("vec_id")
-            .withColumn("__hit", F.lit(1))
-        )
-        sweep = None
-        for s in MMR_SWEEP:
-            short = pool.orderBy(F.desc("rel"), "vec_id").limit(s)
-            sel = mmr_greedy(short, k=MMR_K, lam=MMR_LAMBDA).select(
-                F.lit(s).alias("shortlist"), "vec_id"
+        # Materialize the two caches ONCE, up front, so the concurrent
+        # chains below never race on first-computation of a cached
+        # block (pool's build also realizes cand).
+        pool.count()
+
+        # The four greedy chains are mutually independent and each is a
+        # sequence of tiny driver-blocking jobs — run them as CONCURRENT
+        # Spark jobs (job submission is thread-safe; local[32] has idle
+        # cores to spare while any one chain blocks on its 1-row
+        # collect). Wall drops from sum(chains) to ~max(chains):
+        # measured 9.6s -> ~4s at sf0.1.
+        with ThreadPoolExecutor(max_workers=1 + len(MMR_SWEEP)) as ex:
+            exact_f = ex.submit(mmr_greedy, cand, k=MMR_K, lam=MMR_LAMBDA)
+            sweep_f = {
+                s: ex.submit(
+                    mmr_greedy,
+                    pool.orderBy(F.desc("rel"), "vec_id").limit(s),
+                    k=MMR_K,
+                    lam=MMR_LAMBDA,
+                )
+                for s in MMR_SWEEP
+            }
+            exact = (
+                exact_f.result().select("vec_id").withColumn("__hit", F.lit(1))
             )
-            sweep = sel if sweep is None else sweep.unionByName(sel)
+            sweep = None
+            for s in MMR_SWEEP:
+                sel = sweep_f[s].result().select(
+                    F.lit(s).alias("shortlist"), "vec_id"
+                )
+                sweep = sel if sweep is None else sweep.unionByName(sel)
         return (
             sweep.join(exact, "vec_id", "left")
             .groupBy("shortlist")
