@@ -40,6 +40,13 @@ from ..functions.textfns import (  # noqa: F401  (minhash_signature kept as the 
 )
 
 NUM_HASHES = 12
+# Above this many signed docs the minhash self-join/verify joins pin to
+# sort-merge instead of trusting the size estimator (which
+# auto-broadcast corpus-sized relations until they stopped fitting):
+# measured boundary — broadcast passed at 438k docs (sf10), died at
+# 1.06M (sf30); the threshold sits between with headroom on the safe
+# side. See minhash_dedup_pairs.
+SHUFFLE_JOIN_MIN_DOCS = 500_000
 BAND_SIZE = 4  # 3 bands of 4 => LSH threshold ~ (1/3)^(1/4) ≈ 0.76
 SIMHASH_BITS = 64  # as two 32-bit halves (simhash_lo, simhash_hi)
 SIMHASH_HALF = SIMHASH_BITS // 2
@@ -166,11 +173,15 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
+    force_shuffle: bool = False,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_id, band_hash):
     candidate pairs (id_a < id_b), each emitted EXACTLY ONCE via the
     first-match band filter (see ``band_signatures`` keep_all_bands) —
-    no distinct() shuffle over the candidate set."""
+    no distinct() shuffle over the candidate set.
+
+    ``force_shuffle`` pins the join to sort-merge — see
+    minhash_dedup_pairs for the sizing rule and the sf30 finding."""
     n_bands = num_hashes // band_size
     banded = band_signatures(
         signed,
@@ -181,6 +192,8 @@ def lsh_candidate_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
+    if force_shuffle:
+        b = b.hint("merge")
     return (
         a.join(
             b,
@@ -215,12 +228,17 @@ def jaccard_verify(
     *,
     id_col: str = "doc_id",
     threshold: float,
+    force_shuffle: bool = False,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via array intersect/union over the
     (distinct) shingle sets; keeps pairs >= threshold. The shingle-set
-    side is joined twice — at scale both joins shuffle on doc id once."""
+    side is joined twice — at scale both joins shuffle on doc id once
+    (``force_shuffle``; sizing rule at minhash_dedup_pairs)."""
     sets_a = with_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sets_b = with_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    if force_shuffle:
+        sets_a = sets_a.hint("merge")
+        sets_b = sets_b.hint("merge")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
@@ -254,10 +272,31 @@ def minhash_dedup_pairs(
     ``release_cached(result)`` after their consuming action (asserted
     leak-free in tests). One-shot callers leak at most a single
     CacheManager entry, deduplicated across repeat calls on the same
-    input plan."""
+    input plan.
+
+    Join-strategy sizing rule (round-10 sf30 finding, the
+    wedge_partitions precedent): the banded self-join and both Jaccard
+    verify joins have CORPUS-derived relations on every side, and
+    Catalyst's size estimate for higher-order-function shingle/band
+    projections undershoots badly enough that it auto-BROADCAST them —
+    fine through sf10 (438k docs), fatal at sf30 (1.06M docs: "Not
+    enough memory to build and broadcast"; a shuffled-hash hint merely
+    moves the same corpus-sized build to the executors — "Can't
+    acquire 256MB to build hash relation"). Past
+    ``SHUFFLE_JOIN_MIN_DOCS`` signatures the three joins are pinned to
+    SORT-MERGE, which spills gracefully at any partition count; below
+    it the estimator's broadcast genuinely wins (same-window A/B at
+    sf0.1: broadcast 2.66s vs forced-merge 3.38s for the pair query,
+    3.75 vs 7.02 for clustering). The doc count is read at plan-build
+    time from the persisted signature frame — materializing it early
+    costs nothing since every branch consumes it anyway."""
     signed = with_minhash(fan_out(df.select(id_col, text_col)), text_col=text_col).persist()
-    pairs = lsh_candidate_pairs(signed, id_col=id_col)
-    out = jaccard_verify(pairs, signed.select(id_col, "sh"), id_col=id_col, threshold=threshold)
+    big = signed.count() > SHUFFLE_JOIN_MIN_DOCS
+    pairs = lsh_candidate_pairs(signed, id_col=id_col, force_shuffle=big)
+    out = jaccard_verify(
+        pairs, signed.select(id_col, "sh"), id_col=id_col, threshold=threshold,
+        force_shuffle=big,
+    )
     out._cached_frames = [signed]  # type: ignore[attr-defined]
     return out
 
