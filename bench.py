@@ -287,16 +287,20 @@ def main() -> None:
     control_ratio = ctl[len(ctl) // 2] if ctl else 1.0
     ratios = sorted(t / best_known[q] for q, t in timings.items() if best_known[q] > 0)
     median_ratio = ratios[len(ratios) // 2] if ratios else 1.0
-    bar = max(2.0, 2.0 * control_ratio)
-    # Uniform-regression guard (r9 ADVICE): a code change that slows
-    # EVERYTHING equally inflates the controls too and would suppress
-    # every relative flag. The historically observed throttle envelope
-    # tops out near 4x (BASELINE.md: identical queries 0.9s vs 4.2s);
-    # a control ratio beyond it is either an extreme VM phase or a
-    # genuine global regression — either way it needs a human read, so
-    # it is surfaced on the printed line instead of silently raising
-    # the bar further.
+    # Uniform-regression guard (r9 ADVICE, hardened per r10 ADVICE):
+    # a code change that slows EVERYTHING equally inflates the controls
+    # too and would suppress every relative flag. The historically
+    # observed throttle envelope tops out near 4x (BASELINE.md:
+    # identical queries 0.9s vs 4.2s); a control ratio beyond it is
+    # either an extreme VM phase or a genuine global regression. The
+    # r10 advisor pointed out that merely PRINTING window_anomaly while
+    # the bar kept scaling as 2*control_ratio still suppressed every
+    # per-query flag under a global regression — so the bar is now
+    # CLAMPED at the envelope: past control_ratio 4.0 the bar stops
+    # rising, per-query flags reappear, and the anomaly bit tells the
+    # reader whether to blame the VM or the code.
     window_anomaly = control_ratio > 4.0
+    bar = max(2.0, 2.0 * min(control_ratio, 4.0))
     flagged = sorted(
         q
         for q, t in timings.items()

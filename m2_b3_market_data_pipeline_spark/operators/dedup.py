@@ -47,6 +47,16 @@ NUM_HASHES = 12
 # 1.06M (sf30); the threshold sits between with headroom on the safe
 # side. See minhash_dedup_pairs.
 SHUFFLE_JOIN_MIN_DOCS = 500_000
+# Byte-size companion to the doc-count rule (round-11, per the r10
+# advisor): the failure mode is BYTES broadcast, not rows — a corpus of
+# 100k docs at 50 KB each is as fatal as 1.06M fixture-sized docs. The
+# measured boundary restated in bytes: fixture docs carry ~810 B of
+# shingle strings each (297 B avg text x ~2.7 shingle blow-up), so the
+# 500k-doc rule is equivalently ~400 MB of raw shingle bytes; broadcast
+# passed at ~355 MB (sf10's 438k docs) and died at ~860 MB (sf30). The
+# switch trips on EITHER bound, so long-document corpora pin to
+# sort-merge at the same byte volume fixture-shaped ones do.
+SHUFFLE_JOIN_MIN_SH_BYTES = 400 << 20
 BAND_SIZE = 4  # 3 bands of 4 => LSH threshold ~ (1/3)^(1/4) ≈ 0.76
 SIMHASH_BITS = 64  # as two 32-bit halves (simhash_lo, simhash_hi)
 SIMHASH_HALF = SIMHASH_BITS // 2
@@ -287,11 +297,32 @@ def minhash_dedup_pairs(
     SORT-MERGE, which spills gracefully at any partition count; below
     it the estimator's broadcast genuinely wins (same-window A/B at
     sf0.1: broadcast 2.66s vs forced-merge 3.38s for the pair query,
-    3.75 vs 7.02 for clustering). The doc count is read at plan-build
+    3.75 vs 7.02 for clustering). The stats are read at plan-build
     time from the persisted signature frame — materializing it early
-    costs nothing since every branch consumes it anyway."""
+    costs nothing since every branch consumes it anyway.
+
+    Round 11 (r10 advisor): the switch trips on doc count OR total
+    shingle BYTES (``SHUFFLE_JOIN_MIN_SH_BYTES``) — the observed
+    failure is byte-sized, so a sub-500k-doc corpus of long documents
+    pins to sort-merge at the same broadcast volume fixture-shaped
+    corpora do. Both stats come from ONE aggregate job over the frame
+    that was going to be materialized anyway."""
     signed = with_minhash(fan_out(df.select(id_col, text_col)), text_col=text_col).persist()
-    big = signed.count() > SHUFFLE_JOIN_MIN_DOCS
+    stats = signed.agg(
+        F.count("*").alias("docs"),
+        F.sum(
+            F.coalesce(
+                F.aggregate(
+                    "sh", F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
+                ),
+                F.lit(0).cast("long"),
+            )
+        ).alias("sh_bytes"),
+    ).collect()[0]
+    big = (
+        stats["docs"] > SHUFFLE_JOIN_MIN_DOCS
+        or (stats["sh_bytes"] or 0) > SHUFFLE_JOIN_MIN_SH_BYTES
+    )
     pairs = lsh_candidate_pairs(signed, id_col=id_col, force_shuffle=big)
     out = jaccard_verify(
         pairs, signed.select(id_col, "sh"), id_col=id_col, threshold=threshold,

@@ -71,6 +71,22 @@ def newest_green(through_round: int | None = None) -> tuple[dict[str, int], int]
     return newest, latest
 
 
+def first_seen(through_round: int | None = None) -> dict[str, int]:
+    """query -> FIRST round it appeared in any CORRECTNESS file (green
+    or not). Bounds the newborn waiver (r10 ADVICE): a query that was
+    scheduled, driver-ran, and chronically failed must not be waived
+    forever just because the generator keeps front-loading it."""
+    seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        if through_round is not None and rnd > through_round:
+            continue
+        for name in json.load(open(path)):
+            seen[name] = min(seen.get(name, rnd), rnd)
+    return seen
+
+
 def front_load(limit: int = 50, through_round: int | None = None) -> list[str]:
     """The next driver window, fully generated: newborns (no green row
     anywhere) first, then green rows oldest-round-first (alphabetical
@@ -122,9 +138,21 @@ def main() -> None:
         # scheduled newborn, not a freshness violation — the next
         # driver run produces its row. Anything never-evidenced AND
         # not scheduled, or with a genuinely old newest row, fails.
+        # r10 ADVICE bound: the newborn waiver is TIME-LIMITED — a
+        # query that first appeared in a CORRECTNESS file more than
+        # MAX_AGE rounds ago and STILL has no green row is a chronic
+        # failure, not a newborn, and fails --check even if the
+        # generator keeps scheduling it.
         scheduled = set(all_queries.CHECK_PRIORITY)
+        debut = first_seen()
         violations = [
-            n for n in stale if not (newest.get(n) is None and n in scheduled)
+            n
+            for n in stale
+            if not (
+                newest.get(n) is None
+                and n in scheduled
+                and (n not in debut or latest - debut[n] <= MAX_AGE)
+            )
         ]
         if violations:
             print(
