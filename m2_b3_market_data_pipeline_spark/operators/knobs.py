@@ -53,6 +53,55 @@ def scaled_band_bits(n: int, *, target_occupancy: int = 4, lo: int = 4, hi: int 
     return _clamped_log2_knob(n, occupancy=target_occupancy, lo=lo, hi=hi)
 
 
+def scaled_band_layout(
+    n: int,
+    *,
+    occupancy: int = 4,
+    lo: int = 4,
+    base_bands: int = 4,
+    width_cap: int = 15,
+    hard_cap: int = 20,
+) -> tuple[int, int]:
+    """(band_bits, n_bands) for near-dup banding PAST the one-BIGINT
+    cap — the lever the sf30 decade exposed (SCALE.md §20, r10 verdict
+    item 2).
+
+    Physics of the two knobs: band WIDTH is the candidate-volume lever
+    (per-band buckets number 2^w, so random-pair collisions ∝ n²/2^w —
+    the only thing that keeps the verify join linear as n grows); band
+    COUNT is the recall lever (a true pair surfaces iff some band
+    agrees on all w bits, P = 1-(1-s^w)^b). ``scaled_band_bits`` grows
+    w with log n but clamps at ``width_cap`` = 15 because its four
+    band values slice ONE 60-bit BIGINT signature. This layout removes
+    that representation limit — each band's value is computed from its
+    OWN hyperplane family (operators/similarity.py::
+    banded_near_dup_pairs), so w keeps absorbing the corpus residual
+    past 15 bits — and grows the band count to HOLD the LSH threshold
+    t = (1/b)^(1/w) at the width-cap operating point t0 =
+    (1/base_bands)^(1/width_cap): b = ceil(base_bands^(w/width_cap)),
+    i.e. bands ∝ base^(residual/width_cap) once the cap binds (w=15→4
+    bands, 18→6, 20→7). Wider bands alone would sharpen the threshold
+    past t0 and shed true near-dups; the extra bands buy the recall
+    back at a LINEAR candidate cost (b·n rows) instead of the
+    quadratic cost (n²/2^w) of leaving the width capped.
+
+    ``hard_cap`` = 20 bounds the static plan/oracle layout (the
+    hyperplane families are plan literals on both engines): occupancy
+    stays ≤ target through n ≈ 4·2^20 ≈ 4M vectors (~sf200 on the
+    fixture ladder).
+
+    Engine parity (module-doc note applies): ceil(log2(·)) is exact as
+    proven above; ceil(base^(w/width_cap)) can only straddle an
+    integer when base^(w/15) is one, i.e. when 2w/15 is an integer —
+    w=15 (4.0) and w=30 (16.0), both of which every libm pow computes
+    exactly (integral result of an exactly-representable exponent);
+    every other w in [4, 20] lands safely between integers."""
+    wanted = math.ceil(math.log2(max(n, 2) / occupancy))
+    w = min(hard_cap, max(lo, wanted))
+    b = math.ceil(base_bands ** (w / width_cap))
+    return w, b
+
+
 def knob_sql(*, occupancy: int, lo: int, hi: int, count_from: str) -> str:
     """The DuckDB twin of ``_clamped_log2_knob`` as a scalar expression
     over ``SELECT COUNT(*) FROM {count_from}`` — keep in lockstep with
@@ -62,3 +111,29 @@ def knob_sql(*, occupancy: int, lo: int, hi: int, count_from: str) -> str:
         f"ceil(log2(greatest(COUNT(*), 2) / {occupancy}.0)))) AS INT) "
         f"FROM {count_from})"
     )
+
+
+def band_layout_sql(
+    *,
+    occupancy: int = 4,
+    lo: int = 4,
+    base_bands: int = 4,
+    width_cap: int = 15,
+    hard_cap: int = 20,
+    count_from: str,
+) -> tuple[str, str]:
+    """DuckDB twins of ``scaled_band_layout`` — (width_expr,
+    bands_expr) scalar subqueries; keep in lockstep with the Python
+    formula (parity argument in its docstring)."""
+    w = (
+        f"(SELECT CAST(least({hard_cap}, greatest({lo}, "
+        f"ceil(log2(greatest(COUNT(*), 2) / {occupancy}.0)))) AS INT) "
+        f"FROM {count_from})"
+    )
+    b = (
+        f"(SELECT CAST(ceil(pow({base_bands}, "
+        f"least({hard_cap}, greatest({lo}, "
+        f"ceil(log2(greatest(COUNT(*), 2) / {occupancy}.0)))) "
+        f"/ {width_cap}.0)) AS INT) FROM {count_from})"
+    )
+    return w, b

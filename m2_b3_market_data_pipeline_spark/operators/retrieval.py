@@ -171,6 +171,66 @@ def mmr_select(
         short.unpersist()
 
 
+def mmr_reach_band(lam: float) -> float:
+    """The relevance band the MMR penalty term can reach: a candidate
+    more than 2(1-lam)/lam relevance units below the current max-rel
+    remaining candidate can NEVER be the greedy argmax (its score is at
+    most lam*rel + (1-lam), the max-rel candidate's at least
+    lam*rel_max - (1-lam); rel and pen both span [-1, 1]), so the pool
+    {rel >= rel_k - band} provably reproduces the full-corpus greedy's
+    k selections. One Python float expression, embedded verbatim as the
+    oracle's double literal (repr round-trips IEEE doubles), so both
+    engines subtract the identical value."""
+    return 2.0 * (1.0 - lam) / lam
+
+
+def mmr_select_scaled(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Greedy MMR with the shortlist SIZED FROM THE REACHABLE BAND
+    instead of a fixed depth — the r10 gate's own sizing rule as code
+    (r10 verdict item 5). ``mmr_select``'s fixed 32-row shortlist
+    measured overlap 1.0 / 0.75 / 0.50 vs the full-corpus greedy at
+    200 / 60k / 200k vectors; this variant keeps every candidate whose
+    relevance is within ``mmr_reach_band(lam)`` of the k-th highest, a
+    pool the band theorem (see mmr_reach_band) proves sufficient for
+    EXACT full-greedy parity — so its overlap curve is 1.0 at every
+    corpus size by construction, and the hash-checked oracle (the
+    full-candidate greedy chain, band-parameterized identically) is
+    the proof rather than an argument.
+
+    Cost honesty: on diffuse relevance distributions (the synthetic
+    fixture embeddings: cosine mass near 0, band 0.857 at lam=0.7) the
+    reachable band covers most of the corpus, i.e. exact parity is
+    inherently near-linear-in-n — exactly the decay the r10 gate
+    measured for any fixed depth. The greedy cost model tolerates it:
+    k TakeOrdered(1) scans over a cached (id, v, rel) pool — linear,
+    no shuffle, ~100 MB per million vectors. On production reranking
+    pools (relevance concentrated near the query) the same rule yields
+    small shortlists. rel_k comes from one TakeOrdered(k) job at
+    plan-build time (the scaled_knobs posture: a knob read from the
+    data, mirrored as a scalar subquery in the oracle)."""
+    pool = mmr_relevance(emb, id_col=id_col, vec_col=vec_col)
+    rk = (
+        pool.orderBy(F.desc("rel"), "vec_id")
+        .limit(k)
+        .agg(F.min("rel").alias("rk"))
+        .collect()[0]["rk"]
+    )
+    if rk is not None:
+        pool = pool.filter(F.col("rel") >= rk - mmr_reach_band(lam))
+    pool = pool.cache()
+    try:
+        return mmr_greedy(pool, k=k, lam=lam)
+    finally:
+        pool.unpersist()
+
+
 def mmr_relevance(
     emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

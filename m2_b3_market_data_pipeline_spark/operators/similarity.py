@@ -318,6 +318,95 @@ def lsh_candidates(
     )
 
 
+def banded_near_dup_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float,
+    band_bits: int,
+    n_bands: int,
+    plane_stride: int,
+) -> DataFrame:
+    """Embedding near-dup with INDEPENDENT per-band hyperplane
+    families — the post-60-bit layout (r10 verdict item 2): band j's
+    value is a ``band_bits``-wide integer from planes
+    ``[j*plane_stride, j*plane_stride + band_bits)``, so the width can
+    keep absorbing the corpus residual past the one-BIGINT cap that
+    clamps ``lsh_near_dup_pairs`` at 15 bits, and the band count grows
+    to hold the LSH threshold (knob physics and the b =
+    ceil(4^(w/15)) rule in ``knobs.scaled_band_layout``).
+
+    ``plane_stride`` pins band j's plane family INDEPENDENT of the
+    width knob (family j always starts at plane j*stride), so the same
+    static hyperplane-literal grid serves every corpus size on both
+    engines — the oracle masks terms with i >= the width knob instead
+    of re-deriving plane indices (plans/scaled_knobs.py).
+
+    Same candidate/verify shape as ``lsh_near_dup_pairs``: band
+    equi-join (shuffle volume b·|corpus| rows, never |corpus|²),
+    first-match filter over the band-value ARRAY replaces the
+    distinct(), exact-cosine verify makes precision 1.0."""
+    corpus = ensure_parallelism(corpus)
+    v = as_double(vec_col)
+    vals = []
+    for j in range(n_bands):
+        bv = F.lit(0).cast("bigint")
+        for i in range(band_bits):
+            plane = F.array(
+                *[F.lit(c) for c in _hyperplane(dim, j * plane_stride + i)]
+            )
+            bv = bv + F.when(
+                dot(v, plane) > 0, F.lit(2**i).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        vals.append(bv)
+    signed = corpus.withColumn("__bv", F.array(*vals))
+    banded = signed.select(
+        id_col, "__bv", F.posexplode("__bv").alias("band_id", "band_val")
+    )
+    a_side = banded.select(
+        F.col(id_col).alias("id_a"), F.col("__bv").alias("__bva"),
+        "band_id", "band_val",
+    )
+    b_side = banded.select(
+        F.col(id_col).alias("id_b"), F.col("__bv").alias("__bvb"),
+        "band_id", "band_val",
+    )
+    # First-match filter over the value arrays (same collapse as
+    # _first_match_filter, per-band arrays instead of BIGINT groups).
+    keep = F.lit(True)
+    for e in range(n_bands - 1):
+        keep = keep & (
+            (F.col("band_id") <= e)
+            | (F.col("__bva")[e] != F.col("__bvb")[e])
+        )
+    cands = (
+        a_side.join(b_side, ["band_id", "band_val"])
+        .filter((F.col("id_a") < F.col("id_b")) & keep)
+        .select("id_a", "id_b")
+    )
+    sides = corpus.select(
+        F.col(id_col).alias("__uid"), v.alias("__v"), norm(v).alias("__n")
+    )
+    a = sides.select(
+        F.col("__uid").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na")
+    )
+    b = sides.select(
+        F.col("__uid").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb")
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -154,8 +154,19 @@ def char_trigrams(text: str | Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# Seeds for the hashed-bucket trigram LM twin (distinct per role so the
+# trigram and prefix folds are independent hash families; disjoint from
+# NB_HASH_SEED and the minhash seed family).
+TRI_HASH_SEED = 53
+PRE_HASH_SEED = 59
+
+
 def trigram_lm_scores(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Character-trigram language-model scoring — the classic cheap
     perplexity proxy for corpus quality filtering (a KenLM stand-in that
@@ -186,6 +197,24 @@ def trigram_lm_scores(
     Output: (id, n_trigrams, avg_logp) — higher avg_logp = more typical
     text; gibberish scores low. Documents shorter than 3 chars drop out
     (they have no observations).
+
+    ``n_buckets`` switches on the HASHED-BUCKET twin (r10 verdict item
+    3 — the same hashing-trick fold nb_lang_scores and dsir_log_weights
+    ship): each trigram folds to ``seeded_hash60(gram, TRI_HASH_SEED) %
+    n_buckets`` and each prefix bigram to ``seeded_hash60(pre,
+    PRE_HASH_SEED) % n_buckets`` AT the explode projection, so train
+    and score cannot drift, and BOTH model tables are <= n_buckets rows
+    BY CONTRACT — the broadcast bound becomes a knob constant instead
+    of the |charset|^3 alphabet assumption, which an open CJK-bearing
+    charset can push to ~1e8 observed trigrams (the last
+    alphabet-bounded broadcast in the r10 §19 audit). Collisions make
+    the score a hashed APPROXIMATION of P(c3|c1c2): counts of colliding
+    grams pool, and because the trigram and prefix folds are
+    independent families a bucket ratio can exceed 1 (logp > 0) — the
+    standard hashing-trick trade, acceptable for a quality-ranking
+    proxy and golden-checked against a pure-Python fold in tests. The
+    dense form stays the judged baseline where the alphabet contract
+    genuinely holds.
     """
     # The exploded gram stream is consumed twice (model counts + the
     # scoring join); persist it so the regex/substring explode pipeline
@@ -193,6 +222,40 @@ def trigram_lm_scores(
     # callers release with dedup.release_cached (same protocol as the
     # minhash signature cache). At 100 TB the same role is played by
     # writing the gram stream (or the model) to a table once.
+    if n_buckets is not None:
+        from ..functions.textfns import seeded_hash60
+
+        gram = F.explode(char_trigrams(text_col)).alias("gram")
+        grams = (
+            df.select(F.col(id_col), gram)
+            .select(
+                id_col,
+                (seeded_hash60(F.col("gram"), TRI_HASH_SEED) % n_buckets).alias("tb"),
+                (
+                    seeded_hash60(F.substring("gram", 1, 2), PRE_HASH_SEED)
+                    % n_buckets
+                ).alias("pb"),
+            )
+            .persist()
+        )
+        tri_counts = grams.groupBy("tb").agg(F.count("*").alias("n3"))
+        pre_counts = grams.groupBy("pb").agg(F.count("*").alias("n2"))
+        out = (
+            grams.join(F.broadcast(tri_counts), "tb")
+            .join(F.broadcast(pre_counts), "pb")
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_trigrams"),
+                F.round(
+                    F.avg(
+                        F.log2(F.col("n3").cast("double") / F.col("n2").cast("double"))
+                    ),
+                    6,
+                ).alias("avg_logp"),
+            )
+        )
+        out._cached_frames = [grams]  # type: ignore[attr-defined]
+        return out
     grams = df.select(
         F.col(id_col), F.explode(char_trigrams(text_col)).alias("gram")
     ).persist()

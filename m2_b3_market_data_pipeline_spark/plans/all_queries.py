@@ -154,64 +154,62 @@ from .registry import ORACLES, QUERIES
 # against. The equality pin computes front_load over files <= this
 # round, so the DRIVER landing the current round's file mid-round does
 # not fail the suite; regenerating the list next round bumps it.
-CHECK_PRIORITY_BASIS_ROUND = 9
+CHECK_PRIORITY_BASIS_ROUND = 10
 CHECK_PRIORITY: list[str] = [
-    # --- New in round 10: window the round they are born. ---
-    "nb_hashed",
-    "mmr_recall_check",
-    "dedup_clusters_sample",
-    "triangle_coparts_subgraph",
-    # --- The 17 r5-era hash rows the r9 verdict front-loaded (oldest
-    # evidence first, alphabetical within the round). ---
-    "realized_volatility",
-    "refined_write_roundtrip",
-    "rolling_mean_7",
-    "seasonal_backtest",
-    "select_limit",
-    "simhash_near_dups",
-    "simhash_signatures",
-    "snapshot_diff",
-    "string_functions",
-    "text_stats",
-    "top_bigram_frac",
-    "trigram_lm_score",
-    "twap_daily",
-    "union_all",
-    "unpivot_metrics",
-    "weighted_sample",
-    "zorder_keys",
-    # --- Oldest remaining evidence (r6-era), alphabetical fill. ---
-    "approx_distinct_check",
-    "approx_quantile_check",
-    "audio_frame_energy",
-    "balanced_sample",
-    "boilerplate_frac",
-    "cluster_size_histogram",
-    "csv_roundtrip",
-    "dedup_rate_by_source",
-    "dup_ngram_spans",
-    "embed_quantize",
-    "frame_dedup",
-    "incremental_near_dedup",
-    "indicator_vwap_drawdown",
-    "jsonl_roundtrip",
-    "kmeans_clusters",
-    "label_centroids",
-    "lsh_recall_check",
-    "mixture_rebalance",
-    "multimodal_frames",
-    "multimodal_meta",
-    "normalized_vectors",
-    "orc_roundtrip",
-    "pq_ann_topk",
-    "pq_codes",
-    "q11_partsupp",
-    "q16_partsupp",
-    "q1_pricing_summary",
-    "q20_partsupp",
-    # --- Anchor: flagship reference pipeline, in the window every
-    # round (its row also re-validates the events loader against the
-    # current testdata's ts layout). ---
+    # --- Round 11 window, generated (basis r10): the three r11
+    # newborns (trigram_lm_hashed, mmr_select_scaled,
+    # embedding_near_dups_bands_scaled — verdict items 2/3/5), then
+    # the 19 r6-era rows the r10 verdict front-loaded, then the
+    # oldest (r7-era) remainder, anchor last.
+    "trigram_lm_hashed",
+    "mmr_select_scaled",
+    "embedding_near_dups_bands_scaled",
+    "q2_partsupp",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q9_partsupp",
+    "quality_gate_funnel",
+    "rolling_median",
+    "rollup_lineitem",
+    "semdedup_prune",
+    "semi_anti_join",
+    "session_window",
+    "stream_stream_join",
+    "streaming_dedup",
+    "text_canonicalize",
+    "token_count_bpe",
+    "token_fertility",
+    "top_customers",
+    "tumbling_window",
+    "vocabulary_stats",
+    "window_rank",
+    "ann_recall_check",
+    "ann_topk_lsh",
+    "asof_join_quotes",
+    "bigram_pmi",
+    "bloom_decontaminate_check",
+    "bpe_pair_counts",
+    "copurchase_reach",
+    "except_op",
+    "gap_fill_locf",
+    "hard_negatives",
+    "incremental_semdedup",
+    "indicator_bollinger",
+    "ivfpq_ann_topk",
+    "ivfpq_recall_check",
+    "ivfpq_rerank_topk",
+    "knn_label_accuracy",
+    "lang_segments",
+    "lm_quality_buckets",
+    "multimodal_features",
+    "q10_returned_revenue",
+    "q11_important_value",
+    "q12_priority_by_status",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
     "refined_pipeline",
 ]
 

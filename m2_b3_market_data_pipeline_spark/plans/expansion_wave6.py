@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import containment_pairs
 from ..operators.layout import zorder_key, zorder_key_sql
-from ..operators.text import trigram_lm_scores
+from ..operators.text import PRE_HASH_SEED, TRI_HASH_SEED, trigram_lm_scores
 from .registry import load, register
 from .sql_fragments import NTOK, TK
 
@@ -64,6 +64,53 @@ def trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return trigram_lm_scores(docs)
+
+
+# Hashed-bucket twin (r10 verdict item 3): grams and prefixes fold to
+# seeded-hash buckets BEFORE both count passes. 64 buckets over the
+# fixture's ~2-4k observed trigrams forces real collisions, so the
+# differential gate exercises the fold itself (the nb_hashed posture).
+TRI_BUCKETS = 64
+
+
+@register(
+    "trigram_lm_hashed",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lower(trim(text)) AS s FROM documents),
+g AS (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(length(s) - 2, 0)),
+                                 i -> substr(s, i, 3))) AS gram
+    FROM t
+),
+h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('{TRI_HASH_SEED}|' || gram), 1, 15)) AS BIGINT)
+               % {TRI_BUCKETS} AS tb,
+           CAST(('0x' || substr(md5('{PRE_HASH_SEED}|' || substr(gram, 1, 2)), 1, 15)) AS BIGINT)
+               % {TRI_BUCKETS} AS pb
+    FROM g
+),
+c3 AS (SELECT tb, COUNT(*) AS n3 FROM h GROUP BY tb),
+c2 AS (SELECT pb, COUNT(*) AS n2 FROM h GROUP BY pb)
+SELECT h.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       ROUND(AVG(log2(CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE))), 6) AS avg_logp
+FROM h JOIN c3 USING (tb) JOIN c2 USING (pb)
+GROUP BY h.doc_id
+""",
+)
+def trigram_lm_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bucket trigram LM scoring — the scale-safe twin of
+    ``trigram_lm_score`` for OPEN charsets (SCALE.md §19.3): both
+    model tables are <= {TRI_BUCKETS} rows BY CONTRACT (a knob, not
+    the |charset|^3 alphabet assumption a CJK-bearing corpus breaks at
+    ~1e8 observed trigrams), the same seeded-hash fold nb_hashed and
+    dsir_log_weights ship, applied AT the explode projection so train
+    and score cannot drift. The dense form stays registered as the
+    judged baseline (operators/text.py::trigram_lm_scores)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return trigram_lm_scores(docs, n_buckets=TRI_BUCKETS)
 
 
 @register(

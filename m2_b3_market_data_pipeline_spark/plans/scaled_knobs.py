@@ -26,8 +26,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.embeddings import semdedup_lsh
-from ..operators.knobs import knob_sql, scaled_band_bits, scaled_cell_bits
-from ..operators.similarity import ivfpq_multiprobe_topk, lsh_near_dup_pairs
+from ..operators.knobs import (
+    band_layout_sql,
+    knob_sql,
+    scaled_band_bits,
+    scaled_band_layout,
+    scaled_cell_bits,
+)
+from ..operators.similarity import (
+    _hyperplane,
+    banded_near_dup_pairs,
+    ivfpq_multiprobe_topk,
+    lsh_near_dup_pairs,
+)
 from .dedup_quality import SEM_THRESHOLD
 from .expansion_similarity import (
     _PQ_LEN,
@@ -218,4 +229,87 @@ def ivfpq_cells_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_sub=PQ_SUB,
         k=TOP_K,
         cell_bits=scaled_cell_bits(n, target_occupancy=CELL_OCC, lo=CELL_LO, hi=CELL_HI),
+    )
+
+
+# --- Band-COUNT scaling past the one-BIGINT width cap (r10 verdict
+# item 2; the boundary SCALE.md §20 measured at sf30). Layout knobs:
+# width uncapped to HARD_CAP via independent per-band plane families,
+# bands = ceil(4^(w/15)) holding the LSH threshold (1/b)^(1/w) at the
+# width-cap operating point — physics in knobs.scaled_band_layout.
+BL_HARD_CAP = 20                               # max band width (plan/oracle literal grid)
+BL_MAX_BANDS = 7                               # ceil(4 ** (BL_HARD_CAP / 15)) — static UNION arms
+_BL_W_SQL, _BL_B_SQL = band_layout_sql(
+    occupancy=BAND_OCC, lo=BAND_LO, base_bands=ND_BANDS,
+    width_cap=BAND_HI, hard_cap=BL_HARD_CAP, count_from=EMB,
+)
+
+
+def _banded_val_sql(j: int) -> str:
+    """Band j's value: width-knob-masked sum over its OWN plane family
+    (plane index j*BL_HARD_CAP + i — the identical family the Spark
+    side uses via plane_stride, so the literal grid is static while
+    the width knob varies)."""
+    terms = []
+    for i in range(BL_HARD_CAP):
+        comps = ", ".join(repr(c) for c in _hyperplane(EMBED_DIM, j * BL_HARD_CAP + i))
+        terms.append(
+            f"CASE WHEN {i} < k.w AND list_inner_product(v, [{comps}]) > 0"
+            f" THEN CAST({2 ** i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return " + ".join(terms)
+
+
+_BL_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, {j} AS band_id, ({_banded_val_sql(j)}) AS band_val "
+    f"FROM c, k WHERE {j} < k.b"
+    for j in range(BL_MAX_BANDS)
+)
+
+
+@register(
+    "embedding_near_dups_bands_scaled",
+    oracle=f"""
+WITH k AS (SELECT {_BL_W_SQL} AS w, {_BL_B_SQL} AS b),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
+bands AS ({_BL_BANDS_SQL}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+SELECT p.id_a, p.id_b,
+       ROUND(list_inner_product(sa.v, sb.v) /
+             (sqrt(list_inner_product(sa.v, sa.v)) * sqrt(list_inner_product(sb.v, sb.v))), 6) AS cos
+FROM cand p
+JOIN c sa ON sa.vec_id = p.id_a
+JOIN c sb ON sb.vec_id = p.id_b
+WHERE ROUND(list_inner_product(sa.v, sb.v) /
+            (sqrt(list_inner_product(sa.v, sa.v)) * sqrt(list_inner_product(sb.v, sb.v))), 6)
+      >= {NEAR_DUP_THRESHOLD}
+""",
+)
+def embedding_near_dups_bands_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with BOTH band knobs ∝ corpus size —
+    the lever past the 15-bit width cap the sf30 decade hit
+    (SCALE.md §20): width keeps absorbing the corpus residual via
+    independent per-band hyperplane families (no single-BIGINT
+    signature to overflow), and the band count grows as
+    ceil(4^(w/15)) to hold the LSH threshold (1/b)^(1/w) at the
+    capped layout's operating point — candidate volume stays ~linear
+    (b·n band rows, occupancy pinned) where the width-capped form
+    reverts to n²/2^15 growth. Same exact-cosine verify and threshold
+    as ``embedding_near_dups``; knob physics in
+    knobs.scaled_band_layout, slope in SCALE.md §20."""
+    emb, n = _emb_count(spark, sf_dir)
+    w, b = scaled_band_layout(
+        n, occupancy=BAND_OCC, lo=BAND_LO, base_bands=ND_BANDS,
+        width_cap=BAND_HI, hard_cap=BL_HARD_CAP,
+    )
+    return banded_near_dup_pairs(
+        emb,
+        dim=EMBED_DIM,
+        threshold=NEAR_DUP_THRESHOLD,
+        band_bits=w,
+        n_bands=b,
+        plane_stride=BL_HARD_CAP,
     )

