@@ -6,18 +6,34 @@ coarse-codebook cell (broadcast argmin), (2) pruned against the corpus
 admitted SO FAR — cell-locally, via the shared
 ``operators/embeddings.py::semdedup_prune_assigned`` rule (one code
 path with the batch operator, the funnel-sink precedent), and (3) the
-SURVIVORS merge into the on-disk assigned store. The state is the
-(id, centroid_id, vector) store itself — partitioned by centroid_id on
-disk, so a future delta's verify join reads only its touched cells.
+SURVIVORS land as an APPEND-ONLY per-batch partition of the on-disk
+assigned store. The state is the (id, centroid_id, vector) store
+itself — laid out ``batch=<id>/centroid_id=<c>/`` so a future delta's
+verify join partition-prunes to its touched cells.
+
+Store maintenance is INCREMENTAL (round 11, r10 verdict item 4): the
+r10 30x campaign measured the drain wall dominated not by the verify
+join but by the crash-safe swap REWRITING the whole store into
+~400-1000 cell directories every wave (SCALE.md §17.1 — 2.2x wall for
+3x backlog). Survivors are append-only per cell, so each wave now
+writes ONLY its own survivors (one corpus-write total across a drain,
+vs ~waves/2 corpus-rewrites under the swap), and the full rewrite
+survives as an optional COMPACTION every ``compact_every`` batches
+(bounding small-file growth at long stream lifetimes; the amortized
+form of "batch the rewrite across waves").
 
 Per batch:
 
-1. prune decisions (delta vs stored corpus) land under
+1. prune decisions (delta vs stored corpus, EXCLUDING any partial
+   write of this same batch id — the replay crash window) land under
    ``decisions_path/batch=<id>`` — overwrite per batch directory, so a
    replay is idempotent;
-2. the admitted (non-pruned) rows union into the assigned store via the
-   same crash-safe swap + (checkpoint id, batch id) marker as
-   ``agg_sink`` / ``near_dedup_sink``.
+2. the admitted (non-pruned) rows overwrite-write
+   ``state_path/batch=<id>`` (replay-idempotent for the same reason:
+   the decisions they derive from exclude this batch's own partial
+   data), then the (checkpoint id, batch id) marker commits — the
+   same marker protocol as ``agg_sink`` / ``near_dedup_sink``, with
+   the atomic whole-store swap reserved for compaction.
 
 Batch-equivalence contract (pinned in tests): after draining batches
 b1..bN, the union of decision outputs equals applying the BATCH
@@ -29,7 +45,9 @@ cross-batch admission).
 
 from __future__ import annotations
 
+import glob as _glob
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,15 +65,47 @@ from .agg_sink import (
 
 DECISION_SCHEMA = "vec_id long, centroid_id long, pruned boolean"
 
+_BATCH_DIR = re.compile(r"^batch=(-?\d+)$")
 
-def read_assigned(spark: SparkSession, state_path: str) -> DataFrame:
+
+def _batch_dirs(state_path: str, *, below: int | None = None) -> list[str]:
+    """The store's committed per-batch partitions that actually hold
+    data (a zero-survivor batch writes only _SUCCESS — no parquet
+    files — and must not break schema inference), optionally limited
+    to batch ids strictly below ``below`` (the replay crash window: a
+    reprocessed batch must never see its own partial write as
+    corpus)."""
+    if not os.path.isdir(state_path):
+        return []
+    out = []
+    for name in sorted(os.listdir(state_path)):
+        m = _BATCH_DIR.match(name)
+        if not m:
+            continue
+        if below is not None and int(m.group(1)) >= below:
+            continue
+        d = os.path.join(state_path, name)
+        if _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+            out.append(d)
+    return out
+
+
+def read_assigned(
+    spark: SparkSession, state_path: str, *, below_batch: int | None = None
+) -> DataFrame:
     """The assigned corpus store (assign_with_vector layout:
-    id, centroid_id, vector), partition-pruned by centroid_id. The
-    partition column comes back through directory inference (which
-    narrows in-range values to int) — cast it back to the long the
-    assignment produces so unions and joins never coerce."""
-    df = spark.read.parquet(state_path)
-    return df.withColumn("centroid_id", F.col("centroid_id").cast("long"))
+    id, centroid_id, vector), partition-pruned by centroid_id. Both
+    ``batch`` and ``centroid_id`` come back through directory
+    inference (which narrows in-range values to int) — the batch
+    bookkeeping column is dropped and centroid_id cast back to the
+    long the assignment produces so unions and joins never coerce."""
+    paths = _batch_dirs(state_path, below=below_batch)
+    if not paths:
+        raise FileNotFoundError(f"no committed store data under {state_path}")
+    df = spark.read.option("basePath", state_path).parquet(*paths)
+    return df.drop("batch").withColumn(
+        "centroid_id", F.col("centroid_id").cast("long")
+    )
 
 
 def read_decisions(spark: SparkSession, decisions_path: str) -> DataFrame:
@@ -81,9 +131,12 @@ def run_semdedup_stream(
     threshold: float = 0.45,
     available_now: bool = True,
     assign_fn=None,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Start the stream: file source over ``updates_path`` -> per-batch
-    cell-local semantic dedup vs the admitted corpus + survivor merge.
+    cell-local semantic dedup vs the admitted corpus + append-only
+    survivor partition (module doc carries the store-maintenance
+    design and its crash windows).
 
     The coarse quantizer is a strategy — exactly one of:
 
@@ -98,9 +151,15 @@ def run_semdedup_stream(
       do NOT grow with the corpus; the LSH assigner keeps cell
       occupancy bounded by sizing bits to the planned corpus.
 
+    ``compact_every``: fold the per-batch partitions into one every N
+    committed batches (the atomic swap protocol, amortized) — bounds
+    file count at waves x cells for long-lived streams; None (default)
+    never compacts, the right call for bounded drains.
+
     Everything downstream of assignment — the shared prune rule, the
-    decisions/survivor writes, the crash-safe swap — is identical, so
-    the batch-equivalence and replay contracts hold for both."""
+    decisions/survivor writes, the marker — is identical across
+    quantizers, so the batch-equivalence and replay contracts hold for
+    both."""
     if (centroids is None) == (assign_fn is None):
         raise ValueError("pass exactly one of centroids / assign_fn")
     stream = (
@@ -110,7 +169,7 @@ def run_semdedup_stream(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _recover_state(state_path)
+        _recover_state(state_path)  # roll a crashed compaction swap forward
         ckpt_id = _checkpoint_identity(checkpoint_path)
         applied, applied_ckpt = _read_marker(state_path)
         if applied >= 0 and applied_ckpt and ckpt_id and applied_ckpt != ckpt_id:
@@ -134,9 +193,14 @@ def run_semdedup_stream(
                 vec_col=vec_col,
             ).persist()
         try:
-            has_corpus = os.path.exists(state_path)
+            # Corpus = committed batches strictly below this one: a
+            # replay after a crash between the survivor write and the
+            # marker must not see its own partial partition (the
+            # delta's vectors would self-match at cos 1.0 and every
+            # replayed row would flip to pruned).
+            has_corpus = bool(_batch_dirs(state_path, below=batch_id))
             if has_corpus:
-                corpus = read_assigned(spark, state_path)
+                corpus = read_assigned(spark, state_path, below_batch=batch_id)
                 decisions = semdedup_prune_assigned(
                     assigned, corpus, id_col=id_col, vec_col=vec_col,
                     threshold=threshold,
@@ -147,26 +211,20 @@ def run_semdedup_stream(
                 )
             decisions = decisions.persist()
             # Decisions first (per-batch dir, overwrite => replay-
-            # idempotent), then the survivor swap whose marker commits.
+            # idempotent), then the survivor partition, then the marker
+            # that commits both.
             decisions.write.mode("overwrite").parquet(
                 os.path.join(decisions_path, f"batch={batch_id}")
             )
             survivors = assigned.join(
                 decisions.filter(~F.col("pruned")).select(id_col), id_col
             ).select(id_col, "centroid_id", vec_col)
-            merged = (
-                read_assigned(spark, state_path).unionByName(survivors)
-                if has_corpus
-                else survivors
+            survivors.write.mode("overwrite").partitionBy("centroid_id").parquet(
+                os.path.join(state_path, f"batch={batch_id}")
             )
-            staging = f"{state_path}.staging-{batch_id}"
-            merged.write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
-            _write_marker(staging, batch_id=batch_id, checkpoint_id=ckpt_id)
-            old = state_path + ".old"
-            if os.path.exists(state_path):
-                os.rename(state_path, old)
-            os.rename(staging, state_path)
-            shutil.rmtree(old, ignore_errors=True)
+            _write_marker(state_path, batch_id=batch_id, checkpoint_id=ckpt_id)
+            if compact_every and len(_batch_dirs(state_path)) >= compact_every:
+                _compact(spark, state_path, batch_id=batch_id, ckpt_id=ckpt_id)
             decisions.unpersist()
         finally:
             # Unconditional: a mid-batch failure must not leak the
@@ -181,3 +239,25 @@ def run_semdedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _compact(
+    spark: SparkSession, state_path: str, *, batch_id: int, ckpt_id: str | None
+) -> None:
+    """Fold every per-batch partition into a single ``batch=<id>`` via
+    the agg_sink swap protocol (staging write -> marker -> rename):
+    crash-safe at every point (_recover_state promotes a complete
+    staging or restores the set-aside copy), and the marker it carries
+    equals the already-committed batch id, so a post-compaction replay
+    of the same batch is still skipped."""
+    full = read_assigned(spark, state_path)
+    staging = f"{state_path}.staging-{batch_id}"
+    full.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(staging, f"batch={batch_id}")
+    )
+    _write_marker(staging, batch_id=batch_id, checkpoint_id=ckpt_id)
+    old = state_path + ".old"
+    if os.path.exists(state_path):
+        os.rename(state_path, old)
+    os.rename(staging, state_path)
+    shutil.rmtree(old, ignore_errors=True)
