@@ -44,7 +44,6 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "window_rank",
-    "asof_join_quotes",
     "resample_ohlc",
     "session_window",
     "minhash_dedup",
@@ -67,13 +66,11 @@ HEADLINE = [
     # round-2 event-log analytics + CDC wave (sessionize_stats rotated
     # out in round 10 for the capture cap — 0.49s, events family covered
     # by session_window; its correctness row is green in the r9 record)
-    "cdc_merge_upsert",
     # round-4 wave 6
     "trigram_lm_score",
     "containment_pairs",
     "phash_near_dups",
     # round-5 incremental-curation wave
-    "incremental_near_dedup",
     # round-6: literal partsupp TPC-H graphs + sketch accuracy checks
     # (q11/q16_partsupp and approx_quantile_check rotated out in round
     # 10 for the capture cap — 0.58-0.67s; the partsupp family keeps
@@ -127,7 +124,6 @@ HEADLINE = [
     # c4_line_filters (0.37s) and source_temperature_weights (1.0s,
     # dominated by session fan-out of a 20-row aggregate) stay out —
     # families covered by this rep and the hash-checked rows.
-    "gopher_rules",
     # round-9: the corpus-scaled-knob production forms of the three
     # §13-superlinear operators (SCALE.md §14) join their fixed-knob
     # judged baselines so the scale path has per-round perf evidence.
@@ -156,6 +152,23 @@ HEADLINE = [
     # heaviest retrieval-quality member).
     "nb_hashed",
     "mmr_recall_check",
+    # round-11: the three ordered scale twins (r10 verdict items 2/3/5)
+    # join their judged baselines — the band-count near-dup layout past
+    # the 15-bit width cap, the knob-bounded trigram LM, and the
+    # reachable-band MMR (its exact-parity pool makes it the family's
+    # heaviest member on diffuse fixtures BY DESIGN — cost-honesty note
+    # in the operator). Capture-cap rotation (worst-case line 1996 ->
+    # 1880 bytes; last best-knowns in BASELINE.md's round-11 ledger so
+    # a re-add inherits history): asof_join_quotes (0.56s r10; market
+    # family keeps resample_ohlc + twap/indicator history),
+    # cdc_merge_upsert (0.57s; CDC correctness row green, sink pinned
+    # in tests), gopher_rules (0.51s; corpus-quality family keeps
+    # dsir_weights + boilerplate_frac + tfidf_top_terms),
+    # incremental_near_dedup (0.87s; dedup family keeps minhash /
+    # ngram / simhash / incremental_semdedup).
+    "trigram_lm_hashed",
+    "embedding_near_dups_bands_scaled",
+    "mmr_select_scaled",
 ]
 
 

@@ -78,12 +78,19 @@ def scaled_band_layout(
     banded_near_dup_pairs), so w keeps absorbing the corpus residual
     past 15 bits — and grows the band count to HOLD the LSH threshold
     t = (1/b)^(1/w) at the width-cap operating point t0 =
-    (1/base_bands)^(1/width_cap): b = ceil(base_bands^(w/width_cap)),
-    i.e. bands ∝ base^(residual/width_cap) once the cap binds (w=15→4
-    bands, 18→6, 20→7). Wider bands alone would sharpen the threshold
-    past t0 and shed true near-dups; the extra bands buy the recall
-    back at a LINEAR candidate cost (b·n rows) instead of the
-    quadratic cost (n²/2^w) of leaving the width capped.
+    (1/base_bands)^(1/width_cap): b = max(base_bands,
+    ceil(base_bands^(w/width_cap))), i.e. the bits_scaled LAYOUT
+    PARAMETERS verbatim below the cap (the floor — an unfloored ceil
+    gave b=2 at fixture widths, a strictly sharper threshold curve
+    than the judged baseline's; realized recall on individual
+    near-threshold pairs still varies with the plane family, which is
+    why the recall evidence is the large-population ladder: sf30 pair
+    counts within ~1% of the capped form, SCALE.md §21.1) and bands ∝
+    base^(residual/width_cap) once the cap binds (w=15→4 bands, 18→6,
+    20→7). Wider bands alone would sharpen the threshold past t0 and
+    shed true near-dups; the extra bands buy the recall back at a
+    LINEAR candidate cost (b·n rows) instead of the quadratic cost
+    (n²/2^w) of leaving the width capped.
 
     ``hard_cap`` = 20 bounds the static plan/oracle layout (the
     hyperplane families are plan literals on both engines): occupancy
@@ -98,7 +105,7 @@ def scaled_band_layout(
     every other w in [4, 20] lands safely between integers."""
     wanted = math.ceil(math.log2(max(n, 2) / occupancy))
     w = min(hard_cap, max(lo, wanted))
-    b = math.ceil(base_bands ** (w / width_cap))
+    b = max(base_bands, math.ceil(base_bands ** (w / width_cap)))
     return w, b
 
 
@@ -131,9 +138,9 @@ def band_layout_sql(
         f"FROM {count_from})"
     )
     b = (
-        f"(SELECT CAST(ceil(pow({base_bands}, "
+        f"(SELECT CAST(greatest({base_bands}, ceil(pow({base_bands}, "
         f"least({hard_cap}, greatest({lo}, "
         f"ceil(log2(greatest(COUNT(*), 2) / {occupancy}.0)))) "
-        f"/ {width_cap}.0)) AS INT) FROM {count_from})"
+        f"/ {width_cap}.0))) AS INT) FROM {count_from})"
     )
     return w, b

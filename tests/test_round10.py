@@ -196,12 +196,16 @@ def test_mmr_recall_overlap_bounds(spark, sf_dir):
         r["shortlist"]: r
         for r in all_queries.QUERIES["mmr_recall_check"](spark, sf_dir).collect()
     }
-    assert sorted(rows) == [8, 16, 32]
-    for s in (8, 16, 32):
+    # Round 11 extends the sweep with the shortlist=0 sentinel (the
+    # reachable-band rule, r10 verdict item 5) — and the band THEOREM
+    # says that row's overlap is exactly 1.0.
+    assert sorted(rows) == [0, 8, 16, 32]
+    for s in (0, 8, 16, 32):
         r = rows[s]
         assert 0 < r["n_selected"] <= 8
         assert 0 <= r["n_overlap"] <= r["n_selected"]
         assert abs(r["overlap_frac"] - round(r["n_overlap"] / r["n_selected"], 6)) < 1e-9
+    assert rows[0]["overlap_frac"] == 1.0
 
 
 def test_minhash_join_strategy_sizing_rule(spark, sf_dir):

@@ -116,7 +116,7 @@ def test_scaled_band_layout_rule():
     """The band-layout knob: width tracks ceil(log2(n/occ)) past the
     15-bit single-BIGINT cap up to the hard cap, and the band count
     holds the LSH threshold (1/b)^(1/w) at the capped operating point
-    via b = ceil(4^(w/15)) — 4 bands AT the cap, growing with the
+    via b = max(4, ceil(4^(w/15))) — 4 bands AT and below the cap, growing with the
     residual (the sf30 boundary's next lever, r10 verdict item 2)."""
     from m2_b3_market_data_pipeline_spark.operators.knobs import (
         scaled_band_bits,
@@ -127,6 +127,12 @@ def test_scaled_band_layout_rule():
     for n in (10, 1_000, 60_000, 438_000):
         w, b = scaled_band_layout(n)
         assert w == scaled_band_bits(n, target_occupancy=4, lo=4, hi=15) or w > 15
+    # Below the cap the band count FLOORS at 4 — the bits_scaled
+    # layout parameters verbatim, so the variant's threshold curve is
+    # never sharper than the judged scaled baseline's (an unfloored
+    # ceil gave b=2 at fixture widths — a measurably stingier curve).
+    for n in (200, 505, 2_000, 60_000):
+        assert scaled_band_layout(n)[1] == 4
     # At the cap boundary (n = occ * 2^15): 4 bands, the baseline layout.
     w, b = scaled_band_layout(4 * 2**15)
     assert (w, b) == (15, 4)

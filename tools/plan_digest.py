@@ -24,7 +24,14 @@ estimate) materializes its persisted frames before the digest captures
 the plan, so InMemoryTableScan nodes print their full cached child
 plans and every count inflates by the embedded copies. For such
 operators compare the EXECUTED plan shape (tests pin it) rather than
-digest counts across the materialization change.
+digest counts across the materialization change. Round 11: the
+minhash family (minhash_dedup, corpus_pipeline, lsh_recall_check,
+source_overlap_matrix) joined this class when the r10 eager count
+became the byte-stats aggregate — their digests now print 4
+InMemoryTableScan embedded child copies (BHJ 7->11 etc., counts
+doubled by the copies); the executed shape is unchanged (zero
+SortMergeJoin at fixture scale, the round-10 sizing-rule pins stay
+green, bench at best-known parity).
 """
 
 from __future__ import annotations
