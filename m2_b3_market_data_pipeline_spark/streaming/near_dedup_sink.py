@@ -3,20 +3,27 @@
 Each micro-batch of incoming documents is checked against the corpus
 accepted SO FAR via the cross-relation MinHash LSH join
 (``operators/dedup.py::minhash_incremental_pairs_presigned``), then its
-signatures are merged into the on-disk SIGNATURE TABLE — the state is
-the signature store itself (queryable, append-only in content), never
-raw text: corpus text is read exactly once, in the batch that admitted
-it.
+signatures land as an APPEND-ONLY per-batch partition of the on-disk
+SIGNATURE TABLE — the state is the signature store itself (queryable,
+append-only in content AND now in layout), never raw text: corpus text
+is read exactly once, in the batch that admitted it.
 
-Per batch:
+Store maintenance is INCREMENTAL (round 11 — the same rewrite the
+semdedup sink got, same rationale: §17.1 measured the drain wall owned
+by the per-wave whole-store rewrite, and signatures are append-only by
+construction). Per batch:
 
-1. near-dup pairs (delta vs stored signatures) land under
-   ``pairs_path/batch=<id>`` — overwrite per batch directory, so a
-   replay is idempotent;
-2. the delta's signatures union into the signature table via the same
-   crash-safe swap + (checkpoint id, batch id) marker as
-   ``agg_sink`` (set the old aside, promote complete staging, fail
-   loudly on a foreign checkpoint).
+1. near-dup pairs (delta vs stored signatures, EXCLUDING any partial
+   write of this same batch id — the replay crash window, where the
+   delta would otherwise pair with its own partial copy at jaccard
+   1.0) land under ``pairs_path/batch=<id>`` — overwrite per batch
+   directory, so a replay is idempotent;
+2. the delta's signatures overwrite-write ``state_path/batch=<id>``
+   (replay-idempotent for the same exclusion reason), then the
+   (checkpoint id, batch id) marker commits — the agg_sink marker
+   protocol, with the atomic whole-store swap retired to
+   ``_recover_state`` compatibility (a crashed pre-round-11 swap still
+   rolls forward).
 
 Batch-equivalence contract (pinned in tests): after draining batches
 b1..bN, the union of pair outputs equals running the BATCH incremental
@@ -27,8 +34,9 @@ dedup; this sink owns cross-batch admission).
 
 from __future__ import annotations
 
+import glob as _glob
 import os
-import shutil
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -49,10 +57,37 @@ from .agg_sink import (
 
 PAIR_SCHEMA = "delta_id long, corpus_id long, jaccard double"
 
+_BATCH_DIR = re.compile(r"^batch=(-?\d+)$")
 
-def read_signatures(spark: SparkSession, state_path: str) -> DataFrame:
-    """The signature store (with_minhash layout: id, sh, mh0..mhK)."""
-    return spark.read.parquet(state_path)
+
+def _batch_dirs(state_path: str, *, below: int | None = None) -> list[str]:
+    """Committed per-batch partitions that hold data (a zero-row batch
+    writes only _SUCCESS and must not break schema inference), limited
+    to ids strictly below ``below`` for the replay crash window."""
+    if not os.path.isdir(state_path):
+        return []
+    out = []
+    for name in sorted(os.listdir(state_path)):
+        m = _BATCH_DIR.match(name)
+        if not m:
+            continue
+        if below is not None and int(m.group(1)) >= below:
+            continue
+        d = os.path.join(state_path, name)
+        if _glob.glob(os.path.join(d, "*.parquet")):
+            out.append(d)
+    return out
+
+
+def read_signatures(
+    spark: SparkSession, state_path: str, *, below_batch: int | None = None
+) -> DataFrame:
+    """The signature store (with_minhash layout: id, sh, mh0..mhK). The
+    ``batch`` bookkeeping partition column is dropped on read."""
+    paths = _batch_dirs(state_path, below=below_batch)
+    if not paths:
+        raise FileNotFoundError(f"no committed store data under {state_path}")
+    return spark.read.option("basePath", state_path).parquet(*paths).drop("batch")
 
 
 def read_pairs(spark: SparkSession, pairs_path: str) -> DataFrame:
@@ -107,32 +142,31 @@ def run_incremental_dedup_stream(
             sig_cols = [id_col, "sh"] + [
                 c for c in d_signed.columns if c.startswith("mh")
             ]
-            has_corpus = os.path.exists(state_path)
+            # Corpus = committed batches strictly below this one (the
+            # replay crash window — see module doc).
+            has_corpus = bool(_batch_dirs(state_path, below=batch_id))
             if has_corpus:
-                corpus_sigs = read_signatures(spark, state_path)
+                corpus_sigs = read_signatures(
+                    spark, state_path, below_batch=batch_id
+                )
                 # A pre-numeric-hash store would silently NULL out of the
                 # banding join under unionByName type coercion — fail loudly.
                 require_numeric_minhash(corpus_sigs, where=f"signature store {state_path}")
                 pairs = _cross_pairs_from_signed(
                     d_signed, corpus_sigs, id_col=id_col, threshold=threshold
                 )
-                merged = corpus_sigs.unionByName(d_signed.select(*sig_cols))
             else:
                 pairs = spark.createDataFrame([], PAIR_SCHEMA)
-                merged = d_signed.select(*sig_cols)
             # Pairs first (per-batch dir, overwrite => replay-idempotent),
-            # then the signature swap whose marker commits the batch.
+            # then the delta's signature partition, then the marker that
+            # commits both.
             pairs.write.mode("overwrite").parquet(
                 os.path.join(pairs_path, f"batch={batch_id}")
             )
-            staging = f"{state_path}.staging-{batch_id}"
-            merged.write.mode("overwrite").parquet(staging)
-            _write_marker(staging, batch_id=batch_id, checkpoint_id=ckpt_id)
-            old = state_path + ".old"
-            if os.path.exists(state_path):
-                os.rename(state_path, old)
-            os.rename(staging, state_path)
-            shutil.rmtree(old, ignore_errors=True)
+            d_signed.select(*sig_cols).write.mode("overwrite").parquet(
+                os.path.join(state_path, f"batch={batch_id}")
+            )
+            _write_marker(state_path, batch_id=batch_id, checkpoint_id=ckpt_id)
         finally:
             # Unconditional: a mid-batch failure (write error, foreign
             # checkpoint) must not leak the persisted frame for the life

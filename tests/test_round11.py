@@ -384,3 +384,82 @@ def test_semdedup_store_compaction(spark, sf_dir, tmp_path):
         )
         == state_rows
     )
+
+
+def test_near_dedup_incremental_store_replay_crash_window(spark, sf_dir, tmp_path):
+    """Near-dedup sink twin of the semdedup crash-window test: write
+    batch=1's signature partition by hand with the marker still at
+    batch 0, reprocess, and require the pair output to equal the clean
+    sequential admission — the corpus read must exclude the partial
+    batch or every replayed doc would pair with its own copy at
+    jaccard 1.0."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from m2_b3_market_data_pipeline_spark.operators.dedup import (
+        fan_out,
+        minhash_incremental_pairs,
+        release_cached,
+        with_minhash,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+    from m2_b3_market_data_pipeline_spark.streaming.near_dedup_sink import (
+        read_pairs,
+        read_signatures,
+        run_incremental_dedup_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    waves = [docs.filter(F.col("doc_id") % 2 == w) for w in range(2)]
+
+    updates = str(tmp_path / "in")
+    state = str(tmp_path / "sigs")
+    pairs_out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        run_incremental_dedup_stream(
+            spark, updates_path=updates, state_path=state,
+            pairs_path=pairs_out, checkpoint_path=ckpt,
+            schema=schema, threshold=0.4,
+        ).awaitTermination(120)
+
+    waves[0].write.parquet(f"{updates}/b0")
+    run()
+
+    # Crash simulation: batch=1's signatures on disk, marker at 0.
+    sig1 = with_minhash(fan_out(waves[1].select("doc_id", "text")))
+    cols = ["doc_id", "sh"] + [c for c in sig1.columns if c.startswith("mh")]
+    sig1.select(*cols).write.mode("overwrite").parquet(
+        os.path.join(state, "batch=1")
+    )
+
+    waves[1].write.parquet(f"{updates}/b1")
+    run()  # reprocess batch 1 over the partial store
+
+    got = {
+        (r.delta_id, r.corpus_id, round(r.jaccard, 6))
+        for r in read_pairs(spark, pairs_out).collect()
+    }
+    want_df = minhash_incremental_pairs(waves[1], waves[0], threshold=0.4)
+    want = {
+        (r.delta_id, r.corpus_id, round(r.jaccard, 6))
+        for r in want_df.collect()
+    }
+    release_cached(want_df)
+    assert got == want
+    assert got, "fixture yields cross-wave near-dups at threshold 0.4"
+    # No self-pairs (the crash-window symptom would be jaccard-1.0
+    # delta-vs-own-copy rows).
+    assert all(d != c for d, c, _ in got)
+    # State holds exactly both waves' signatures, batch col dropped.
+    sigs = read_signatures(spark, state)
+    assert sigs.count() == docs.count()
+    assert "batch" not in sigs.columns
