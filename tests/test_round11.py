@@ -463,3 +463,26 @@ def test_near_dedup_incremental_store_replay_crash_window(spark, sf_dir, tmp_pat
     sigs = read_signatures(spark, state)
     assert sigs.count() == docs.count()
     assert "batch" not in sigs.columns
+
+
+def test_banded_near_dup_plan_shape(spark, sf_dir):
+    """Plan pin for the band-count layout: the candidate path is a
+    hash equi-join on (band_id, band_val) — zero BNLJ / cartesian /
+    sort-merge at fixture scale (the estimator's broadcasts are
+    correct below the §20 sizing boundary), and exactly two Generates
+    (one posexplode per join side) — the same exploded-band shape the
+    r7 ann_topk rewrite pinned, carried to the per-band-family
+    representation."""
+    from m2_b3_market_data_pipeline_spark.operators.similarity import (
+        banded_near_dup_pairs,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    df = banded_near_dup_pairs(
+        emb, dim=64, threshold=0.45, band_bits=6, n_bands=4, plane_stride=20
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate") == 2, plan[:1200]
