@@ -561,11 +561,7 @@ selu{tag}{i} AS MATERIALIZED (SELECT * FROM selu{tag}{i - 1} UNION ALL SELECT ve
     return ",\n".join(parts)
 
 
-def _mmr_recall_oracle() -> str:
-    """Four greedy chains over one shared candidate prelude — the full
-    set (the exact reference) and the three sweep shortlists — then the
-    per-shortlist overlap with the exact selection."""
-    prelude = f"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
+_MMR_PRELUDE = f"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
 mn AS (SELECT MIN(vec_id) AS qid FROM c),
 q AS (SELECT c.v AS qv FROM c, mn WHERE c.vec_id = mn.qid),
 cand AS MATERIALIZED (
@@ -574,6 +570,13 @@ cand AS MATERIALIZED (
                  (sqrt(list_inner_product(q.qv, q.qv)) *
                   sqrt(list_inner_product(c.v, c.v))), 6) AS rel
     FROM c CROSS JOIN q CROSS JOIN mn WHERE c.vec_id <> mn.qid)"""
+
+
+def _mmr_recall_oracle() -> str:
+    """Four greedy chains over one shared candidate prelude — the full
+    set (the exact reference) and the three sweep shortlists — then the
+    per-shortlist overlap with the exact selection."""
+    prelude = _MMR_PRELUDE
     chains = (
         [_mmr_chain("f", None)]
         + [_mmr_chain(f"s{s}", s) for s in MMR_SWEEP]
@@ -719,15 +722,7 @@ def _mmr_scaled_oracle() -> str:
     """The band-parameterized greedy chain standalone: prelude + the
     reachable-band shortlist + the same unrolled steps, returning the
     (rank, vec_id, mmr_score) contract of _mmr_oracle."""
-    prelude = f"""c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {EMB}),
-mn AS (SELECT MIN(vec_id) AS qid FROM c),
-q AS (SELECT c.v AS qv FROM c, mn WHERE c.vec_id = mn.qid),
-cand AS MATERIALIZED (
-    SELECT c.vec_id, c.v,
-           ROUND(list_inner_product(q.qv, c.v) /
-                 (sqrt(list_inner_product(q.qv, q.qv)) *
-                  sqrt(list_inner_product(c.v, c.v))), 6) AS rel
-    FROM c CROSS JOIN q CROSS JOIN mn WHERE c.vec_id <> mn.qid)"""
+    prelude = _MMR_PRELUDE
     union = "\nUNION ALL ".join(
         f'SELECT {i} AS "rank", vec_id, sc AS mmr_score FROM selb{i}'
         for i in range(1, MMR_K + 1)
