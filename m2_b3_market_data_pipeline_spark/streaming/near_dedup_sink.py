@@ -111,9 +111,17 @@ def run_incremental_dedup_stream(
     text_col: str = "text",
     threshold: float = 0.5,
     available_now: bool = True,
+    compact_every: int | None = None,
 ) -> StreamingQuery:
     """Start the stream: file source over ``updates_path`` -> per-batch
-    dedup-against-corpus + signature-table merge."""
+    dedup-against-corpus + append-only signature partition (module doc
+    carries the store design and its crash windows).
+
+    ``compact_every``: fold the per-batch partitions into one every N
+    committed batches through the agg_sink swap protocol — bounds file
+    count at waves x files-per-wave for long-lived streams; None
+    (default) never compacts, the right call for bounded drains. Same
+    semantics as the semdedup sink's knob."""
     stream = (
         spark.readStream.schema(schema)
         .option("recursiveFileLookup", "true")
@@ -167,6 +175,8 @@ def run_incremental_dedup_stream(
                 os.path.join(state_path, f"batch={batch_id}")
             )
             _write_marker(state_path, batch_id=batch_id, checkpoint_id=ckpt_id)
+            if compact_every and len(_batch_dirs(state_path)) >= compact_every:
+                _compact(spark, state_path, batch_id=batch_id, ckpt_id=ckpt_id)
         finally:
             # Unconditional: a mid-batch failure (write error, foreign
             # checkpoint) must not leak the persisted frame for the life
@@ -181,3 +191,25 @@ def run_incremental_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _compact(
+    spark: SparkSession, state_path: str, *, batch_id: int, ckpt_id: str | None
+) -> None:
+    """Fold every per-batch partition into a single ``batch=<id>`` via
+    the agg_sink swap protocol (staging write -> marker -> rename):
+    crash-safe at every point, and the staged marker equals the
+    already-committed batch id, so a post-compaction replay of the
+    same batch is still skipped (the semdedup sink's _compact,
+    minus the cell partitioning this flat store does not have)."""
+    import shutil
+
+    full = read_signatures(spark, state_path)
+    staging = f"{state_path}.staging-{batch_id}"
+    full.write.mode("overwrite").parquet(os.path.join(staging, f"batch={batch_id}"))
+    _write_marker(staging, batch_id=batch_id, checkpoint_id=ckpt_id)
+    old = state_path + ".old"
+    if os.path.exists(state_path):
+        os.rename(state_path, old)
+    os.rename(staging, state_path)
+    shutil.rmtree(old, ignore_errors=True)

@@ -486,3 +486,55 @@ def test_banded_near_dup_plan_shape(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Generate") == 2, plan[:1200]
+
+
+def test_near_dedup_store_compaction(spark, sf_dir, tmp_path):
+    """compact_every on the signature store: after a 3-wave drain with
+    compact_every=2 the store holds fewer batch dirs than waves, the
+    signature content is unchanged, and a replay adds nothing."""
+    import os
+    import re
+
+    from pyspark.sql import types as T
+
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+    from m2_b3_market_data_pipeline_spark.streaming.near_dedup_sink import (
+        read_pairs,
+        read_signatures,
+        run_incremental_dedup_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    waves = [docs.filter(F.col("doc_id") % 3 == w) for w in range(3)]
+
+    updates = str(tmp_path / "in")
+    state = str(tmp_path / "sigs")
+    pairs_out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        run_incremental_dedup_stream(
+            spark, updates_path=updates, state_path=state,
+            pairs_path=pairs_out, checkpoint_path=ckpt,
+            schema=schema, threshold=0.4, compact_every=2,
+        ).awaitTermination(120)
+
+    for i, w in enumerate(waves):
+        w.write.parquet(f"{updates}/b{i}")
+        run()
+    n_pairs = read_pairs(spark, pairs_out).count()
+    sig_ids = sorted(r.doc_id for r in read_signatures(spark, state).collect())
+    assert sig_ids == sorted(r.doc_id for r in docs.collect())
+    batch_dirs = [d for d in os.listdir(state) if re.match(r"^batch=\d+$", d)]
+    assert len(batch_dirs) < 3  # compaction folded at least one boundary
+    run()  # replay-safe after compaction
+    assert read_pairs(spark, pairs_out).count() == n_pairs
+    assert sorted(
+        r.doc_id for r in read_signatures(spark, state).collect()
+    ) == sig_ids
