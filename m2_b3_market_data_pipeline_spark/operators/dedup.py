@@ -312,8 +312,14 @@ def minhash_dedup_pairs(
         F.count("*").alias("docs"),
         F.sum(
             F.coalesce(
+                # octet_length, not length: the threshold is
+                # byte-denominated and the corpora this rule targets
+                # are the open-charset ones where UTF-8 runs ~3
+                # bytes/char (CJK) — a char count would undercount the
+                # broadcast build ~3x right where it matters (r11
+                # advisor).
                 F.aggregate(
-                    "sh", F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
+                    "sh", F.lit(0).cast("long"), lambda acc, s: acc + F.octet_length(s)
                 ),
                 F.lit(0).cast("long"),
             )

@@ -348,6 +348,14 @@ def banded_near_dup_pairs(
     equi-join (shuffle volume b·|corpus| rows, never |corpus|²),
     first-match filter over the band-value ARRAY replaces the
     distinct(), exact-cosine verify makes precision 1.0."""
+    if plane_stride < band_bits:
+        # Overlapping hyperplane families correlate band values across
+        # bands, silently voiding the independence assumption behind
+        # the b = ceil(4^(w/15)) threshold/recall math (r11 advisor).
+        raise ValueError(
+            f"plane_stride ({plane_stride}) must be >= band_bits "
+            f"({band_bits}): bands would share hyperplanes"
+        )
     corpus = ensure_parallelism(corpus)
     v = as_double(vec_col)
     vals = []

@@ -180,6 +180,43 @@ def _recover_state(state_path: str) -> None:
         shutil.rmtree(old, ignore_errors=True)
 
 
+def _migrate_flat_store(state_path: str) -> bool:
+    """Upgrade a pre-batch-partition store in place (round-12, advisor
+    order). Round 11 changed the near-dedup / semdedup sinks from one
+    flat directory (rewritten whole via the swap protocol) to
+    append-only ``batch=<id>`` partitions; a flat store promoted by an
+    older run is invisible to their ``_batch_dirs`` listing, so it
+    would silently read as an EMPTY corpus — new batches admitted
+    without dedup against it — and its rows unreachable to the store
+    readers. Detect root-level data (parquet part files, or
+    ``centroid_id=*`` cell dirs from the semdedup swap layout) and move
+    it into a ``batch=-1`` partition, which every later batch's
+    strictly-``below`` corpus filter includes.
+
+    Idempotent and crash-safe: each entry is a same-filesystem
+    ``os.rename``; a crash mid-migration leaves the remaining root
+    entries for the next call to move. Returns True if anything moved.
+    Bookkeeping names (``_*``, ``.*``, ``batch=*``) are left alone."""
+    if not os.path.isdir(state_path):
+        return False
+    flat = []
+    for name in os.listdir(state_path):
+        if name.startswith(("_", ".", "batch=")):
+            continue
+        full = os.path.join(state_path, name)
+        if name.endswith(".parquet") or (
+            os.path.isdir(full) and name.startswith("centroid_id=")
+        ):
+            flat.append(name)
+    if not flat:
+        return False
+    dest = os.path.join(state_path, "batch=-1")
+    os.makedirs(dest, exist_ok=True)
+    for name in flat:
+        os.rename(os.path.join(state_path, name), os.path.join(dest, name))
+    return True
+
+
 def run_incremental_agg_stream(
     spark: SparkSession,
     *,

@@ -23,7 +23,10 @@ construction). Per batch:
    (checkpoint id, batch id) marker commits — the agg_sink marker
    protocol, with the atomic whole-store swap retired to
    ``_recover_state`` compatibility (a crashed pre-round-11 swap still
-   rolls forward).
+   rolls forward, and a PROMOTED pre-round-11 flat store is migrated
+   into a ``batch=-1`` partition on first touch — agg_sink
+   ``_migrate_flat_store`` — so the old corpus is neither invisible to
+   dedup nor unreachable to the readers).
 
 Batch-equivalence contract (pinned in tests): after draining batches
 b1..bN, the union of pair outputs equals running the BATCH incremental
@@ -50,6 +53,7 @@ from ..operators.dedup import (
 )
 from .agg_sink import (
     _checkpoint_identity,
+    _migrate_flat_store,
     _read_marker,
     _recover_state,
     _write_marker,
@@ -83,7 +87,10 @@ def read_signatures(
     spark: SparkSession, state_path: str, *, below_batch: int | None = None
 ) -> DataFrame:
     """The signature store (with_minhash layout: id, sh, mh0..mhK). The
-    ``batch`` bookkeeping partition column is dropped on read."""
+    ``batch`` bookkeeping partition column is dropped on read. A
+    pre-round-11 flat store is migrated into ``batch=-1`` first so its
+    rows stay reachable (agg_sink._migrate_flat_store)."""
+    _migrate_flat_store(state_path)
     paths = _batch_dirs(state_path, below=below_batch)
     if not paths:
         raise FileNotFoundError(f"no committed store data under {state_path}")
@@ -130,6 +137,10 @@ def run_incremental_dedup_stream(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         _recover_state(state_path)
+        # Pre-round-11 flat store -> batch=-1, BEFORE the has_corpus
+        # check: otherwise the promoted old corpus reads as empty and
+        # this batch is admitted without dedup against it.
+        _migrate_flat_store(state_path)
         ckpt_id = _checkpoint_identity(checkpoint_path)
         applied, applied_ckpt = _read_marker(state_path)
         if applied >= 0 and applied_ckpt and ckpt_id and applied_ckpt != ckpt_id:

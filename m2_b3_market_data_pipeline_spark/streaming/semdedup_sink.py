@@ -58,6 +58,7 @@ from pyspark.sql.streaming import StreamingQuery
 from ..operators.embeddings import assign_with_vector, semdedup_prune_assigned
 from .agg_sink import (
     _checkpoint_identity,
+    _migrate_flat_store,
     _read_marker,
     _recover_state,
     _write_marker,
@@ -98,7 +99,10 @@ def read_assigned(
     ``batch`` and ``centroid_id`` come back through directory
     inference (which narrows in-range values to int) — the batch
     bookkeeping column is dropped and centroid_id cast back to the
-    long the assignment produces so unions and joins never coerce."""
+    long the assignment produces so unions and joins never coerce.
+    A pre-round-11 flat store is migrated into ``batch=-1`` first so
+    its rows stay reachable (agg_sink._migrate_flat_store)."""
+    _migrate_flat_store(state_path)
     paths = _batch_dirs(state_path, below=below_batch)
     if not paths:
         raise FileNotFoundError(f"no committed store data under {state_path}")
@@ -170,6 +174,11 @@ def run_semdedup_stream(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         _recover_state(state_path)  # roll a crashed compaction swap forward
+        # Pre-round-11 flat store (centroid_id=* cells at the root) ->
+        # batch=-1, BEFORE the has_corpus check: otherwise the promoted
+        # old corpus reads as empty and this batch is admitted without
+        # pruning against it.
+        _migrate_flat_store(state_path)
         ckpt_id = _checkpoint_identity(checkpoint_path)
         applied, applied_ckpt = _read_marker(state_path)
         if applied >= 0 and applied_ckpt and ckpt_id and applied_ckpt != ckpt_id:

@@ -1,0 +1,219 @@
+"""Round-12 additions: the pre-round-11 flat-store upgrade path for
+the incremental sinks, the byte-true shuffle-switch stat, and the
+banded-layout plane-stride guard (r11 advisor orders).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def test_migrate_flat_store_moves_only_data(tmp_path):
+    """Pure-fs contract: root-level parquet files and centroid_id=*
+    cell dirs move into batch=-1; markers, hidden files, _SUCCESS and
+    existing batch=* partitions stay put; second call is a no-op."""
+    from m2_b3_market_data_pipeline_spark.streaming.agg_sink import (
+        _migrate_flat_store,
+    )
+
+    state = tmp_path / "store"
+    state.mkdir()
+    (state / "part-0000.parquet").write_bytes(b"pq")
+    (state / "part-0001.parquet").write_bytes(b"pq")
+    (state / "centroid_id=3").mkdir()
+    (state / "centroid_id=3" / "part-0000.parquet").write_bytes(b"pq")
+    (state / "_applied_batch_id").write_text("0")
+    (state / "_SUCCESS").write_text("")
+    (state / ".hidden").write_text("")
+    (state / "batch=5").mkdir()
+    (state / "batch=5" / "part-0000.parquet").write_bytes(b"pq")
+
+    assert _migrate_flat_store(str(state)) is True
+    moved = sorted(os.listdir(state / "batch=-1"))
+    assert moved == ["centroid_id=3", "part-0000.parquet", "part-0001.parquet"]
+    root = sorted(os.listdir(state))
+    assert root == [".hidden", "_SUCCESS", "_applied_batch_id", "batch=-1", "batch=5"]
+    # Idempotent: nothing left to move.
+    assert _migrate_flat_store(str(state)) is False
+    # Absent dir: no-op, no crash.
+    assert _migrate_flat_store(str(tmp_path / "nope")) is False
+
+
+def _flatten_batch0(state: str) -> None:
+    """Rewrite a round-11 store into the pre-round-11 flat layout:
+    batch=0's contents land directly under state_path (the old swap
+    layout), the batch dir disappears, the marker stays."""
+    b0 = os.path.join(state, "batch=0")
+    for name in os.listdir(b0):
+        if name.startswith(("_", ".")):
+            continue
+        os.rename(os.path.join(b0, name), os.path.join(state, name))
+    import shutil
+
+    shutil.rmtree(b0)
+
+
+def test_near_dedup_sink_migrates_pre_r11_flat_store(spark, sf_dir, tmp_path):
+    """Upgrade path (r11 advisor, medium): a flat pre-round-11
+    signature store must NOT read as an empty corpus. Drain wave 0,
+    flatten its store to the old layout, then drain wave 1 under the
+    same checkpoint — the pairs must equal the clean incremental
+    admission of wave 1 vs wave 0, and read_signatures must see both
+    waves (the old rows were unreachable before the migration)."""
+    from m2_b3_market_data_pipeline_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        release_cached,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+    from m2_b3_market_data_pipeline_spark.streaming.near_dedup_sink import (
+        read_pairs,
+        read_signatures,
+        run_incremental_dedup_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    waves = [docs.filter(F.col("doc_id") % 2 == w) for w in range(2)]
+
+    updates = str(tmp_path / "in")
+    state = str(tmp_path / "sigs")
+    pairs_out = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        run_incremental_dedup_stream(
+            spark, updates_path=updates, state_path=state,
+            pairs_path=pairs_out, checkpoint_path=ckpt,
+            schema=schema, threshold=0.4,
+        ).awaitTermination(120)
+
+    waves[0].write.parquet(f"{updates}/b0")
+    run()
+    _flatten_batch0(state)
+
+    waves[1].write.parquet(f"{updates}/b1")
+    run()
+
+    got = {
+        (r.delta_id, r.corpus_id, round(r.jaccard, 6))
+        for r in read_pairs(spark, pairs_out).collect()
+    }
+    want_df = minhash_incremental_pairs(waves[1], waves[0], threshold=0.4)
+    want = {
+        (r.delta_id, r.corpus_id, round(r.jaccard, 6))
+        for r in want_df.collect()
+    }
+    release_cached(want_df)
+    assert got == want
+    assert got, "fixture yields cross-wave near-dups at threshold 0.4"
+    # Migration, not just admission: the old rows are reachable again,
+    # under the batch=-1 partition.
+    sigs = read_signatures(spark, state)
+    assert sigs.count() == docs.count()
+    assert os.path.isdir(os.path.join(state, "batch=-1"))
+
+
+def test_semdedup_sink_migrates_pre_r11_flat_store(spark, sf_dir, tmp_path):
+    """Semdedup twin of the flat-store upgrade test: the old layout is
+    centroid_id=* cell dirs directly under state_path. After the
+    migration, wave 1 must be pruned against wave 0's survivors and
+    read_assigned must see the full surviving corpus."""
+    from m2_b3_market_data_pipeline_spark.operators.embeddings import (
+        lsh_cell_assigner,
+        semdedup_prune_assigned,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+    from m2_b3_market_data_pipeline_spark.streaming.semdedup_sink import (
+        read_assigned,
+        read_decisions,
+        run_semdedup_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    waves = [emb.filter(F.col("vec_id") % 2 == w) for w in range(2)]
+    assigner = lsh_cell_assigner(dim=64, cell_bits=3)
+
+    updates = str(tmp_path / "in")
+    state = str(tmp_path / "store")
+    dec_out = str(tmp_path / "dec")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        run_semdedup_stream(
+            spark, updates_path=updates, state_path=state,
+            decisions_path=dec_out, checkpoint_path=ckpt,
+            schema=schema, assign_fn=assigner, threshold=0.25,
+        ).awaitTermination(120)
+
+    waves[0].write.parquet(f"{updates}/b0")
+    run()
+    _flatten_batch0(state)
+
+    waves[1].write.parquet(f"{updates}/b1")
+    run()
+
+    got = {
+        (r.vec_id, r.pruned)
+        for r in read_decisions(spark, dec_out).collect()
+    }
+    a0, a1 = assigner(waves[0]), assigner(waves[1])
+    dec1 = semdedup_prune_assigned(a1, a0, threshold=0.25).collect()
+    want = {(r.vec_id, False) for r in a0.select("vec_id").collect()} | {
+        (r.vec_id, r.pruned) for r in dec1
+    }
+    assert got == want
+    assert any(p for _, p in got), "threshold chosen to prune something"
+    state_ids = {r.vec_id for r in read_assigned(spark, state).collect()}
+    assert state_ids == {v for v, p in want if not p}
+
+
+def test_banded_near_dup_rejects_overlapping_plane_families(spark):
+    """plane_stride < band_bits would make bands share hyperplanes —
+    correlated band values, broken independence math (r11 advisor)."""
+    from m2_b3_market_data_pipeline_spark.operators.similarity import (
+        banded_near_dup_pairs,
+    )
+
+    df = spark.range(1).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.1)] * 4).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="plane_stride"):
+        banded_near_dup_pairs(
+            df, dim=4, threshold=0.9, band_bits=8, n_bands=2, plane_stride=4
+        )
+
+
+def test_dedup_switch_counts_bytes_not_chars(spark):
+    """The shuffle-switch stat must be octet_length: a CJK shingle is
+    ~3 bytes/char in UTF-8, and the threshold is byte-denominated.
+    Pin the aggregate itself (unit-level, no full dedup run)."""
+    df = spark.createDataFrame([("世界",), ("ab",)], ["s"])
+    got = df.agg(
+        F.sum(F.octet_length("s")).alias("b"),
+        F.sum(F.length("s")).alias("c"),
+    ).collect()[0]
+    assert got["b"] == 6 + 2 and got["c"] == 4
+    # And the switch's source actually uses octet_length now.
+    import inspect
+
+    from m2_b3_market_data_pipeline_spark.operators import dedup
+
+    src = inspect.getsource(dedup.minhash_dedup_pairs)
+    assert "octet_length" in src
