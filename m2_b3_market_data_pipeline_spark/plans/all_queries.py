@@ -154,62 +154,67 @@ from .registry import ORACLES, QUERIES
 # against. The equality pin computes front_load over files <= this
 # round, so the DRIVER landing the current round's file mid-round does
 # not fail the suite; regenerating the list next round bumps it.
-CHECK_PRIORITY_BASIS_ROUND = 10
+CHECK_PRIORITY_BASIS_ROUND = 11
 CHECK_PRIORITY: list[str] = [
-    # --- Round 11 window, generated (basis r10): the three r11
-    # newborns (trigram_lm_hashed, mmr_select_scaled,
-    # embedding_near_dups_bands_scaled — verdict items 2/3/5), then
-    # the 19 r6-era rows the r10 verdict front-loaded, then the
-    # oldest (r7-era) remainder, anchor last.
-    "trigram_lm_hashed",
-    "mmr_select_scaled",
-    "embedding_near_dups_bands_scaled",
-    "q2_partsupp",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q9_partsupp",
-    "quality_gate_funnel",
-    "rolling_median",
-    "rollup_lineitem",
-    "semdedup_prune",
-    "semi_anti_join",
-    "session_window",
-    "stream_stream_join",
-    "streaming_dedup",
-    "text_canonicalize",
-    "token_count_bpe",
-    "token_fertility",
-    "top_customers",
-    "tumbling_window",
-    "vocabulary_stats",
-    "window_rank",
-    "ann_recall_check",
-    "ann_topk_lsh",
-    "asof_join_quotes",
-    "bigram_pmi",
-    "bloom_decontaminate_check",
-    "bpe_pair_counts",
-    "copurchase_reach",
-    "except_op",
-    "gap_fill_locf",
-    "hard_negatives",
-    "incremental_semdedup",
-    "indicator_bollinger",
-    "ivfpq_ann_topk",
-    "ivfpq_recall_check",
-    "ivfpq_rerank_topk",
-    "knn_label_accuracy",
-    "lang_segments",
-    "lm_quality_buckets",
-    "multimodal_features",
-    "q10_returned_revenue",
-    "q11_important_value",
-    "q12_priority_by_status",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
+    # --- Round 12 window, generated (basis r11): the one newborn
+    # (bpe_learn_merges — first driver row ever, now that the
+    # unrolled-CTE trainer oracle exists, r11 verdict item 2), then
+    # the 13 r7-era rows, then the oldest r8-era remainder, anchor
+    # last. 29 family-duplicate queries left the rotation this round
+    # for the TEST-PINNED tier (tools/evidence_age.py::TEST_PINNED —
+    # still registered, still sf0.001-parity-checked every test run;
+    # their driver-evidence burden moved to their strongest rotating
+    # representative), which brings the rotation budget back inside
+    # MAX_AGE=4: 186 rotating queries / 49 slots = 3.8 rounds.
+    "bpe_learn_merges",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_sole_returned_supplier",
+    "q22_idle_customers",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "resample_ohlc",
+    "rolling_mean_time_range",
+    "source_overlap_matrix",
+    "streaming_triplets",
+    "train_test_split",
+    "array_functions",
+    "band_join_revenue",
+    "bpe_apply_check",
+    "c4_line_filters",
+    "cdc_merge_upsert",
+    "char_entropy",
+    "corpus_pipeline",
+    "correlated_subquery",
+    "countmin_check",
+    "cube_lineitem",
+    "decontaminate",
+    "dedup_clusters",
+    "disjunctive_predicates",
+    "distinct_agg",
+    "doc_chunks",
+    "dsir_weights",
+    "dup_span_removal",
+    "embed_normalize",
+    "event_cooccurrence",
+    "exact_percentiles",
+    "expectation_checks",
+    "fk_orphans_audit",
+    "full_outer_join",
+    "funnel_stages",
+    "gopher_rules",
+    "grouping_sets",
+    "groupwise_regression",
+    "indicator_ewma",
+    "indicator_macd",
+    "lead_lag",
+    "mad_outliers",
+    "pagerank_cosuppliers",
+    "pii_scrub",
+    "pivot_segments",
+    "predicate_surface",
     "refined_pipeline",
 ]
 

@@ -217,3 +217,74 @@ def test_dedup_switch_counts_bytes_not_chars(spark):
 
     src = inspect.getsource(dedup.minhash_dedup_pairs)
     assert "octet_length" in src
+
+
+def _evidence_age_mod():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "evidence_age",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "evidence_age.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_test_pinned_tier_is_justified():
+    """The evidence-consolidation tier (r11 verdict item 1) is
+    self-policing: every demoted query maps to a rotating
+    representative that is registered, oracle-backed, and not itself
+    demoted; nothing enters the tier unevidenced (each member has a
+    historical green driver row, or is a rows-only sketch whose
+    representative is its hash-checked accuracy companion); and the
+    post-demotion rotation fits the freshness budget with margin."""
+    from m2_b3_market_data_pipeline_spark.plans import all_queries
+
+    ea = _evidence_age_mod()
+    newest, _ = ea.newest_green()
+    for name, rep in ea.TEST_PINNED.items():
+        assert name in all_queries.QUERIES, name
+        assert rep in all_queries.QUERIES, rep
+        assert rep in all_queries.ORACLES, f"{rep} must be hash-checkable"
+        assert rep not in ea.TEST_PINNED, f"{rep} must itself rotate"
+        assert rep != ea.ANCHOR or rep == "refined_pipeline"
+        assert newest.get(rep), f"{rep} needs a green driver row"
+        if name in all_queries.ORACLES:
+            assert newest.get(name), f"{name} demoted without any green row"
+
+    # Budget: rotating set cycles within MAX_AGE rounds of 49 slots.
+    rotating = [
+        n
+        for n in all_queries.ORACLES
+        if n not in ea.TEST_PINNED
+        and n not in ea.DELIBERATE_NO_HASH
+        and n != ea.ANCHOR
+    ]
+    budget = 49 * ea.MAX_AGE
+    assert len(rotating) <= budget - 8, (
+        f"{len(rotating)} rotating queries vs {budget} slot-budget: "
+        "retire/demote more family duplicates or the freshness gate "
+        "breaks mechanically (BASELINE.md round-12 window-budget note)"
+    )
+
+
+def test_bpe_learn_merges_matches_duckdb_trainer(spark, sf_dir):
+    """The unrolled-CTE DuckDB trainer (r11 verdict item 2) agrees with
+    the Spark trainer merge-for-merge at sf0.001 — the in-suite tier of
+    the driver row bpe_learn_merges now earns."""
+    import duckdb
+
+    from m2_b3_market_data_pipeline_spark.plans import all_queries
+
+    sdf = all_queries.QUERIES["bpe_learn_merges"](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    odf = con.execute(all_queries.ORACLES["bpe_learn_merges"]).df()
+    con.close()
+    got = [tuple(r) for r in sdf.itertuples(index=False, name=None)]
+    want = [tuple(r) for r in odf.itertuples(index=False, name=None)]
+    assert got == want
+    assert len(got) == 16
