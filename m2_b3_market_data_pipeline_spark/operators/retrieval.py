@@ -30,7 +30,7 @@ ordering, unique-id tiebreaks) so they hash-check against DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -310,6 +310,121 @@ def mmr_greedy(pool: DataFrame, *, k: int, lam: float) -> DataFrame:
         sel_vecs.append(list(r["v"]))
         remaining = remaining.filter(F.col("vec_id") != r["vec_id"])
     return spark.createDataFrame(picked, schema=_MMR_SCHEMA)
+
+
+def mmr_greedy_multi(
+    pools: dict[str, DataFrame], *, k: int, lam: float
+) -> dict[str, list]:
+    """N independent greedy MMR chains folded into ONE Spark job per
+    step (round 12, r11 verdict item 5): union the chains' candidate
+    pools under a chain tag; each step left-joins the tagged pool to a
+    tiny broadcast relation of ONE row per chain —
+    (chain, array-of-selected-vectors) — so the penalty is a fixed-size
+    expression over a column value (array_max of 6dp cosines, exactly
+    ``mmr_greedy``'s pen) with no per-literal plan growth and no row
+    explosion; the per-chain argmax is one
+    ``max_by(candidate, struct(score, -vec_id))`` partial aggregate
+    (map-side combine, a ~|partitions x chains|-row shuffle). k jobs
+    total. Measured same-session vs N concurrent ``mmr_greedy``
+    chains at sf0.1: faster and far less wall variance (the
+    concurrent form's N*k tiny jobs contend on the scheduler).
+
+    The scoring arithmetic (6dp rounds, +0.0 fold, lam weighting) and
+    the (desc score, vec_id asc) tiebreak are ``mmr_greedy``'s exactly
+    — selected vectors round-trip driver<->Spark as IEEE doubles
+    either way — so every chain's picks are IDENTICAL to running it
+    alone, pinned by test and by the unchanged unrolled-CTE oracle.
+
+    Plan hygiene, both measured at sf0.1: the tagged union
+    localCheckpoints (re-analyzing the union-of-pools lineage cost
+    ~1.5s/step; the bpe.learn_merges precedent) behind a coalesce that
+    bounds the per-step task count (the raw union inherits the SUM of
+    the pools' partitioning — 128 source tasks/step of pure overhead).
+
+    Returns, per chain, the list of Row(rank, vec_id, mmr_score) picks
+    (driver-resident, <= k rows per chain — the bpe one-row-argmax
+    bound); ``rows_to_frame`` rebuilds a DataFrame when one is needed.
+    """
+    tags = list(pools)
+    spark = pools[tags[0]].sparkSession
+    tagged = None
+    for tag in tags:
+        t = pools[tag].select(
+            F.lit(tag).alias("__chain"), "vec_id", "v", "rel"
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    tagged = tagged.coalesce(8).localCheckpoint()
+    picked: dict[str, list[tuple[int, int, float]]] = {t: [] for t in tags}
+    sel_vecs: dict[str, list[list[float]]] = {t: [] for t in tags}
+    done: set[str] = set()
+    for i in range(1, k + 1):
+        live = [t for t in tags if t not in done]
+        if not live:
+            break
+        keep = F.col("__chain").isin(live)
+        for tag in tags:
+            ids = [p[1] for p in picked[tag]]
+            if ids:
+                keep = keep & ~(
+                    (F.col("__chain") == tag) & F.col("vec_id").isin(ids)
+                )
+        cand = tagged.filter(keep)
+        sel_rows = [(tag, sel_vecs[tag]) for tag in live if sel_vecs[tag]]
+        if sel_rows:
+            sel_df = spark.createDataFrame(
+                sel_rows, schema="__chain string, __svs array<array<double>>"
+            )
+            pen_src = cand.join(F.broadcast(sel_df), "__chain", "left")
+            pen = F.array_max(
+                F.transform(
+                    F.col("__svs"),
+                    lambda s: F.round(cosine(F.col("v"), s), 6),
+                )
+            )
+        else:
+            pen_src = cand
+            pen = F.lit(None).cast("double")
+        rows = (
+            pen_src.select(
+                "__chain",
+                "vec_id",
+                "v",
+                # + 0.0 folds IEEE -0.0 to +0.0 — mmr_greedy's edge.
+                (
+                    F.round(
+                        F.lit(lam) * F.col("rel")
+                        - F.lit(1.0 - lam)
+                        * F.coalesce(pen, F.lit(0.0)),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("sc"),
+            )
+            .groupBy("__chain")
+            .agg(
+                F.max_by(
+                    F.struct("vec_id", "v", "sc"),
+                    # max (sc, -vec_id) == (desc sc, asc vec_id)
+                    F.struct(F.col("sc"), (-F.col("vec_id")).alias("nv")),
+                ).alias("b")
+            )
+            .select("__chain", "b.vec_id", "b.v", "b.sc")
+            .collect()
+        )
+        got = {r["__chain"]: r for r in rows}
+        for tag in live:
+            r = got.get(tag)
+            if r is None:
+                done.add(tag)  # pool exhausted for this chain
+                continue
+            picked[tag].append((i, r["vec_id"], r["sc"]))
+            sel_vecs[tag].append(list(r["v"]))
+    return picked
+
+
+def rows_to_frame(spark: SparkSession, picks: list) -> DataFrame:
+    """(rank, vec_id, mmr_score) pick list -> the _MMR_SCHEMA frame."""
+    return spark.createDataFrame(picks, schema=_MMR_SCHEMA)
 
 
 def bm25_contrib(k1: float = BM25_K1, b: float = BM25_B):

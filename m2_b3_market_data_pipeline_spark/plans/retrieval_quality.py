@@ -625,82 +625,78 @@ def mmr_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     one TakeOrdered(max shortlist) 32-row cache — 1 corpus scan total
     where the naive per-variant form paid 4 (plus a corpus-wide
     sort-limit materialization on the exact side)."""
-    from concurrent.futures import ThreadPoolExecutor
+    from decimal import ROUND_HALF_UP, Decimal
 
-    from ..operators.retrieval import mmr_greedy, mmr_relevance
+    from ..operators.retrieval import mmr_greedy_multi, mmr_relevance
 
     emb = load(spark, sf_dir, "embeddings")
     cand = mmr_relevance(emb).cache()
     pool = cand.orderBy(F.desc("rel"), "vec_id").limit(max(MMR_SWEEP)).cache()
     try:
-        # Materialize the two caches ONCE, up front, so the concurrent
-        # chains below never race on first-computation of a cached
-        # block (pool's build also realizes cand).
-        pool.count()
+        # ONE collect materializes both caches (pool's build realizes
+        # cand) AND yields rel_k: the k-th highest relevance of the
+        # 32-row pool read in Python is value-identical to the pre-r12
+        # `limit(k).agg(min(rel))` job (ties at the boundary share the
+        # value), minus one Spark job.
+        rels = sorted((r["rel"] for r in pool.collect()), reverse=True)
+        rk = (
+            rels[MMR_K - 1]
+            if len(rels) >= MMR_K
+            else (rels[-1] if rels else None)
+        )
 
-        # The four greedy chains are mutually independent and each is a
-        # sequence of tiny driver-blocking jobs — run them as CONCURRENT
-        # Spark jobs (job submission is thread-safe; local[32] has idle
-        # cores to spare while any one chain blocks on its 1-row
-        # collect). Wall drops from sum(chains) to ~max(chains):
-        # measured 9.6s -> ~4s at sf0.1.
+        # The five greedy chains (exact, three fixed shortlists, the
+        # band sentinel) are mutually independent — round 12 folds
+        # them into ONE Spark job per greedy step
+        # (operators/retrieval.py::mmr_greedy_multi, r11 verdict item
+        # 5): each step scores every chain's candidates in a single
+        # tagged-union scan (selected sets ride a one-row-per-chain
+        # broadcast) and takes the per-chain argmax with one max_by
+        # partial aggregate, so the gate pays MMR_K jobs total instead
+        # of ~5*MMR_K driver-blocking rounds (the pre-r12
+        # concurrent-thread form was job-overhead-bound AND
+        # high-variance under scheduler contention; same-session A/B
+        # in SCALE.md §22). The picks are identical by construction
+        # and by the unchanged oracle hash.
         # The shortlist=0 sentinel: the reachable-band sizing rule
-        # (r10 verdict item 5). rel_k comes from the already-cached
-        # 32-row pool (k <= max sweep); the band pool is a filter over
-        # the cached cand, so its greedy scans hit the same cache. Its
+        # (r10 verdict item 5). The band pool is a filter over the
+        # cached cand, so its greedy scans hit the same cache. Its
         # overlap is 1.0 BY THE BAND THEOREM (mmr_reach_band) — the
         # sweep row is the hash-checked proof that the auto-sized
         # depth dominates every fixed one.
-        rk = (
-            pool.orderBy(F.desc("rel"), "vec_id")
-            .limit(MMR_K)
-            .agg(F.min("rel"))
-            .collect()[0][0]
-        )
         band_pool = (
             cand.filter(F.col("rel") >= rk - MMR_BAND) if rk is not None else cand
         )
-        with ThreadPoolExecutor(max_workers=2 + len(MMR_SWEEP)) as ex:
-            exact_f = ex.submit(mmr_greedy, cand, k=MMR_K, lam=MMR_LAMBDA)
-            sweep_f = {
-                s: ex.submit(
-                    mmr_greedy,
-                    pool.orderBy(F.desc("rel"), "vec_id").limit(s),
-                    k=MMR_K,
-                    lam=MMR_LAMBDA,
+        pools = {"exact": cand}
+        for s in MMR_SWEEP:
+            pools[f"s{s}"] = pool.orderBy(F.desc("rel"), "vec_id").limit(s)
+        pools["s0"] = band_pool
+        picks = mmr_greedy_multi(pools, k=MMR_K, lam=MMR_LAMBDA)
+
+        # Final sweep relation composed driver-side from the (already
+        # Spark-computed, <= k-row) pick lists — the pre-r12 Spark
+        # join/groupBy over five createDataFrame frames was ~1-2s of
+        # pure small-job overhead. overlap_frac matches both engines'
+        # round(x, 6) (HALF_UP; with n_selected = k = 8 every ratio is
+        # exact binary so no rounding even occurs — Decimal HALF_UP
+        # covers the pool-exhausted n < 8 edge).
+        exact_ids = {vec_id for _, vec_id, _ in picks["exact"]}
+        rows = []
+        for s in (*MMR_SWEEP, 0):
+            sel = [vec_id for _, vec_id, _ in picks[f"s{s}"]]
+            n_sel = len(sel)
+            n_ov = sum(1 for v in sel if v in exact_ids)
+            frac = float(
+                (Decimal(n_ov) / Decimal(n_sel)).quantize(
+                    Decimal("0.000001"), ROUND_HALF_UP
                 )
-                for s in MMR_SWEEP
-            }
-            sweep_f[0] = ex.submit(mmr_greedy, band_pool, k=MMR_K, lam=MMR_LAMBDA)
-            exact = (
-                exact_f.result().select("vec_id").withColumn("__hit", F.lit(1))
             )
-            sweep = None
-            for s in (*MMR_SWEEP, 0):
-                sel = sweep_f[s].result().select(
-                    F.lit(s).alias("shortlist"), "vec_id"
-                )
-                sweep = sel if sweep is None else sweep.unionByName(sel)
-        return (
-            sweep.join(exact, "vec_id", "left")
-            .groupBy("shortlist")
-            .agg(
-                F.count("*").alias("n_selected"),
-                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-                .cast("bigint")
-                .alias("n_overlap"),
-            )
-            .withColumn(
-                "overlap_frac",
-                F.round(F.col("n_overlap") / F.col("n_selected"), 6),
-            )
-            .orderBy("shortlist")
+            rows.append((s, n_sel, n_ov, frac))
+        return spark.createDataFrame(
+            sorted(rows),
+            "shortlist int, n_selected long, n_overlap long, overlap_frac double",
         )
     finally:
-        # The greedy loops have already executed (driver-sequenced
-        # collects) and the returned frame is a driver-side
-        # createDataFrame composition — nothing downstream re-reads
-        # these caches, so they release here, not via _cached_frames.
         pool.unpersist()
         cand.unpersist()
 

@@ -8,8 +8,12 @@ admitted SO FAR — cell-locally, via the shared
 path with the batch operator, the funnel-sink precedent), and (3) the
 SURVIVORS land as an APPEND-ONLY per-batch partition of the on-disk
 assigned store. The state is the (id, centroid_id, vector) store
-itself — laid out ``batch=<id>/centroid_id=<c>/`` so a future delta's
-verify join partition-prunes to its touched cells.
+itself — laid out as FLAT ``batch=<id>`` partitions with centroid_id
+as a plain column (round 12; earlier rounds wrote
+``batch=<id>/centroid_id=<c>/`` cell dirs, which the reader still
+accepts — the cell layout never helped the verify join, a parquet
+directory partition does not co-locate an equi-join, and it cost
+|cells| tiny files per wave).
 
 Store maintenance is INCREMENTAL (round 11, r10 verdict item 4): the
 r10 30x campaign measured the drain wall dominated not by the verify
@@ -95,21 +99,40 @@ def read_assigned(
     spark: SparkSession, state_path: str, *, below_batch: int | None = None
 ) -> DataFrame:
     """The assigned corpus store (assign_with_vector layout:
-    id, centroid_id, vector), partition-pruned by centroid_id. Both
-    ``batch`` and ``centroid_id`` come back through directory
-    inference (which narrows in-range values to int) — the batch
-    bookkeeping column is dropped and centroid_id cast back to the
-    long the assignment produces so unions and joins never coerce.
-    A pre-round-11 flat store is migrated into ``batch=-1`` first so
-    its rows stay reachable (agg_sink._migrate_flat_store)."""
+    id, centroid_id, vector). Since round 12 batches are written FLAT
+    (centroid_id as a plain column — see the survivor-write comment);
+    batches written by older code carry ``centroid_id=*`` cell dirs
+    instead, where the value comes back through directory inference as
+    an int. Both layouts are read (split into two scans, since one
+    spark.read cannot treat centroid_id as a partition column in some
+    files and a data column in others) and unioned with centroid_id
+    normalized to the long the assignment produces. The ``batch``
+    bookkeeping column is dropped. A pre-round-11 flat store is
+    migrated into ``batch=-1`` first so its rows stay reachable
+    (agg_sink._migrate_flat_store)."""
     _migrate_flat_store(state_path)
     paths = _batch_dirs(state_path, below=below_batch)
     if not paths:
         raise FileNotFoundError(f"no committed store data under {state_path}")
-    df = spark.read.option("basePath", state_path).parquet(*paths)
-    return df.drop("batch").withColumn(
-        "centroid_id", F.col("centroid_id").cast("long")
-    )
+    celled = [
+        p
+        for p in paths
+        if any(n.startswith("centroid_id=") for n in os.listdir(p))
+    ]
+    flat = [p for p in paths if p not in set(celled)]
+    parts = []
+    for group in (flat, celled):
+        if group:
+            df = spark.read.option("basePath", state_path).parquet(*group)
+            parts.append(
+                df.drop("batch").withColumn(
+                    "centroid_id", F.col("centroid_id").cast("long")
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_decisions(spark: SparkSession, decisions_path: str) -> DataFrame:
@@ -228,7 +251,15 @@ def run_semdedup_stream(
             survivors = assigned.join(
                 decisions.filter(~F.col("pruned")).select(id_col), id_col
             ).select(id_col, "centroid_id", vec_col)
-            survivors.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            # FLAT per-batch write (round 12): centroid_id rides as a
+            # plain column, NOT a partitionBy directory. The cell-dir
+            # layout bought the verify join nothing — a parquet
+            # directory partition does not co-locate a join, the
+            # centroid_id equi-join shuffles either way — while costing
+            # |cells| tiny files per wave (the 12k-task listing wall
+            # SCALE.md §21.4 recorded at sf30). One file set per batch
+            # is the near_dedup sink's layout, at its per-row cost.
+            survivors.write.mode("overwrite").parquet(
                 os.path.join(state_path, f"batch={batch_id}")
             )
             _write_marker(state_path, batch_id=batch_id, checkpoint_id=ckpt_id)
@@ -261,7 +292,7 @@ def _compact(
     of the same batch is still skipped."""
     full = read_assigned(spark, state_path)
     staging = f"{state_path}.staging-{batch_id}"
-    full.write.mode("overwrite").partitionBy("centroid_id").parquet(
+    full.write.mode("overwrite").parquet(
         os.path.join(staging, f"batch={batch_id}")
     )
     _write_marker(staging, batch_id=batch_id, checkpoint_id=ckpt_id)

@@ -288,3 +288,41 @@ def test_bpe_learn_merges_matches_duckdb_trainer(spark, sf_dir):
     want = [tuple(r) for r in odf.itertuples(index=False, name=None)]
     assert got == want
     assert len(got) == 16
+
+
+def test_mmr_greedy_multi_matches_single_chains(spark, sf_dir):
+    """The folded multi-chain greedy (r11 verdict item 5) must pick
+    EXACTLY what per-chain mmr_greedy picks — same ids, ranks, and
+    6dp scores — for every pool shape the recall gate uses (full set,
+    prefix shortlists, band filter)."""
+    from m2_b3_market_data_pipeline_spark.operators.retrieval import (
+        mmr_greedy,
+        mmr_greedy_multi,
+        mmr_reach_band,
+        mmr_relevance,
+    )
+    from m2_b3_market_data_pipeline_spark.plans.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cand = mmr_relevance(emb).cache()
+    pool = cand.orderBy(F.desc("rel"), "vec_id").limit(16).cache()
+    try:
+        rels = sorted((r["rel"] for r in pool.collect()), reverse=True)
+        rk = rels[7] if len(rels) >= 8 else rels[-1]
+        band = cand.filter(F.col("rel") >= rk - mmr_reach_band(0.7))
+        pools = {
+            "exact": cand,
+            "s8": pool.orderBy(F.desc("rel"), "vec_id").limit(8),
+            "band": band,
+        }
+        multi = mmr_greedy_multi(pools, k=8, lam=0.7)
+        for tag, p in pools.items():
+            single = [
+                (r["rank"], r["vec_id"], r["mmr_score"])
+                for r in mmr_greedy(p, k=8, lam=0.7).collect()
+            ]
+            assert multi[tag] == single, tag
+        assert len(multi["exact"]) == 8
+    finally:
+        pool.unpersist()
+        cand.unpersist()
