@@ -318,6 +318,70 @@ def lsh_candidates(
     )
 
 
+def _banded_values(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    band_bits: int,
+    n_bands: int,
+    plane_stride: int,
+) -> DataFrame:
+    """corpus + ``__bv`` = the band-count layout's per-band value array
+    (band j's ``band_bits``-wide integer over its own hyperplane family
+    at plane offset j*plane_stride) — THE computation both the pair
+    operator and the fifth-decade witness key on; one code path so the
+    witness can never drift from what the candidate join hashes."""
+    if plane_stride < band_bits:
+        # Overlapping hyperplane families correlate band values across
+        # bands, silently voiding the independence assumption behind
+        # the b = ceil(4^(w/15)) threshold/recall math (r11 advisor).
+        raise ValueError(
+            f"plane_stride ({plane_stride}) must be >= band_bits "
+            f"({band_bits}): bands would share hyperplanes"
+        )
+    v = as_double(vec_col)
+    vals = []
+    for j in range(n_bands):
+        bv = F.lit(0).cast("bigint")
+        for i in range(band_bits):
+            plane = F.array(
+                *[F.lit(c) for c in _hyperplane(dim, j * plane_stride + i)]
+            )
+            bv = bv + F.when(
+                dot(v, plane) > 0, F.lit(2**i).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
+        vals.append(bv)
+    return corpus.withColumn("__bv", F.array(*vals))
+
+
+def banded_signatures_df(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    band_bits: int,
+    n_bands: int,
+    plane_stride: int,
+) -> DataFrame:
+    """(id, band_id, band_val): the exploded banding relation of the
+    band-count layout — exactly the projection
+    ``banded_near_dup_pairs`` equi-joins on, exposed for the sampled
+    fifth-decade witness (plans/scaled_knobs.py::embedding_bands_witness)."""
+    signed = _banded_values(
+        corpus,
+        vec_col=vec_col,
+        dim=dim,
+        band_bits=band_bits,
+        n_bands=n_bands,
+        plane_stride=plane_stride,
+    )
+    return signed.select(
+        id_col, F.posexplode("__bv").alias("band_id", "band_val")
+    )
+
+
 def banded_near_dup_pairs(
     corpus: DataFrame,
     *,
@@ -348,28 +412,16 @@ def banded_near_dup_pairs(
     equi-join (shuffle volume b·|corpus| rows, never |corpus|²),
     first-match filter over the band-value ARRAY replaces the
     distinct(), exact-cosine verify makes precision 1.0."""
-    if plane_stride < band_bits:
-        # Overlapping hyperplane families correlate band values across
-        # bands, silently voiding the independence assumption behind
-        # the b = ceil(4^(w/15)) threshold/recall math (r11 advisor).
-        raise ValueError(
-            f"plane_stride ({plane_stride}) must be >= band_bits "
-            f"({band_bits}): bands would share hyperplanes"
-        )
     corpus = ensure_parallelism(corpus)
     v = as_double(vec_col)
-    vals = []
-    for j in range(n_bands):
-        bv = F.lit(0).cast("bigint")
-        for i in range(band_bits):
-            plane = F.array(
-                *[F.lit(c) for c in _hyperplane(dim, j * plane_stride + i)]
-            )
-            bv = bv + F.when(
-                dot(v, plane) > 0, F.lit(2**i).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-        vals.append(bv)
-    signed = corpus.withColumn("__bv", F.array(*vals))
+    signed = _banded_values(
+        corpus,
+        vec_col=vec_col,
+        dim=dim,
+        band_bits=band_bits,
+        n_bands=n_bands,
+        plane_stride=plane_stride,
+    )
     banded = signed.select(
         id_col, "__bv", F.posexplode("__bv").alias("band_id", "band_val")
     )

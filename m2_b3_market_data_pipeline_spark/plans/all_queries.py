@@ -156,17 +156,20 @@ from .registry import ORACLES, QUERIES
 # not fail the suite; regenerating the list next round bumps it.
 CHECK_PRIORITY_BASIS_ROUND = 11
 CHECK_PRIORITY: list[str] = [
-    # --- Round 12 window, generated (basis r11): the one newborn
+    # --- Round 12 window, generated (basis r11): the two newborns
     # (bpe_learn_merges — first driver row ever, now that the
-    # unrolled-CTE trainer oracle exists, r11 verdict item 2), then
-    # the 13 r7-era rows, then the oldest r8-era remainder, anchor
-    # last. 29 family-duplicate queries left the rotation this round
-    # for the TEST-PINNED tier (tools/evidence_age.py::TEST_PINNED —
-    # still registered, still sf0.001-parity-checked every test run;
-    # their driver-evidence burden moved to their strongest rotating
-    # representative), which brings the rotation budget back inside
-    # MAX_AGE=4: 186 rotating queries / 49 slots = 3.8 rounds.
+    # unrolled-CTE trainer oracle exists, r11 verdict item 2; and
+    # embedding_bands_witness — the fifth-decade sampled witness, r11
+    # verdict item 4), then the 13 r7-era rows, then the oldest
+    # r8-era remainder, anchor last. 29 family-duplicate queries left
+    # the rotation this round for the TEST-PINNED tier
+    # (tools/evidence_age.py::TEST_PINNED — still registered, still
+    # sf0.001-parity-checked every test run; their driver-evidence
+    # burden moved to their strongest rotating representative), which
+    # brings the rotation budget back inside MAX_AGE=4: 187 rotating
+    # queries / 49 slots = 3.8 rounds.
     "bpe_learn_merges",
+    "embedding_bands_witness",
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q21_sole_returned_supplier",
@@ -214,7 +217,6 @@ CHECK_PRIORITY: list[str] = [
     "pagerank_cosuppliers",
     "pii_scrub",
     "pivot_segments",
-    "predicate_surface",
     "refined_pipeline",
 ]
 

@@ -313,3 +313,89 @@ def embedding_near_dups_bands_scaled(spark: SparkSession, sf_dir: str) -> DataFr
         n_bands=b,
         plane_stride=BL_HARD_CAP,
     )
+
+
+# md5-seeded ~1/16 vector sample for fifth-decade witnesses — the
+# dedup_clusters_sample / pagerank_cosuppliers_subgraph idiom (keep a
+# vector iff the first hex nibble of md5(vec_id-as-string) is '0';
+# hash-uniform, engine-identical). Pushed BELOW signature computation
+# on BOTH engines, so the witness costs 1/16 of the banding work and
+# ~1/256 of the candidate pairs at any corpus size — which keeps the
+# DuckDB side tractable at sf100 (2M vectors -> 125k sampled), the
+# decade where the full-corpus oracle out-scales it (SCALE.md §21.6).
+_VEC_SAMPLE_SQL = "substr(md5(CAST(vec_id AS STRING)), 1, 1) = '0'"
+
+_EMB_SAMPLED = f"(SELECT * FROM {EMB} WHERE {_VEC_SAMPLE_SQL}) sampled"
+_BLW_W_SQL_S, _BL_B_SQL_S = band_layout_sql(
+    occupancy=BAND_OCC, lo=BAND_LO, base_bands=ND_BANDS,
+    width_cap=BAND_HI, hard_cap=BL_HARD_CAP, count_from=_EMB_SAMPLED,
+)
+
+
+# Pair-level witness SQL for the LOCAL fifth-decade check
+# (tools/scale_band_witness.py; SCALE.md §22.3). Not registered: below
+# sf1 the sampled corpus has no near-dup pairs, so its driver row
+# would be the empty relation — the registered witness below
+# hash-checks the banding computation itself instead, which has
+# |sample| x b real rows at every scale.
+BANDS_WITNESS_PAIRS_SQL = f"""
+WITH k AS (SELECT {_BLW_W_SQL_S} AS w, {_BL_B_SQL_S} AS b),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {_EMB_SAMPLED}),
+bands AS ({_BL_BANDS_SQL}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+SELECT p.id_a, p.id_b,
+       ROUND(list_inner_product(sa.v, sb.v) /
+             (sqrt(list_inner_product(sa.v, sa.v)) * sqrt(list_inner_product(sb.v, sb.v))), 6) AS cos
+FROM cand p
+JOIN c sa ON sa.vec_id = p.id_a
+JOIN c sb ON sb.vec_id = p.id_b
+WHERE ROUND(list_inner_product(sa.v, sb.v) /
+            (sqrt(list_inner_product(sa.v, sa.v)) * sqrt(list_inner_product(sb.v, sb.v))), 6)
+      >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+@register(
+    "embedding_bands_witness",
+    oracle=f"""
+WITH k AS (SELECT {_BLW_W_SQL_S} AS w, {_BL_B_SQL_S} AS b),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {_EMB_SAMPLED}),
+bands AS ({_BL_BANDS_SQL})
+SELECT vec_id, band_id, band_val FROM bands
+""",
+)
+def embedding_bands_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band-count layout's SIGNATURES on the deterministic
+    md5-seeded ~1/16 vector sample — the bounded differential witness
+    for the fifth decade (r11 verdict item 4): §21.6's sf100 kill-test
+    numbers were engine-only (54.6M pairs never hash-compared; DuckDB
+    out-scales on the full corpus). Sampling below the banding on BOTH
+    engines keeps the oracle tractable at sf100 (2M -> 125k vectors),
+    and every sampled vector's per-band hyperplane value — the
+    computation the candidate join keys on — hash-checks exactly, with
+    knobs recomputed from the sample cardinality on both sides (the
+    dedup_clusters_sample semantics). The derived PAIR set is checked
+    at sf100 by the same sample through BANDS_WITNESS_PAIRS_SQL
+    (tools/scale_band_witness.py, recorded in SCALE.md §22.3) rather
+    than registered, because below sf1 the sampled corpus has no
+    near-dup pairs and an always-empty driver row is no evidence."""
+    from ..operators.similarity import banded_signatures_df
+
+    emb = (
+        load(spark, sf_dir, "embeddings").filter(F.expr(_VEC_SAMPLE_SQL))
+    )
+    n = emb.count()
+    w, b = scaled_band_layout(
+        n, occupancy=BAND_OCC, lo=BAND_LO, base_bands=ND_BANDS,
+        width_cap=BAND_HI, hard_cap=BL_HARD_CAP,
+    )
+    return banded_signatures_df(
+        emb,
+        dim=EMBED_DIM,
+        band_bits=w,
+        n_bands=b,
+        plane_stride=BL_HARD_CAP,
+    )

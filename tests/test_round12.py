@@ -326,3 +326,125 @@ def test_mmr_greedy_multi_matches_single_chains(spark, sf_dir):
     finally:
         pool.unpersist()
         cand.unpersist()
+
+
+def _make_bmp(width, height, pixel, *, top_down=False):
+    """Pure-stdlib 24-bit BI_RGB BMP writer for fixtures: ``pixel`` is
+    (x, y) -> (r, g, b) with y=0 the TOP row; rows pad to 4 bytes.
+    Emits bottom-up (positive height) by default, top-down on request —
+    both layouts the decoder must handle."""
+    import struct
+
+    row_size = (width * 3 + 3) & ~3
+    pad = b"\x00" * (row_size - width * 3)
+    rows = []
+    ys = range(height) if top_down else range(height - 1, -1, -1)
+    for y in ys:
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixel(x, y)
+            row += bytes((b, g, r))  # BMP stores BGR
+        rows.append(bytes(row) + pad)
+    px = b"".join(rows)
+    data_offset = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", data_offset + len(px), 0, 0, data_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, -height if top_down else height, 1, 24, 0,
+        len(px), 2835, 2835, 0, 0,
+    )
+    return hdr + info + px
+
+
+def test_bmp_decode_exact_pixels():
+    """The stdlib BMP decoder (r11 verdict item 6) recovers EXACT RGB
+    pixels: odd width (row padding exercised), bottom-up AND top-down
+    layouts, corners pinned; malformed payloads fail loud."""
+    import pytest as _pytest
+
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        _decode_bmp,
+        decode_image,
+    )
+
+    def pixel(x, y):
+        return (x * 40 % 256, y * 80 % 256, (x + y) * 10 % 256)
+
+    for top_down in (False, True):
+        data = _make_bmp(5, 3, pixel, top_down=top_down)
+        img = decode_image(data)  # in-container: the non-stubbed path
+        assert (img.width, img.height) == (5, 3)
+        got = {
+            (x, y): tuple(img.pixels[(y * 5 + x) * 3 : (y * 5 + x) * 3 + 3])
+            for y in range(3)
+            for x in range(5)
+        }
+        for y in range(3):
+            for x in range(5):
+                assert got[(x, y)] == pixel(x, y), (x, y, top_down)
+
+    with _pytest.raises(ValueError, match="not a BMP"):
+        _decode_bmp(b"JUNK" * 20)
+    with _pytest.raises(ValueError, match="24-bit"):
+        import struct
+
+        bad = bytearray(_make_bmp(2, 2, lambda x, y: (0, 0, 0)))
+        struct.pack_into("<H", bad, 28, 32)  # claim 32bpp
+        _decode_bmp(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated"):
+        _decode_bmp(_make_bmp(4, 4, lambda x, y: (0, 0, 0))[:-8])
+
+
+def test_decoded_image_features_end_to_end(spark):
+    """Real decode -> phash over DECODED pixels, through the Spark
+    mapInPandas path (the done-criterion of r11 verdict item 6): BMP
+    payloads built in-test, decoded non-stubbed in-container; the
+    phash matches a driver-side recompute, a near-identical image
+    lands within small Hamming distance of its original while a
+    structurally different one lands far, and an undecodable payload
+    is skipped, not poisoned."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+        decoded_image_features,
+        luma_histogram,
+        pixel_phash,
+    )
+
+    def gradient(x, y):
+        return (x * 8 % 256, y * 8 % 256, 128)
+
+    def gradient_noise(x, y):  # slight brightness ripple, same structure
+        r, g, b = gradient(x, y)
+        d = 3 if (x + y) % 2 else -3
+        return (min(255, max(0, r + d)), g, b)
+
+    def checker(x, y):  # structurally different
+        v = 255 if (x // 4 + y // 4) % 2 else 0
+        return (v, v, v)
+
+    payloads = [
+        (1, _make_bmp(32, 32, gradient)),
+        (2, _make_bmp(32, 32, gradient_noise)),
+        (3, _make_bmp(32, 32, checker)),
+        (4, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, content binary")
+    out = {
+        r["doc_id"]: r
+        for r in decoded_image_features(df).collect()
+    }
+    assert set(out) == {1, 2, 3}, "undecodable payload skipped"
+    img1 = decode_image(payloads[0][1])
+    want_ph = pixel_phash(img1)
+    got_ph = out[1]["phash64"] % (1 << 64)
+    assert got_ph == want_ph
+    assert out[1]["luma_hist"] == luma_histogram(img1)
+    assert (out[1]["width"], out[1]["height"]) == (32, 32)
+
+    def ham(a, b):
+        return bin((a % (1 << 64)) ^ (b % (1 << 64))).count("1")
+
+    near = ham(out[1]["phash64"], out[2]["phash64"])
+    far = ham(out[1]["phash64"], out[3]["phash64"])
+    assert near <= 6, f"near-dup pair too far: {near}"
+    assert far >= 16, f"different images too close: {far}"
