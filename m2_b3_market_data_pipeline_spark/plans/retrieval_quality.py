@@ -685,6 +685,12 @@ def mmr_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in (*MMR_SWEEP, 0):
             sel = [vec_id for _, vec_id, _ in picks[f"s{s}"]]
             n_sel = len(sel)
+            if n_sel == 0:
+                # empty-corpus contract: a chain that selected nothing
+                # contributes NO sweep row — exactly the pre-r12
+                # groupBy semantics and the oracle's empty GROUP BY
+                # (the r12 empty-fixture gate caught the 0/0 edge)
+                continue
             n_ov = sum(1 for v in sel if v in exact_ids)
             frac = float(
                 (Decimal(n_ov) / Decimal(n_sel)).quantize(
