@@ -60,9 +60,9 @@ DELIBERATE_NO_HASH: set[str] = set()
 #    (nothing enters this tier unevidenced) or is a rows-only sketch
 #    whose representative is its hash-checked accuracy companion.
 #
-# Budget after demotion: 214 oracle queries - 27 oracle-backed pinned
-# entries - 1 anchor = 186 rotating through 49 slots/round = a
-# 3.8-round cycle, inside MAX_AGE=4 with 10 slots/cycle of newborn
+# Budget after demotion: 215 oracle queries - 27 oracle-backed pinned
+# entries - 1 anchor = 187 rotating through 49 slots/round = a
+# 3.8-round cycle, inside MAX_AGE=4 with 9 slots/cycle of newborn
 # headroom (BASELINE.md round-12 window-budget note).
 TEST_PINNED: dict[str, str] = {
     # rows-only sketches: the *_check twins are the hash evidence
