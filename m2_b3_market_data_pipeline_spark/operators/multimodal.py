@@ -8,15 +8,16 @@ only place Python touches bytes, and it touches them one Arrow batch at
 a time, never one row at a time.
 
 The container has no image/audio libraries. Since round 12 the decode
-step is REAL for one format regardless: a pure-stdlib parser for
-uncompressed 24-bit BMP (``_decode_bmp``; `struct` alone suffices)
-sits in ``decode_image``'s chain after the PIL import-try, and
-``decoded_image_features`` runs decode -> phash/luma features over
-decoded pixels end-to-end in-container (tests/test_round12.py). Other
-formats still raise NotImplementedError and fall back to the
-deterministic byte-level feature extractor; the Spark-side plumbing —
-schema, batching, partitioning, UDF signature — is identical either
-way.
+step is REAL for the struct-parseable trio regardless: pure-stdlib
+parsers for uncompressed 24-bit BMP (``_decode_bmp``), binary PPM
+(``_decode_ppm``) and PCM WAV (``_decode_wav``) sit behind the PIL
+import-try, and the decoded-domain featurizers
+(``decoded_image_features`` — phash/luma over decoded pixels;
+``decoded_frame_energy`` — per-frame RMS over decoded samples) run
+end-to-end in-container (tests/test_round12.py). Other formats still
+raise and fall back to the deterministic byte-level feature
+extractor; the Spark-side plumbing — schema, batching, partitioning,
+UDF signature — is identical either way.
 """
 
 from __future__ import annotations
@@ -119,11 +120,11 @@ def _decode_bmp(data: bytes) -> DecodedImage:
 
 def decode_image(data: bytes) -> DecodedImage:
     """Real decode. Chain: PIL when a container ships it (converted to
-    the DecodedImage interface), else the pure-stdlib BMP parser for
-    uncompressed 24-bit payloads — EXERCISED in this container (round
-    12; the decode step is no longer stub-only). Anything neither path
-    can read raises NotImplementedError and the byte-level
-    deterministic_features stand-in applies."""
+    the DecodedImage interface), else the pure-stdlib parsers for
+    uncompressed 24-bit BMP and binary PPM (P6) — EXERCISED in this
+    container (round 12; the decode step is no longer stub-only).
+    Anything no path can read raises NotImplementedError and the
+    byte-level deterministic_features stand-in applies."""
     try:
         import io
 
@@ -135,9 +136,12 @@ def decode_image(data: bytes) -> DecodedImage:
         pass
     if data[:2] == b"BM":
         return _decode_bmp(data)
+    if data[:2] == b"P6":
+        return _decode_ppm(data)
     raise NotImplementedError(
         "no decoder for this payload: PIL absent and not an uncompressed "
-        "24-bit BMP — byte-level features apply (deterministic_features)"
+        "24-bit BMP / binary PPM — byte-level features apply "
+        "(deterministic_features)"
     )
 
 
@@ -504,4 +508,145 @@ def frame_dedup(
         )
         .filter(F.col("n_docs") >= min_docs)
         .orderBy(hash_col)
+    )
+
+
+def _decode_ppm(data: bytes) -> DecodedImage:
+    """Pure-stdlib decode of binary PPM (P6, maxval <= 255): ASCII
+    header — magic, whitespace/comment-separated width height maxval,
+    ONE whitespace byte — then raw RGB triplets. The second
+    struct-free raster format in ``decode_image``'s chain."""
+    if data[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":  # comment
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    width, height, maxval = fields
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate PPM dimensions {width}x{height}")
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    need = width * height * 3
+    px = data[pos : pos + need]
+    if len(px) < need:
+        raise ValueError("truncated PPM pixel data")
+    return DecodedImage(width, height, bytes(px))
+
+
+def _decode_wav(data: bytes) -> tuple[int, int, list[int]]:
+    """Pure-stdlib decode of PCM WAV (RIFF/WAVE, format 1, 8/16-bit):
+    (sample_rate, channels, samples) with samples interleaved as
+    signed ints (8-bit unsigned recentred to signed, per the spec) —
+    the audio leg of the stdlib decode family (r11 verdict item 6
+    named BMP/PPM/WAV as the struct-parseable trio). Walks RIFF chunks
+    (fmt / data can be preceded by LIST etc.); compressed or float
+    formats raise ValueError — fail loud, never guess samples."""
+    import struct
+
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid, size = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks pad to even
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, sample_rate, _brate, _align, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(
+            f"only uncompressed 8/16-bit PCM supported (fmt={audio_fmt}, "
+            f"bits={bits})"
+        )
+    if bits == 16:
+        n = len(raw) // 2
+        samples = list(struct.unpack(f"<{n}h", raw[: n * 2]))
+    else:
+        samples = [b - 128 for b in raw]
+    return sample_rate, channels, samples
+
+
+DECODED_AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, channels int, n_samples bigint, "
+    "frame_idx int, rms double"
+)
+
+
+def decoded_frame_energy(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    binary_col: str = "content",
+    frames: int = AUDIO_FRAMES,
+) -> DataFrame:
+    """REAL decode -> per-frame RMS over PCM WAV payloads via Arrow
+    mapInPandas — the decoded-sample counterpart of ``frame_energy``'s
+    byte-domain stand-in: samples split into ``frames`` equal windows,
+    per-window root-mean-square amplitude (channel-interleaved, the
+    mono-mixdown-free form). Payloads that aren't decodable PCM WAV,
+    or are shorter than ``frames`` samples, are skipped — the same
+    quarantine posture as ``decoded_image_features``. One input row
+    fans out to ``frames`` rows; partitioning carries through."""
+    import math
+
+    id_name, bin_name = id_col, binary_col
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, rates, chans, counts, idxs, rmss = [], [], [], [], [], []
+            for i, raw in zip(pdf[id_name], pdf[bin_name]):
+                if raw is None:
+                    continue
+                try:
+                    rate, ch, samples = _decode_wav(bytes(raw))
+                except ValueError:
+                    continue
+                n = len(samples)
+                if n < frames:
+                    continue
+                for k in range(frames):
+                    lo, hi = k * n // frames, (k + 1) * n // frames
+                    win = samples[lo:hi]
+                    ids.append(int(i))
+                    rates.append(rate)
+                    chans.append(ch)
+                    counts.append(n)
+                    idxs.append(k)
+                    rmss.append(
+                        math.sqrt(sum(s * s for s in win) / len(win))
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": pd.array(rates, dtype="int32"),
+                    "channels": pd.array(chans, dtype="int32"),
+                    "n_samples": pd.array(counts, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "rms": pd.array(rmss, dtype="float64"),
+                }
+            )
+
+    return (
+        df.filter(F.col(binary_col).isNotNull())
+        .select(id_col, binary_col)
+        .mapInPandas(batches, DECODED_AUDIO_SCHEMA)
     )

@@ -448,3 +448,88 @@ def test_decoded_image_features_end_to_end(spark):
     far = ham(out[1]["phash64"], out[3]["phash64"])
     assert near <= 6, f"near-dup pair too far: {near}"
     assert far >= 16, f"different images too close: {far}"
+
+
+def _make_wav(samples, *, rate=8000, channels=1, bits=16):
+    """Pure-stdlib PCM WAV writer for fixtures (RIFF/WAVE, fmt 1)."""
+    import struct
+
+    if bits == 16:
+        raw = struct.pack(f"<{len(samples)}h", *samples)
+    else:
+        raw = bytes((s + 128) & 0xFF for s in samples)
+    align = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * align, align, bits)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_ppm_decode_exact_pixels():
+    """Binary PPM (P6) joins the stdlib decode chain: header with
+    comments, exact pixels, truncation fails loud."""
+    import pytest as _pytest
+
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    def pixel(x, y):
+        return (x * 30 % 256, y * 60 % 256, (x * y) % 256)
+
+    px = b"".join(
+        bytes(pixel(x, y)) for y in range(3) for x in range(4)
+    )
+    data = b"P6\n# a comment\n4 3\n255\n" + px
+    img = decode_image(data)
+    assert (img.width, img.height) == (4, 3)
+    assert img.pixels == px
+    with _pytest.raises(ValueError, match="truncated PPM pixel"):
+        decode_image(data[:-2])
+    with _pytest.raises(ValueError, match="16-bit PPM"):
+        decode_image(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+
+
+def test_wav_decode_and_frame_rms_end_to_end(spark):
+    """Real PCM WAV decode -> per-frame RMS through Spark mapInPandas:
+    a loud-then-quiet square wave must show the energy step in the
+    DECODED-sample domain (amplitudes 1000 vs 100 — invisible to the
+    byte-domain stand-in at the same byte length), RMS matches a
+    driver-side recompute exactly, 8-bit and stereo payloads decode,
+    and non-WAV payloads are skipped."""
+    import math
+
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        _decode_wav,
+        decoded_frame_energy,
+    )
+
+    loud = [1000 if i % 2 else -1000 for i in range(512)]
+    quiet = [100 if i % 2 else -100 for i in range(512)]
+    wav16 = _make_wav(loud + quiet)
+    rate, ch, samples = _decode_wav(wav16)
+    assert (rate, ch) == (8000, 1)
+    assert samples == loud + quiet
+
+    wav8 = _make_wav([50, -50, 25, -25] * 16, bits=8)
+    assert _decode_wav(wav8)[2][:4] == [50, -50, 25, -25]
+    stereo = _make_wav([7, -7] * 32, channels=2)
+    assert _decode_wav(stereo)[1] == 2
+
+    df = spark.createDataFrame(
+        [(1, wav16), (2, wav8), (3, b"definitely not audio bytes")],
+        "doc_id long, content binary",
+    )
+    rows = decoded_frame_energy(df, frames=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = r["rms"]
+    assert set(by_doc) == {1, 2}
+    # frames 0-1 cover the loud half, 2-3 the quiet half
+    assert by_doc[1][0] == by_doc[1][1] == 1000.0
+    assert by_doc[1][2] == by_doc[1][3] == 100.0
+    # exact driver-side recompute of one frame
+    n = len(loud + quiet)
+    win = (loud + quiet)[n // 4 : n // 2]
+    assert by_doc[1][1] == math.sqrt(sum(s * s for s in win) / len(win))
+    assert all(r["sample_rate"] == 8000 for r in rows if r["doc_id"] == 1)
