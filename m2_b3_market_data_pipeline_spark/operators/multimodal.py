@@ -64,14 +64,16 @@ class DecodedImage:
         self.height = height
         self.pixels = pixels  # len == width * height * 3, RGB
 
-    def luma(self) -> list[int]:
+    def luma(self) -> "object":
         """Per-pixel integer luminance (ITU-R BT.601 weights, the
-        classic (299R + 587G + 114B) // 1000), row-major top-down."""
-        px = self.pixels
-        return [
-            (299 * px[i] + 587 * px[i + 1] + 114 * px[i + 2]) // 1000
-            for i in range(0, len(px), 3)
-        ]
+        classic (299R + 587G + 114B) // 1000), row-major top-down —
+        a numpy int64 array (vectorized: the decode featurizers run
+        inside Arrow batches, and a per-pixel Python loop would be
+        the 100 TB hot path's slowest line)."""
+        import numpy as np
+
+        px = np.frombuffer(self.pixels, dtype=np.uint8).astype(np.int64)
+        return (299 * px[0::3] + 587 * px[1::3] + 114 * px[2::3]) // 1000
 
 
 def _decode_bmp(data: bytes) -> DecodedImage:
@@ -105,17 +107,17 @@ def _decode_bmp(data: bytes) -> DecodedImage:
     row_size = (width * 3 + 3) & ~3  # rows pad to 4 bytes
     if data_offset + row_size * h > len(data):
         raise ValueError("truncated BMP pixel data")
-    px = bytearray(width * h * 3)
-    for r in range(h):
-        src = data_offset + (r if top_down else h - 1 - r) * row_size
-        for c in range(width):
-            o = src + c * 3
-            i = (r * width + c) * 3
-            # BMP stores BGR
-            px[i] = data[o + 2]
-            px[i + 1] = data[o + 1]
-            px[i + 2] = data[o]
-    return DecodedImage(width, h, bytes(px))
+    import numpy as np
+
+    raw = np.frombuffer(
+        data, dtype=np.uint8, count=row_size * h, offset=data_offset
+    ).reshape(h, row_size)[:, : width * 3]
+    if not top_down:
+        raw = raw[::-1]  # bottom-up rows flip to top-down
+    # BMP stores BGR: reverse the channel axis (vectorized — a
+    # per-pixel Python loop here is the decode hot path at 100 TB)
+    rgb = raw.reshape(h, width, 3)[:, :, ::-1]
+    return DecodedImage(width, h, rgb.tobytes())
 
 
 def decode_image(data: bytes) -> DecodedImage:
@@ -152,21 +154,21 @@ def pixel_phash(img: DecodedImage, *, hash_size: int = 8) -> int:
     counterpart of the byte-domain ``perceptual_hash`` operator — near
     identical images differ in few bits under brightness-preserving
     noise."""
-    luma = img.luma()
+    import numpy as np
+
     w, h = img.width, img.height
+    grid = np.asarray(img.luma()).reshape(h, w)
     cells = []
     for gy in range(hash_size):
-        y0, y1 = gy * h // hash_size, max((gy + 1) * h // hash_size, gy * h // hash_size + 1)
+        y0 = gy * h // hash_size
+        y1 = min(max((gy + 1) * h // hash_size, y0 + 1), h)
         for gx in range(hash_size):
-            x0, x1 = gx * w // hash_size, max((gx + 1) * w // hash_size, gx * w // hash_size + 1)
-            acc = 0
-            n = 0
-            for y in range(y0, min(y1, h)):
-                base = y * w
-                for x in range(x0, min(x1, w)):
-                    acc += luma[base + x]
-                    n += 1
-            cells.append(acc / n if n else 0.0)
+            x0 = gx * w // hash_size
+            x1 = min(max((gx + 1) * w // hash_size, x0 + 1), w)
+            box = grid[y0:y1, x0:x1]
+            # exact-int sum then ONE division — float-identical to the
+            # scalar form at any box size
+            cells.append(float(box.sum()) / box.size if box.size else 0.0)
     avg = sum(cells) / len(cells)
     bits = 0
     for cell in cells:
@@ -177,14 +179,13 @@ def pixel_phash(img: DecodedImage, *, hash_size: int = 8) -> int:
 def luma_histogram(img: DecodedImage, bins: int = FEATURE_BINS) -> list[float]:
     """Normalized luminance histogram over DECODED pixels — the
     decoded-domain twin of ``deterministic_features``' byte histogram."""
-    luma = img.luma()
-    if not luma:
+    import numpy as np
+
+    luma = np.asarray(img.luma())
+    if luma.size == 0:
         return [0.0] * bins
-    hist = [0] * bins
-    for v in luma:
-        hist[v * bins // 256] += 1
-    total = float(len(luma))
-    return [c / total for c in hist]
+    counts = np.bincount(luma * bins // 256, minlength=bins)
+    return [float(c) / luma.size for c in counts]
 
 
 DECODED_SCHEMA = (
@@ -608,6 +609,8 @@ def decoded_frame_energy(
     fans out to ``frames`` rows; partitioning carries through."""
     import math
 
+    import numpy as np
+
     id_name, bin_name = id_col, binary_col
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -623,16 +626,18 @@ def decoded_frame_energy(
                 n = len(samples)
                 if n < frames:
                     continue
+                sq = np.asarray(samples, dtype=np.int64) ** 2
                 for k in range(frames):
                     lo, hi = k * n // frames, (k + 1) * n // frames
-                    win = samples[lo:hi]
                     ids.append(int(i))
                     rates.append(rate)
                     chans.append(ch)
                     counts.append(n)
                     idxs.append(k)
+                    # exact-int sum of squares, one division, one sqrt
+                    # — float-identical to the scalar form
                     rmss.append(
-                        math.sqrt(sum(s * s for s in win) / len(win))
+                        math.sqrt(float(sq[lo:hi].sum()) / (hi - lo))
                     )
             yield pd.DataFrame(
                 {
