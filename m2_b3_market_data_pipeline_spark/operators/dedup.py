@@ -392,11 +392,28 @@ def _cross_pairs_from_signed(
     *,
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    force_shuffle: bool | None = None,
 ) -> DataFrame:
     """Band join + exact Jaccard verify between two SIGNATURE frames
     (``with_minhash`` output: sh + mh0..mhK). Shared by the from-text
     and stored-signature-table incremental paths and the streaming
-    sink; persist lifecycle belongs to the callers."""
+    sink; persist lifecycle belongs to the callers.
+
+    ``force_shuffle`` None (default) derives the join strategy from the
+    two sides' row counts — the INCREMENTAL twin of the
+    ``minhash_dedup_pairs`` switch (round 12): at the fifth decade the
+    sink's drain died building an auto-broadcast of the corpus-sized
+    band/verify sides ("serialized results ... bigger than
+    spark.driver.maxResultSize" at 3.05M stored docs — Catalyst's size
+    estimate undershoots the exploded band rows and shingle arrays
+    exactly as the batch path's sf30 finding recorded). Counts are the
+    cheap decisive stat here (the corpus side is typically a
+    parquet-backed store; the byte-aware refinement stays on the batch
+    path, whose frame was being materialized anyway)."""
+    if force_shuffle is None:
+        force_shuffle = (
+            d_signed.count() + c_signed.count() > SHUFFLE_JOIN_MIN_DOCS
+        )
     n_bands = NUM_HASHES // BAND_SIZE
     d_bands = band_signatures(d_signed, id_col=id_col, keep_all_bands=True).select(
         F.col(id_col).alias("delta_id"),
@@ -410,6 +427,8 @@ def _cross_pairs_from_signed(
         "band_id",
         "band_hash",
     )
+    if force_shuffle:
+        c_bands = c_bands.hint("merge")
     cand = (
         d_bands.join(c_bands, ["band_id", "band_hash"])
         .filter(
@@ -421,6 +440,9 @@ def _cross_pairs_from_signed(
     )
     sets_d = d_signed.select(F.col(id_col).alias("delta_id"), F.col("sh").alias("sh_a"))
     sets_c = c_signed.select(F.col(id_col).alias("corpus_id"), F.col("sh").alias("sh_b"))
+    if force_shuffle:
+        sets_d = sets_d.hint("merge")
+        sets_c = sets_c.hint("merge")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
