@@ -409,7 +409,15 @@ def _cross_pairs_from_signed(
     exactly as the batch path's sf30 finding recorded). Counts are the
     cheap decisive stat here (the corpus side is typically a
     parquet-backed store; the byte-aware refinement stays on the batch
-    path, whose frame was being materialized anyway)."""
+    path, whose frame was being materialized anyway).
+
+    With ``force_shuffle=None`` those two ``count()`` calls run at
+    PLAN-BUILD time — a caller that has not persisted its signature
+    frames pays the shingle/minhash computation an extra time per call
+    (r12 advice). Persist both inputs first (as
+    ``incremental_near_dedup`` and the streaming sink do, and the
+    store side is parquet-backed anyway), or pass an explicit
+    ``force_shuffle`` derived from counts you already track."""
     if force_shuffle is None:
         force_shuffle = (
             d_signed.count() + c_signed.count() > SHUFFLE_JOIN_MIN_DOCS

@@ -8,10 +8,11 @@ only place Python touches bytes, and it touches them one Arrow batch at
 a time, never one row at a time.
 
 The container has no image/audio libraries. Since round 12 the decode
-step is REAL for the struct-parseable trio regardless: pure-stdlib
-parsers for uncompressed 24-bit BMP (``_decode_bmp``), binary PPM
-(``_decode_ppm``) and PCM WAV (``_decode_wav``) sit behind the PIL
-import-try, and the decoded-domain featurizers
+step is REAL regardless: pure-stdlib parsers for uncompressed 24-bit
+BMP (``_decode_bmp``), binary PPM (``_decode_ppm``), PCM WAV
+(``_decode_wav``) and — round 13 — non-interlaced 8-bit RGB/RGBA PNG
+(``_decode_png``, stdlib zlib + the four row defilters) sit behind the
+PIL import-try, and the decoded-domain featurizers
 (``decoded_image_features`` — phash/luma over decoded pixels;
 ``decoded_frame_energy`` — per-frame RMS over decoded samples) run
 end-to-end in-container (tests/test_round12.py). Other formats still
@@ -126,38 +127,50 @@ def decode_image(data: bytes) -> DecodedImage:
     uncompressed 24-bit BMP and binary PPM (P6) — EXERCISED in this
     container (round 12; the decode step is no longer stub-only).
     Anything no path can read raises NotImplementedError and the
-    byte-level deterministic_features stand-in applies."""
+    byte-level deterministic_features stand-in applies.
+
+    The PIL try is import-only (r12 advice): in a PIL-equipped
+    container a decode failure (UnidentifiedImageError, a truncated
+    file's OSError) falls THROUGH to the stdlib parsers instead of
+    escaping the featurizers' quarantine net — one malformed payload
+    must never fail the Spark task."""
     try:
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
+        Image = None
+    if Image is not None:
         import io
 
-        from PIL import Image  # type: ignore[import-not-found]
-
-        img = Image.open(io.BytesIO(data)).convert("RGB")
-        return DecodedImage(img.width, img.height, img.tobytes())
-    except ImportError:
-        pass
+        try:
+            img = Image.open(io.BytesIO(data)).convert("RGB")
+            return DecodedImage(img.width, img.height, img.tobytes())
+        except Exception:  # noqa: BLE001 — quarantine contract: any PIL
+            pass  # decode failure defers to the stdlib chain below
     if data[:2] == b"BM":
         return _decode_bmp(data)
     if data[:2] == b"P6":
         return _decode_ppm(data)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(data)
     raise NotImplementedError(
         "no decoder for this payload: PIL absent and not an uncompressed "
-        "24-bit BMP / binary PPM — byte-level features apply "
+        "24-bit BMP / binary PPM / 8-bit PNG — byte-level features apply "
         "(deterministic_features)"
     )
 
 
-def pixel_phash(img: DecodedImage, *, hash_size: int = 8) -> int:
+def pixel_phash(img: DecodedImage, *, hash_size: int = 8, luma=None) -> int:
     """64-bit average-hash over DECODED pixels: box-average the luma
     plane into a hash_size x hash_size grid, threshold each cell by the
     grid mean (ties -> 0), bits row-major MSB-first. The decoded-pixel
     counterpart of the byte-domain ``perceptual_hash`` operator — near
     identical images differ in few bits under brightness-preserving
-    noise."""
+    noise. Pass a precomputed ``img.luma()`` via ``luma`` to share the
+    dominant per-pixel pass with ``luma_histogram`` (r12 advice)."""
     import numpy as np
 
     w, h = img.width, img.height
-    grid = np.asarray(img.luma()).reshape(h, w)
+    grid = np.asarray(img.luma() if luma is None else luma).reshape(h, w)
     cells = []
     for gy in range(hash_size):
         y0 = gy * h // hash_size
@@ -176,12 +189,15 @@ def pixel_phash(img: DecodedImage, *, hash_size: int = 8) -> int:
     return bits
 
 
-def luma_histogram(img: DecodedImage, bins: int = FEATURE_BINS) -> list[float]:
+def luma_histogram(
+    img: DecodedImage, bins: int = FEATURE_BINS, *, luma=None
+) -> list[float]:
     """Normalized luminance histogram over DECODED pixels — the
-    decoded-domain twin of ``deterministic_features``' byte histogram."""
+    decoded-domain twin of ``deterministic_features``' byte histogram.
+    ``luma`` shares a precomputed ``img.luma()`` (r12 advice)."""
     import numpy as np
 
-    luma = np.asarray(img.luma())
+    luma = np.asarray(img.luma() if luma is None else luma)
     if luma.size == 0:
         return [0.0] * bins
     counts = np.bincount(luma * bins // 256, minlength=bins)
@@ -218,10 +234,13 @@ def decoded_image_features(
                 ids.append(int(i))
                 ws.append(img.width)
                 hs.append(img.height)
+                # one luma pass feeds both featurizers (r12 advice: the
+                # per-pixel conversion dominates this hot path)
+                luma = img.luma()
                 # two's-complement into BIGINT: bit 63 set is legal
-                ph = pixel_phash(img)
+                ph = pixel_phash(img, luma=luma)
                 phs.append(ph - (1 << 64) if ph >= (1 << 63) else ph)
-                hists.append(luma_histogram(img))
+                hists.append(luma_histogram(img, luma=luma))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -553,6 +572,107 @@ def _decode_ppm(data: bytes) -> DecodedImage:
     return DecodedImage(width, height, bytes(px))
 
 
+def _decode_png(data: bytes) -> DecodedImage:
+    """Pure-stdlib decode of non-interlaced 8-bit truecolor PNG
+    (color type 2 = RGB, 6 = RGBA; alpha dropped — straight RGB, no
+    compositing): stdlib ``zlib`` inflates the concatenated IDAT
+    stream, then the four row defilters (Sub/Up/Average/Paeth) run
+    over numpy rows. The compressed member of the stdlib decode
+    family (r12 verdict item 2 — BMP/PPM/WAV cover only uncompressed
+    formats). Interlaced (Adam7), 16-bit, palette, and grayscale
+    variants raise ValueError — fail loud, never guess pixels.
+
+    Filter vectorization: None and Up are whole-row numpy ops; Sub is
+    a per-channel cumulative sum; Average and Paeth carry an intra-row
+    serial dependence through recon[x - bpp] (spec-mandated) and run
+    as a per-pixel-column loop over numpy channel vectors — rows
+    stay Arrow-batch-local either way, so the decode cost is
+    per-payload, not per-task-serial, at 100 TB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack_from(">I", data, pos)
+        cid = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated PNG chunk")
+        if cid == b"IHDR":
+            if size < 13:
+                raise ValueError("truncated PNG IHDR")
+            ihdr = struct.unpack_from(">IIBBBBB", body, 0)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + type + body + CRC
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in (2, 6):
+        raise ValueError(
+            f"only 8-bit RGB/RGBA PNG supported (depth={depth}, "
+            f"color_type={ctype})"
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG scheme (compression={comp}, filter={filt}, "
+            f"interlace={interlace}; Adam7 not supported)"
+        )
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate PNG dimensions {width}x{height}")
+    bpp = 4 if ctype == 6 else 3
+    stride = width * bpp
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("truncated PNG scanline data")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=(stride + 1) * height)
+    rows = rows.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 1:  # Sub: per-channel cumsum
+            recon = np.cumsum(line.reshape(width, bpp), axis=0).reshape(stride) & 0xFF
+        elif ftype == 2:  # Up
+            recon = (line + prior) & 0xFF
+        elif ftype == 3:  # Average
+            recon = line.copy()
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (recon[x] + (left + prior[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            recon = line.copy()
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[x] = (recon[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = recon
+        prior = recon.astype(np.int64)
+    if bpp == 4:
+        out = out.reshape(height, width, 4)[:, :, :3].copy()
+    return DecodedImage(width, height, out.tobytes())
+
+
 def _decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     """Pure-stdlib decode of PCM WAV (RIFF/WAVE, format 1, 8/16-bit):
     (sample_rate, channels, samples) with samples interleaved as
@@ -572,6 +692,13 @@ def _decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         cid, size = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                # r12 advice (medium): a truncated fmt chunk must raise
+                # ValueError, not struct.error — the featurizers'
+                # quarantine net catches the former only
+                raise ValueError(
+                    f"truncated WAV fmt chunk ({len(body)} bytes < 16)"
+                )
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             raw = body
