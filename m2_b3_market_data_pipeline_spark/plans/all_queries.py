@@ -154,69 +154,64 @@ from .registry import ORACLES, QUERIES
 # against. The equality pin computes front_load over files <= this
 # round, so the DRIVER landing the current round's file mid-round does
 # not fail the suite; regenerating the list next round bumps it.
-CHECK_PRIORITY_BASIS_ROUND = 11
+CHECK_PRIORITY_BASIS_ROUND = 12
 CHECK_PRIORITY: list[str] = [
-    # --- Round 12 window, generated (basis r11): the two newborns
-    # (bpe_learn_merges — first driver row ever, now that the
-    # unrolled-CTE trainer oracle exists, r11 verdict item 2; and
-    # embedding_bands_witness — the fifth-decade sampled witness, r11
-    # verdict item 4), then the 13 r7-era rows, then the oldest
-    # r8-era remainder, anchor last. 29 family-duplicate queries left
-    # the rotation this round for the TEST-PINNED tier
-    # (tools/evidence_age.py::TEST_PINNED — still registered, still
-    # sf0.001-parity-checked every test run; their driver-evidence
-    # burden moved to their strongest rotating representative), which
-    # brings the rotation budget back inside MAX_AGE=4: 187 rotating
-    # queries / 49 slots = 3.8 rounds.
-    "bpe_learn_merges",
-    "embedding_bands_witness",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q21_sole_returned_supplier",
-    "q22_idle_customers",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "resample_ohlc",
-    "rolling_mean_time_range",
-    "source_overlap_matrix",
-    "streaming_triplets",
-    "train_test_split",
-    "array_functions",
-    "band_join_revenue",
-    "bpe_apply_check",
-    "c4_line_filters",
-    "cdc_merge_upsert",
-    "char_entropy",
-    "corpus_pipeline",
-    "correlated_subquery",
-    "countmin_check",
-    "cube_lineitem",
-    "decontaminate",
-    "dedup_clusters",
-    "disjunctive_predicates",
-    "distinct_agg",
-    "doc_chunks",
-    "dsir_weights",
-    "dup_span_removal",
-    "embed_normalize",
-    "event_cooccurrence",
-    "exact_percentiles",
-    "expectation_checks",
-    "fk_orphans_audit",
-    "full_outer_join",
-    "funnel_stages",
-    "gopher_rules",
-    "grouping_sets",
-    "groupwise_regression",
-    "indicator_ewma",
-    "indicator_macd",
-    "lead_lag",
-    "mad_outliers",
-    "pagerank_cosuppliers",
-    "pii_scrub",
-    "pivot_segments",
+    # --- Round 13 window, generated (basis r12): one newborn
+    # (semdedup_assign_witness — the semantic family's fifth-decade
+    # sampled witness, r12 verdict item 6) leads, then pure rotation —
+    # the 13 r8-era rows at age 4 (predicate_surface ...
+    # triangle_coparts), then the oldest r9-era remainder
+    # alphabetical-within-round, anchor last. Budget: 188 rotating /
+    # 49 slots = 3.8 rounds.
+    "semdedup_assign_witness",
+    "predicate_surface",
+    "profile_events",
+    "quantile_binning",
+    "regex_functions",
+    "repetition_stats",
+    "retention_cohorts",
+    "salted_skew_agg",
+    "salted_skew_join",
+    "sample_per_group",
+    "set_ops",
+    "source_temperature_weights",
+    "tfidf_top_terms",
+    "triangle_coparts",
+    "asset_aggregates",
+    "bm25_topk",
+    "coalesce_duplicates",
+    "containment_pairs",
+    "corpus_mixture",
+    "correlation_matrix",
+    "date_functions",
+    "dedup_exact",
+    "doc_fingerprint",
+    "enrich_join",
+    "filter_sort_limit",
+    "fuzzy_name_match",
+    "jl_project_norms",
+    "json_extract",
+    "json_parse_audit",
+    "lang_id",
+    "leakage_safe_split",
+    "markov_transitions",
+    "minhash_dedup",
+    "ngram_jaccard",
+    "null_scalars",
+    "partial_agg_merge",
+    "percentile_binning",
+    "phash_near_dups",
+    "quality_score",
+    "scalar_subquery",
+    "scd2_user_values",
+    "semdedup_k_scaled",
+    "sessionize_stats",
+    "sliding_window",
+    "source_kl_divergence",
+    "token_pack",
+    "training_shards",
+    "trending_daily",
+    "value_histogram",
     "refined_pipeline",
 ]
 

@@ -399,3 +399,60 @@ def embedding_bands_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bands=b,
         plane_stride=BL_HARD_CAP,
     )
+
+
+# The semantic family's fifth-decade witness (round 13, r12 verdict
+# item 6): the same md5-seeded ~1/16 sample, pushed BELOW the coarse
+# cell assignment AND the prune decision.
+_EMB_SEM_SAMPLED = f"(SELECT * FROM {EMB} WHERE {_VEC_SAMPLE_SQL}) sem_sampled"
+_CELL_KNOB_S = knob_sql(
+    occupancy=CELL_OCC, lo=CELL_LO, hi=CELL_HI, count_from=_EMB_SEM_SAMPLED
+)
+
+
+@register(
+    "semdedup_assign_witness",
+    oracle=f"""
+WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {_EMB_SEM_SAMPLED}),
+cells AS (
+    SELECT vec_id, v,
+           ({_lsh_sig_sql("v", n_bits=CELL_HI)})
+               % CAST(pow(2, {_CELL_KNOB_S}) AS BIGINT) AS cell_id
+    FROM c),
+pr AS (
+    SELECT b.vec_id, TRUE AS pruned
+    FROM cells a JOIN cells b
+      ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    WHERE {_COS_AB} >= {SEM_THRESHOLD}
+    GROUP BY b.vec_id)
+SELECT w.vec_id, w.cell_id, COALESCE(p.pruned, FALSE) AS pruned
+FROM cells w LEFT JOIN pr p ON p.vec_id = w.vec_id
+ORDER BY w.vec_id
+""",
+)
+def semdedup_assign_witness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's full decision path — vector -> LSH coarse cell ->
+    in-cell prune verdict — on the deterministic md5-seeded ~1/16
+    vector sample: the SEMANTIC family's fifth-decade differential
+    witness (r12 verdict item 6). The lexical families carry sf100
+    hash matches (dedup_clusters_sample, embedding_bands_witness + the
+    pair witness), but the semdedup sink's sf100 run (2M vectors,
+    98.4s, SCALE.md §22.1) was engine-only. Sampling below the cell
+    assignment keeps the DuckDB side tractable at sf100 (2M -> ~125k
+    vectors, in-cell pair volume bounded by the occupancy knob
+    recomputed from the SAMPLE cardinality on both engines — the
+    dedup_clusters_sample semantics). Same hyperplane family, same
+    knob formula, same prune rule as the full-corpus
+    ``semdedup_k_scaled`` (green through sf30); this witness extends
+    the family's oracle evidence to the decade where the full-corpus
+    oracle out-scales single-node DuckDB."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.expr(_VEC_SAMPLE_SQL))
+    n = emb.count()
+    return semdedup_lsh(
+        emb,
+        dim=EMBED_DIM,
+        cell_bits=scaled_cell_bits(
+            n, target_occupancy=CELL_OCC, lo=CELL_LO, hi=CELL_HI
+        ),
+        threshold=SEM_THRESHOLD,
+    )

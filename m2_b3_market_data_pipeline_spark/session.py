@@ -56,6 +56,20 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type,
         # so read as long and convert in sources (values are µs-aligned).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Stateful streaming ops (dropDuplicates, stream-stream joins,
+        # windowed aggs) default to RocksDB state: the in-heap HDFS-backed
+        # store keeps EVERY key in executor heap, which a 100 TB
+        # deployment's join/dedup state will not fit — RocksDB spills to
+        # native memory + local disk and bounds heap by block cache.
+        # The custom sinks (streaming/*_sink.py) own their parquet state
+        # and are unaffected. NOTE: an existing checkpoint pins the
+        # provider it was created with — Spark refuses a provider switch
+        # mid-checkpoint; new checkpoints pick this up (SCALE.md §23).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")

@@ -303,3 +303,85 @@ def test_seed_fixture_schema_and_integrity(tmp_path):
     sims = vn @ vn.T
     np.fill_diagonal(sims, 0)
     assert sims.max() > 0.9  # planted ANN twins exist
+
+
+# ---------------------------------------------------------------------------
+# RocksDB state store default (r12 verdict item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_session_defaults_to_rocksdb_state_store(spark):
+    """Built-in stateful streaming ops (dropDuplicates, stream-stream
+    joins, windowed aggs) run on RocksDB by default: the in-heap
+    HDFS-backed store keeps every key in executor heap, which 100 TB
+    dedup/join state will not fit. The whole streaming suite runs
+    under this conf (session-scoped fixture)."""
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+
+
+def test_existing_checkpoint_pins_its_provider(spark, tmp_path):
+    """Checkpoint-compat contract (documented in session.py): a
+    checkpoint created under one provider KEEPS that provider on
+    restart — Spark restores the state-store conf from the offset log,
+    so flipping the session default cannot corrupt existing state.
+    Pinned by: start under HDFSBacked, restart under the RocksDB
+    session default, results stay exact and the state dir never grows
+    RocksDB artifacts."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from m2_b3_market_data_pipeline_spark.streaming.joins import dedup_events
+
+    hdfs = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    )
+    rocks = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    rows1 = [(i, "click") for i in range(20)]
+    rows2 = [(i, "view") for i in range(15, 30)]  # 5 replayed ids
+    df1 = spark.createDataFrame(rows1, "event_id bigint, event_type string")
+    df2 = spark.createDataFrame(rows2, "event_id bigint, event_type string")
+    updates, out, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    df1.write.parquet(f"{updates}/b0")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(df1.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(updates)
+        )
+        q = (
+            dedup_events(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", hdfs)
+    try:
+        drain()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", rocks)
+
+    df2.write.parquet(f"{updates}/b1")
+    drain()  # session default is RocksDB; checkpoint must stay HDFSBacked
+
+    got = spark.read.parquet(out)
+    assert got.count() == 30  # every event_id exactly once
+    assert got.filter(F.col("event_id").between(15, 19)).count() == 5
+    rocks_files = [
+        f
+        for root, _, files in os.walk(f"{ckpt}/state")
+        for f in files
+        if f.endswith((".zip", ".changelog")) or "rocksdb" in f.lower()
+    ]
+    assert rocks_files == []  # provider pinned by the checkpoint, not the session

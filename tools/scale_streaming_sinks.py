@@ -19,6 +19,8 @@ and scale:
     countmin    : state rows == depth*width COUNTERS — constant in the
                   corpus, identical at every scale,
     agg         : state rows == distinct group keys, not event count,
+    funnel      : state == the full-backlog batch funnel recompute,
+                  in <= N_GATE_STAGES rows — constant in the corpus,
     postings    : state rows == |distinct vocabulary| + 1 — the BM25
                   statistics follow the vocab, never the doc count.
 
@@ -191,6 +193,22 @@ def run_sink(spark, sink: str, sf_dir: str, work: str, *, semdedup_assigner: str
                 schema=DOC_SCHEMA,
             ).awaitTermination(600)
 
+    elif sink == "funnel":
+        src = load(spark, sf_dir, "documents").select("doc_id", "text")
+        waves = [src.filter(F.col("doc_id") % N_WAVES == w) for w in range(N_WAVES)]
+        from m2_b3_market_data_pipeline_spark.streaming.funnel_sink import (
+            run_incremental_funnel_stream,
+        )
+
+        def drain():
+            run_incremental_funnel_stream(
+                spark,
+                updates_path=updates,
+                state_path=state,
+                checkpoint_path=ckpt,
+                schema=DOC_SCHEMA,
+            ).awaitTermination(600)
+
     elif sink == "agg":
         src = load(spark, sf_dir, "events").select("user_id", "event_type", "value")
         waves = [src.filter(F.col("user_id") % N_WAVES == w) for w in range(N_WAVES)]
@@ -268,6 +286,33 @@ def run_sink(spark, sink: str, sf_dir: str, work: str, *, semdedup_assigner: str
         rec["vocab"] = vocab
         rec["invariant"] = "state rows == |vocab| + 1 (corpus row)"
         rec["invariant_ok"] = state_rows == vocab + 1
+    elif sink == "funnel":
+        from m2_b3_market_data_pipeline_spark.operators.corpus import N_GATE_STAGES
+        from m2_b3_market_data_pipeline_spark.streaming.funnel_sink import (
+            _stage_rows,
+            read_funnel,
+        )
+
+        merged = {
+            r["stage"]: (r["docs"], r["tokens"])
+            for r in read_funnel(spark, state).collect()
+        }
+        batch = {
+            r["stage"]: (r["docs"], r["tokens"])
+            for r in _stage_rows(
+                spark.read.option("recursiveFileLookup", "true").parquet(updates)
+            )
+            .groupBy("stage")
+            .agg(F.count("*").alias("docs"), F.sum("n_tok").alias("tokens"))
+            .collect()
+        }
+        batch = {s: batch.get(s, (0, 0)) for s in range(N_GATE_STAGES)}
+        rec["funnel"] = {str(s): list(merged[s]) for s in sorted(merged)}
+        rec["invariant"] = (
+            "merged funnel == full-backlog batch recompute; "
+            f"state rows <= {N_GATE_STAGES} stages"
+        )
+        rec["invariant_ok"] = merged == batch and state_rows <= N_GATE_STAGES
     elif sink == "agg":
         distinct_keys = (
             spark.read.option("recursiveFileLookup", "true")
@@ -284,7 +329,7 @@ def run_sink(spark, sink: str, sf_dir: str, work: str, *, semdedup_assigner: str
 
 def main() -> None:
     args = sys.argv[1:]
-    sinks = ("countmin", "agg", "postings", "semdedup", "near_dedup")
+    sinks = ("countmin", "agg", "funnel", "postings", "semdedup", "near_dedup")
     assigner = "codebook"
     if "--sinks" in args:
         i = args.index("--sinks")
