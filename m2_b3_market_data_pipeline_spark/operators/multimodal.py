@@ -124,8 +124,9 @@ def _decode_bmp(data: bytes) -> DecodedImage:
 def decode_image(data: bytes) -> DecodedImage:
     """Real decode. Chain: PIL when a container ships it (converted to
     the DecodedImage interface), else the pure-stdlib parsers for
-    uncompressed 24-bit BMP and binary PPM (P6) — EXERCISED in this
-    container (round 12; the decode step is no longer stub-only).
+    uncompressed 24-bit BMP, binary PPM (P6), non-interlaced 8-bit
+    PNG (r13), and baseline-sequential JPEG (r13) — EXERCISED in this
+    container (round 12+; the decode step is no longer stub-only).
     Anything no path can read raises NotImplementedError and the
     byte-level deterministic_features stand-in applies.
 
@@ -152,10 +153,12 @@ def decode_image(data: bytes) -> DecodedImage:
         return _decode_ppm(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return _decode_jpeg(data)
     raise NotImplementedError(
         "no decoder for this payload: PIL absent and not an uncompressed "
-        "24-bit BMP / binary PPM / 8-bit PNG — byte-level features apply "
-        "(deterministic_features)"
+        "24-bit BMP / binary PPM / 8-bit PNG / baseline JPEG — byte-level "
+        "features apply (deterministic_features)"
     )
 
 
@@ -671,6 +674,336 @@ def _decode_png(data: bytes) -> DecodedImage:
     if bpp == 4:
         out = out.reshape(height, width, 4)[:, :, :3].copy()
     return DecodedImage(width, height, out.tobytes())
+
+
+# JPEG stream position k -> row-major index into the 8x8 block
+# (ITU T.81 Figure 5 zigzag order; a spec constant, duplicated
+# independently in tests so a transposition here breaks roundtrip)
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+_JPEG_SOF_UNSUPPORTED = {
+    0xC2: "progressive DCT (SOF2)",
+    0xC3: "lossless sequential (SOF3)",
+    0xC5: "differential sequential (SOF5)",
+    0xC6: "differential progressive (SOF6)",
+    0xC7: "differential lossless (SOF7)",
+    0xC9: "arithmetic-coded sequential (SOF9)",
+    0xCA: "arithmetic-coded progressive (SOF10)",
+    0xCB: "arithmetic-coded lossless (SOF11)",
+    0xCD: "differential arithmetic sequential (SOF13)",
+    0xCE: "differential arithmetic progressive (SOF14)",
+    0xCF: "differential arithmetic lossless (SOF15)",
+}
+
+
+def _jpeg_huffman_table(counts: bytes, symbols: bytes) -> dict:
+    """Canonical Huffman table from a DHT segment's BITS/HUFFVAL lists
+    (ITU T.81 Annex C): {(code_length, code): symbol}. Codes assign
+    in symbol order within each length, doubling between lengths."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded scan bytes with
+    T.81 byte unstuffing (0xFF 0x00 -> literal 0xFF) and restart-marker
+    awareness: hitting 0xFF D0-D7 or any other marker sets ``marker``
+    and yields no further bits until ``restart()`` consumes an RSTn."""
+
+    __slots__ = ("data", "pos", "bitbuf", "nbits", "marker")
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _fill(self) -> bool:
+        if self.marker is not None:
+            return False
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:  # a real marker (RSTn, EOI, anything) ends the segment
+                self.marker = nxt
+                return False
+        else:
+            self.pos += 1
+        self.bitbuf = (self.bitbuf << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            raise ValueError("truncated JPEG entropy-coded segment")
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def receive(self, t: int) -> int:
+        v = 0
+        for _ in range(t):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huffman(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code (no match in 16 bits)")
+
+    def restart(self, expected: int) -> None:
+        """Byte-align, consume the pending RSTn marker, resume."""
+        self.bitbuf = 0
+        self.nbits = 0
+        if self.marker is None:
+            # reader hasn't hit the marker yet (aligned segment end):
+            # scan forward to it
+            d = self.data
+            while self.pos + 1 < len(d):
+                if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                    self.marker = d[self.pos + 1]
+                    break
+                self.pos += 1
+        if self.marker != 0xD0 + (expected & 7):
+            raise ValueError(
+                f"JPEG restart-marker mismatch: expected RST{expected & 7}, "
+                f"found {self.marker!r}"
+            )
+        self.pos += 2  # past FF Dn
+        self.marker = None
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit received value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _idct_8x8_matrix():
+    """Orthonormal 8-point DCT basis A with A[u,x] = C(u)/2 *
+    cos((2x+1)u*pi/16); spatial = A.T @ F @ A recovers T.81's IDCT."""
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            a[u, x] = 0.5 * c * math.cos((2 * x + 1) * u * math.pi / 16)
+    return a
+
+
+def _decode_jpeg(data: bytes) -> DecodedImage:
+    """Pure-stdlib baseline JPEG decode (ITU T.81 sequential DCT,
+    SOF0/SOF1, 8-bit precision): marker walk -> DQT/DHT tables ->
+    Huffman-coded MCUs with byte unstuffing and DRI restart markers ->
+    dequantize -> dezigzag -> matrix IDCT (numpy) -> chroma upsample
+    by pixel replication -> JFIF full-range YCbCr->RGB. Grayscale
+    (1 component) replicates to RGB; generic sampling factors
+    (4:4:4 / 4:2:2 / 4:2:0 / anything with h,v <= 4) are handled via
+    hmax/vmax plane replication. The compressed LOSSY member of the
+    stdlib decode family — r12's verdict called JPEG "not reasonably
+    stdlib"; it is ~250 lines of T.81. Progressive (SOF2),
+    arithmetic-coded, lossless, 12-bit, and 4-component (CMYK)
+    streams raise ValueError — fail loud, never guess pixels.
+
+    Cost shape: entropy decode is a per-block Python loop and IDCT a
+    per-block 8x8 numpy matmul, all inside the caller's Arrow batch —
+    per-payload work, never task-serial, same posture as _decode_png."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    quant: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (height, width, [(comp_id, h, v, tq), ...])
+    restart_interval = 0
+    pos = 2
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2) — slide to marker
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI before any SOS
+            break
+        (size,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + size]
+        if len(body) < size - 2:
+            raise ValueError("truncated JPEG marker segment")
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                off += 1
+                if pq == 0:
+                    tbl = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=off
+                    ).astype(np.int32)
+                    off += 64
+                else:  # 16-bit entries
+                    tbl = np.array(
+                        struct.unpack_from(">64H", body, off), dtype=np.int32
+                    )
+                    off += 128
+                quant[tq] = tbl
+        elif marker == 0xC4:  # DHT: one or more tables per segment
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                counts = body[off + 1 : off + 17]
+                n = sum(counts)
+                symbols = body[off + 17 : off + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huffman_table(
+                    counts, symbols
+                )
+                off += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline & extended seq.
+            precision = body[0]
+            if precision != 8:
+                raise ValueError(
+                    f"only 8-bit JPEG precision supported ({precision})"
+                )
+            height, width = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise ValueError(
+                    f"only 1- or 3-component JPEG supported ({ncomp})"
+                )
+            comps = []
+            for i in range(ncomp):
+                cid = body[6 + 3 * i]
+                hv = body[7 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * i]))
+            frame = (height, width, comps)
+        elif marker in _JPEG_SOF_UNSUPPORTED or marker == 0xCC:
+            raise ValueError(
+                "unsupported JPEG coding: "
+                + _JPEG_SOF_UNSUPPORTED.get(marker, "arithmetic conditioning")
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan = []  # (comp_idx, dc_table_id, ac_table_id)
+            comp_ids = [c[0] for c in frame[2]]
+            for i in range(ns):
+                cs = body[1 + 2 * i]
+                tds = body[2 + 2 * i]
+                if cs not in comp_ids:
+                    raise ValueError(f"JPEG scan references unknown comp {cs}")
+                scan.append((comp_ids.index(cs), tds >> 4, tds & 0x0F))
+            if ns != len(comp_ids):
+                raise ValueError("partial-scan JPEG not supported")
+            pos = pos + 2 + size
+            break  # entropy-coded data starts here
+        # APPn / COM / others: skip
+        pos += 2 + size
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    height, width, comps = frame
+    if height == 0 or width == 0:
+        raise ValueError(f"degenerate JPEG dimensions {width}x{height}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+        raise ValueError(f"bad JPEG sampling factors (hmax={hmax}, vmax={vmax})")
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    basis = _idct_8x8_matrix()
+    planes = []
+    for _cid, h, v, _tq in comps:
+        planes.append(np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64))
+    reader = _JpegBitReader(data, pos)
+    preds = [0] * len(comps)
+    rst_count = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart(rst_count)
+            rst_count = (rst_count + 1) & 7
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, dc_id, ac_id in scan:
+            _cid, h, v, tq = comps[ci]
+            if tq not in quant:
+                raise ValueError(f"JPEG references missing quant table {tq}")
+            if dc_id not in huff_dc or ac_id not in huff_ac:
+                raise ValueError("JPEG references missing Huffman table")
+            qt = quant[tq]
+            for by in range(v):
+                for bx in range(h):
+                    zz = np.zeros(64, dtype=np.int64)
+                    t = reader.decode_huffman(huff_dc[dc_id])
+                    diff = _jpeg_extend(reader.receive(t), t)
+                    preds[ci] += diff
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_huffman(huff_ac[ac_id])
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL: sixteen zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        zz[k] = _jpeg_extend(reader.receive(s), s)
+                        k += 1
+                    coeffs = np.zeros(64, dtype=np.float64)
+                    coeffs[list(_JPEG_ZIGZAG)] = zz * qt
+                    block = basis.T @ coeffs.reshape(8, 8) @ basis
+                    y0 = (my * v + by) * 8
+                    x0 = (mx * h + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
+    out_planes = []
+    for (_cid, h, v, _tq), plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
+        out_planes.append(up[:height, :width])
+    if len(out_planes) == 1:
+        g = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        rgb = np.stack([g, g, g], axis=2)
+    else:
+        y, cb, cr = out_planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(
+            np.round(np.stack([r, g, b], axis=2)), 0, 255
+        ).astype(np.uint8)
+    return DecodedImage(width, height, rgb.tobytes())
 
 
 def _decode_wav(data: bytes) -> tuple[int, int, list[int]]:
