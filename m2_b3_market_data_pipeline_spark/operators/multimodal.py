@@ -11,12 +11,17 @@ The container has no image/audio libraries. Since round 12 the decode
 step is REAL regardless: pure-stdlib parsers for uncompressed 24-bit
 BMP (``_decode_bmp``), binary PPM (``_decode_ppm``), PCM WAV
 (``_decode_wav``) and — round 13 — non-interlaced 8-bit RGB/RGBA PNG
-(``_decode_png``, stdlib zlib + the four row defilters) sit behind the
-PIL import-try, and the decoded-domain featurizers
-(``decoded_image_features`` — phash/luma over decoded pixels;
-``decoded_frame_energy`` — per-frame RMS over decoded samples) run
-end-to-end in-container (tests/test_round12.py). Other formats still
-raise and fall back to the deterministic byte-level feature
+(``_decode_png``, stdlib zlib + the four row defilters), baseline
+sequential JPEG (``_decode_jpeg``, ITU T.81: Huffman entropy decode +
+matrix IDCT + chroma upsample), and the RIFF/AVI video container
+(``_parse_avi`` — MJPEG frames ride the JPEG decoder, '00db' frames
+the DIB layout) sit behind the PIL import-try, and the decoded-domain
+featurizers (``decoded_image_features`` — phash/luma over decoded
+pixels; ``decoded_frame_energy`` — per-frame RMS over decoded samples;
+``decoded_video_frame_features`` — per-frame phash over decoded video
+frames) run end-to-end in-container (tests/test_round12.py,
+tests/test_jpeg_decode.py, tests/test_avi_decode.py). Other formats
+still raise and fall back to the deterministic byte-level feature
 extractor; the Spark-side plumbing — schema, batching, partitioning,
 UDF signature — is identical either way.
 """
@@ -1120,4 +1125,148 @@ def decoded_frame_energy(
         df.filter(F.col(binary_col).isNotNull())
         .select(id_col, binary_col)
         .mapInPandas(batches, DECODED_AUDIO_SCHEMA)
+    )
+
+
+def _decode_dib(body: bytes, width: int, height: int, bpp: int) -> DecodedImage:
+    """Headerless Windows DIB frame (an AVI '00db' chunk payload):
+    the BMP pixel layout without the BITMAPFILEHEADER — bottom-up
+    (or top-down when height < 0) BGR rows padded to 4 bytes. Only
+    24-bit uncompressed is supported; fail loud otherwise."""
+    import numpy as np
+
+    if bpp != 24:
+        raise ValueError(f"only 24-bit DIB frames supported (bpp={bpp})")
+    top_down = height < 0
+    h = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    if row_size * h > len(body):
+        raise ValueError("truncated DIB frame")
+    raw = np.frombuffer(
+        body, dtype=np.uint8, count=row_size * h
+    ).reshape(h, row_size)[:, : width * 3]
+    if not top_down:
+        raw = raw[::-1]
+    rgb = raw.reshape(h, width, 3)[:, :, ::-1]
+    return DecodedImage(width, h, rgb.tobytes())
+
+
+def _parse_avi(data: bytes) -> tuple[float, list[DecodedImage]]:
+    """Pure-stdlib RIFF/AVI container parse -> (fps, decoded frames).
+    Walks hdrl (avih frame timing; the first 'vids' strl's strf
+    BITMAPINFOHEADER) and the movi LIST; video chunks of stream 00:
+    '00dc' compressed frames decode via the stdlib chain (MJPEG —
+    JPEG-per-frame — rides the r13 baseline JPEG decoder), '00db'
+    uncompressed frames via the DIB layout. Nested 'rec ' LISTs are
+    descended. Any frame no decoder reads raises ValueError — the
+    payload-level quarantine in the featurizer skips the whole
+    document, never poisons the task. No video-codec bitstreams
+    (H.264 etc.) are guessed at: fail loud."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def chunks(pos: int, end: int):
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", data, pos)
+            yield cid, pos + 8, min(size, end - pos - 8)
+            pos += 8 + size + (size & 1)
+
+    usec_per_frame = 0
+    bmp_w = bmp_h = bmp_bpp = None
+    frames: list[DecodedImage] = []
+
+    def walk_movi(pos: int, end: int) -> None:
+        for cid, body_start, size in chunks(pos, end):
+            body = data[body_start : body_start + size]
+            if cid == b"LIST" and body[:4] == b"rec ":
+                walk_movi(body_start + 4, body_start + size)
+            elif cid == b"00dc":
+                frames.append(decode_image(body))
+            elif cid == b"00db":
+                if bmp_w is None:
+                    raise ValueError("AVI 00db frame before strf header")
+                frames.append(_decode_dib(body, bmp_w, bmp_h, bmp_bpp))
+
+    for cid, body_start, size in chunks(12, len(data)):
+        if cid != b"LIST":
+            continue
+        subtype = data[body_start : body_start + 4]
+        if subtype == b"hdrl":
+            for hcid, hstart, hsize in chunks(body_start + 4, body_start + size):
+                if hcid == b"avih" and hsize >= 4:
+                    (usec_per_frame,) = struct.unpack_from("<I", data, hstart)
+                elif hcid == b"LIST" and data[hstart : hstart + 4] == b"strl":
+                    is_vids = False
+                    for scid, sstart, ssize in chunks(hstart + 4, hstart + hsize):
+                        if scid == b"strh" and ssize >= 4:
+                            is_vids = data[sstart : sstart + 4] == b"vids"
+                        elif scid == b"strf" and is_vids and ssize >= 40:
+                            _bsz, w, h = struct.unpack_from("<Iii", data, sstart)
+                            _pl, bpp = struct.unpack_from("<HH", data, sstart + 12)
+                            bmp_w, bmp_h, bmp_bpp = w, h, bpp
+        elif subtype == b"movi":
+            walk_movi(body_start + 4, body_start + size)
+    if not frames:
+        raise ValueError("AVI contains no decodable video frames")
+    fps = 1e6 / usec_per_frame if usec_per_frame else 0.0
+    return fps, frames
+
+
+DECODED_VIDEO_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_frames int, width int, height int, "
+    "fps double, phash64 bigint"
+)
+
+
+def decoded_video_frame_features(
+    df: DataFrame, *, id_col: str = "doc_id", binary_col: str = "content"
+) -> DataFrame:
+    """REAL video decode -> per-frame features over AVI payloads via
+    Arrow mapInPandas: each container parses with ``_parse_avi``
+    (MJPEG frames ride the stdlib JPEG decoder, '00db' frames the DIB
+    layout) and every frame yields its decoded-pixel 64-bit
+    average-hash — the decoded-domain twin of the byte-domain
+    ``sample_frames``/``frame_dedup`` pair, and the input a shot-change
+    or frame-level near-dup pass keys on. Undecodable payloads are
+    SKIPPED (quarantine posture of every decode stage here); one input
+    row fans out to n_frames rows; partitioning carries through."""
+    id_name, bin_name = id_col, binary_col
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, ns, ws, hs, fpss, phs = [], [], [], [], [], [], []
+            for i, raw in zip(pdf[id_name], pdf[bin_name]):
+                if raw is None:
+                    continue
+                try:
+                    fps, frames = _parse_avi(bytes(raw))
+                except (NotImplementedError, ValueError):
+                    continue
+                for k, img in enumerate(frames):
+                    ids.append(int(i))
+                    idxs.append(k)
+                    ns.append(len(frames))
+                    ws.append(img.width)
+                    hs.append(img.height)
+                    fpss.append(fps)
+                    ph = pixel_phash(img)
+                    phs.append(ph - (1 << 64) if ph >= (1 << 63) else ph)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "n_frames": pd.array(ns, dtype="int32"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "fps": pd.array(fpss, dtype="float64"),
+                    "phash64": pd.array(phs, dtype="int64"),
+                }
+            )
+
+    return (
+        df.filter(F.col(binary_col).isNotNull())
+        .select(id_col, binary_col)
+        .mapInPandas(batches, DECODED_VIDEO_SCHEMA)
     )
