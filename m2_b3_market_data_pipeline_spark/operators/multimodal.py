@@ -1270,3 +1270,48 @@ def decoded_video_frame_features(
         .select(id_col, binary_col)
         .mapInPandas(batches, DECODED_VIDEO_SCHEMA)
     )
+
+
+def encode_image(img: DecodedImage, fmt: str) -> bytes:
+    """Image WRITE path: serialize a decoded RGB raster as
+    'bmp' (uncompressed 24-bit, bottom-up), 'ppm' (binary P6), or
+    'png' (8-bit RGB, filter 0, one zlib IDAT). The inverse of the
+    stdlib members of ``decode_image``'s chain — also the test-vector
+    generator for ``decoded_phash_check``, the differential gate that
+    gives the decode family driver-oracle evidence: any asymmetry
+    between an encoder here and its decoder breaks that hash match."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = img.width, img.height
+    rgb = np.frombuffer(img.pixels, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "ppm":
+        return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+    if fmt == "bmp":
+        row_size = (w * 3 + 3) & ~3
+        pix = bytearray()
+        for y in reversed(range(h)):  # bottom-up BGR, rows pad to 4
+            row = rgb[y, :, ::-1].tobytes()
+            pix += row + b"\x00" * (row_size - len(row))
+        header = b"BM" + struct.pack(
+            "<IHHI", 54 + len(pix), 0, 0, 54
+        ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+        return header + bytes(pix)
+    if fmt == "png":
+        def chunk(cid: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+    raise ValueError(f"unsupported image encode format {fmt!r}")

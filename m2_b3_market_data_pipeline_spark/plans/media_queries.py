@@ -80,3 +80,101 @@ def frame_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         fan_out(attach_binary(docs)), n_frames=4, frame_bytes=16
     )
     return frame_dedup(frames)
+
+
+@register(
+    "decoded_phash_check",
+    oracle="""
+WITH ids AS (
+    SELECT doc_id, abs(doc_id) AS hid
+    FROM documents WHERE doc_id IS NOT NULL
+),
+g AS (SELECT unnest(generate_series(0, 15)) AS i),
+px AS (
+    SELECT d.doc_id, x.i AS x, y.i AS y,
+           (d.hid * 31 + 7 * x.i + 13 * y.i) % 256 AS v
+    FROM ids d, g x, g y
+),
+cells AS (
+    SELECT doc_id, (y // 2) * 8 + (x // 2) AS cell, SUM(v) AS s
+    FROM px GROUP BY doc_id, (y // 2) * 8 + (x // 2)
+),
+tot AS (SELECT doc_id, SUM(s) AS t FROM cells GROUP BY doc_id),
+ph AS (
+    SELECT c.doc_id,
+           CAST(
+             SUM(CASE WHEN c.cell >= 1 AND c.s * 64 > t.t
+                      THEN (CAST(1 AS BIGINT) << (63 - c.cell)) ELSE 0 END)
+             + CASE WHEN MAX(CASE WHEN c.cell = 0 AND c.s * 64 > t.t
+                                 THEN 1 ELSE 0 END) = 1
+                    THEN -9223372036854775807 - 1 ELSE 0 END
+           AS BIGINT) AS phash64
+    FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+),
+hist AS (
+    SELECT doc_id,
+           COUNT(*) FILTER (v // 16 = 0)  / 256.0 AS hist_0,
+           COUNT(*) FILTER (v // 16 = 7)  / 256.0 AS hist_7,
+           COUNT(*) FILTER (v // 16 = 15) / 256.0 AS hist_15
+    FROM px GROUP BY doc_id
+)
+SELECT i.doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       ph.phash64, hist.hist_0, hist.hist_7, hist.hist_15
+FROM ids i JOIN ph USING (doc_id) JOIN hist USING (doc_id)
+ORDER BY i.doc_id
+""",
+)
+def decoded_phash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode family's DIFFERENTIAL oracle gate (r13): per doc, a
+    16x16 gray raster with the analytic pixel law
+    v(x, y) = (|doc_id|*31 + 7x + 13y) mod 256 is serialized by
+    ``encode_image`` into a format rotating by |doc_id| mod 3
+    (BMP / PPM / PNG), decoded back through the REAL
+    ``decode_image`` chain inside ``decoded_image_features``, and the
+    production 64-bit average-hash + luma-histogram bins come out.
+    The oracle recomputes both straight from the pixel law — never
+    seeing a byte of any container — so any encoder/decoder asymmetry,
+    row-order flip, channel swap, padding bug, or phash drift breaks
+    the hash match. Exactness holds because at 16x16 every division
+    the featurizers perform is by a power of two (cell mean /4, grid
+    mean /256, histogram /256): both engines compare exact doubles.
+    gray pixels make luma == v exactly ((299+587+114)v // 1000)."""
+    from ..operators.multimodal import (
+        DecodedImage,
+        decoded_image_features,
+        encode_image,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id").isNotNull())
+    )
+
+    def synth(it):
+        import numpy as np
+        import pandas as pd
+
+        xg, yg = np.meshgrid(np.arange(16), np.arange(16))
+        fmts = ("bmp", "ppm", "png")
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                hid = abs(int(i))
+                v = ((hid * 31 + 7 * xg + 13 * yg) % 256).astype(np.uint8)
+                rgb = np.repeat(v[:, :, None], 3, axis=2)
+                img = DecodedImage(16, 16, rgb.tobytes())
+                payloads.append(encode_image(img, fmts[hid % 3]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    wrapped = docs.mapInPandas(synth, "doc_id bigint, content binary")
+    feats = decoded_image_features(wrapped)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "phash64",
+        F.col("luma_hist")[0].alias("hist_0"),
+        F.col("luma_hist")[7].alias("hist_7"),
+        F.col("luma_hist")[15].alias("hist_15"),
+    )
