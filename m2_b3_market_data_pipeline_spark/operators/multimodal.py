@@ -1272,14 +1272,17 @@ def decoded_video_frame_features(
     )
 
 
-def encode_image(img: DecodedImage, fmt: str) -> bytes:
+def encode_image(img: DecodedImage, fmt: str, **kwargs) -> bytes:
     """Image WRITE path: serialize a decoded RGB raster as
-    'bmp' (uncompressed 24-bit, bottom-up), 'ppm' (binary P6), or
-    'png' (8-bit RGB, filter 0, one zlib IDAT). The inverse of the
-    stdlib members of ``decode_image``'s chain — also the test-vector
-    generator for ``decoded_phash_check``, the differential gate that
-    gives the decode family driver-oracle evidence: any asymmetry
-    between an encoder here and its decoder breaks that hash match."""
+    'bmp' (uncompressed 24-bit, bottom-up), 'ppm' (binary P6),
+    'png' (8-bit RGB, filter 0, one zlib IDAT), or 'jpeg'
+    (baseline-sequential, lossy; kwargs: quality / subsample / gray —
+    see ``_encode_jpeg_baseline``). The lossless three invert the
+    stdlib members of ``decode_image``'s chain exactly — they are also
+    the test-vector generator for ``decoded_phash_check``, the
+    differential gate that gives the decode family driver-oracle
+    evidence: any asymmetry between an encoder here and its decoder
+    breaks that hash match."""
     import struct
     import zlib
 
@@ -1314,4 +1317,306 @@ def encode_image(img: DecodedImage, fmt: str) -> bytes:
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b"")
         )
+    if fmt == "jpeg":
+        return _encode_jpeg_baseline(img, **kwargs)
     raise ValueError(f"unsupported image encode format {fmt!r}")
+
+
+# ITU T.81 Annex K.1/K.2 reference quantization tables (spec
+# constants, zigzag order) — the base the quality knob scales.
+_JPEG_QUANT_LUMA = (
+    16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+    26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+    56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+    95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+    103, 99,
+)
+_JPEG_QUANT_CHROMA = (
+    17, 18, 18, 24, 21, 24, 47, 26, 26, 47, 99, 66, 56, 66, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+
+def _jpeg_scaled_quant(base: tuple, quality: int):
+    """IJG quality scaling: Q<50 -> 5000/Q, else 200-2Q; entries
+    clamped to [1, 255]. Q=50 reproduces the Annex K base exactly."""
+    import numpy as np
+
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (np.asarray(base, dtype=np.int64) * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with T.81 byte stuffing (a produced
+    0xFF is followed by 0x00) and 1-padding on flush."""
+
+    __slots__ = ("buf", "acc", "n")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val: int, nbits: int) -> None:
+        for i in reversed(range(nbits)):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _jpeg_canonical(symbol_freq: dict) -> tuple:
+    """Kraft-safe canonical code assignment for the symbols actually
+    emitted: by descending frequency, the top 4 get 4-bit codes, the
+    next 12 get 8-bit, the rest 12-bit (sum 2^-len <= 0.25 + 0.047 +
+    240/4096 < 1 for any symbol set). Returns (codes {sym: (len,
+    code)}, DHT counts[16], DHT symbol list in code order)."""
+    used = sorted(symbol_freq, key=lambda s: (-symbol_freq[s], s)) or [0]
+    pairs = [
+        (sym, 4 if i < 4 else (8 if i < 16 else 12))
+        for i, sym in enumerate(used)
+    ]
+    pairs.sort(key=lambda sl: sl[1])
+    codes = {}
+    counts = [0] * 16
+    symbols = []
+    code = 0
+    last_len = pairs[0][1]
+    for sym, length in pairs:
+        code <<= length - last_len
+        codes[sym] = (length, code)
+        counts[length - 1] += 1
+        symbols.append(sym)
+        code += 1
+        last_len = length
+    return codes, counts, symbols
+
+
+def _encode_jpeg_baseline(
+    img: DecodedImage,
+    *,
+    quality: int = 90,
+    subsample: tuple = (1, 1),
+    gray: bool = False,
+) -> bytes:
+    """Baseline-sequential JPEG encode (ITU T.81 SOF0): level shift,
+    forward DCT via the same orthonormal basis the decoder inverts,
+    Annex-K quant tables under the IJG quality scale, canonical
+    Huffman tables built from this image's own symbol frequencies
+    (smaller and simpler than the Annex K defaults; any valid table
+    decodes identically), interleaved MCUs with byte stuffing.
+    ``subsample=(2, 2)`` gives 4:2:0 with box-mean chroma downsample;
+    ``gray`` emits a single-component stream. Lossy by nature — the
+    pixel-exact write formats are bmp/ppm/png; the analytic anchor is
+    that a solid gray whose DC is divisible by the scaled quant step
+    roundtrips exactly (pinned in tests)."""
+    import struct
+
+    import numpy as np
+
+    basis = _idct_8x8_matrix()  # forward: basis @ f @ basis.T
+    w, h = img.width, img.height
+    rgb = np.frombuffer(img.pixels, dtype=np.uint8).reshape(h, w, 3)
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    sh, sv = (1, 1) if gray else subsample
+
+    def pad_to(plane, ph, pw):
+        return np.pad(
+            plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+
+    def downsample(plane, fh, fv):
+        if fh == 1 and fv == 1:
+            return plane
+        ph = -(-plane.shape[0] // fv) * fv
+        pw = -(-plane.shape[1] // fh) * fh
+        p = pad_to(plane, ph, pw)
+        return p.reshape(ph // fv, fv, pw // fh, fh).mean(axis=(1, 3))
+
+    q_zz = {0: _jpeg_scaled_quant(_JPEG_QUANT_LUMA, quality)}
+    if not gray:
+        q_zz[1] = _jpeg_scaled_quant(_JPEG_QUANT_CHROMA, quality)
+    order = np.asarray(_JPEG_ZIGZAG)
+    q_rm = {}
+    for tq, zz in q_zz.items():
+        rm = np.zeros(64, dtype=np.float64)
+        rm[order] = zz
+        q_rm[tq] = rm.reshape(8, 8)
+
+    if gray:
+        comps = [(1, 1, 1, y, 0)]
+    else:
+        comps = [
+            (1, sh, sv, y, 0),
+            (2, 1, 1, downsample(cb, sh, sv), 1),
+            (3, 1, 1, downsample(cr, sh, sv), 1),
+        ]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = [
+        pad_to(plane, mcuy * v * 8, mcux * hh * 8)
+        for (_cid, hh, v, plane, _tq) in comps
+    ]
+
+    # pass 1: quantized zigzag blocks in interleaved emission order
+    stream = []
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (_cid, hh, v, _plane, tq) in enumerate(comps):
+            for by in range(v):
+                for bx in range(hh):
+                    y0, x0 = (my * v + by) * 8, (mx * hh + bx) * 8
+                    block = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    coeff = basis @ block @ basis.T
+                    zrm = np.round(coeff / q_rm[tq]).astype(np.int64)
+                    stream.append((ci, zrm.flatten()[order]))
+
+    def category(val: int) -> int:
+        t, a = 0, abs(int(val))
+        while a:
+            t += 1
+            a >>= 1
+        return t
+
+    # pass 2: tokenize (DC diffs + AC run/size), tally table freqs
+    ncomp = len(comps)
+    table_of = [0] + [1] * (ncomp - 1)
+    dc_freq: dict[int, dict] = {0: {}, 1: {}}
+    ac_freq: dict[int, dict] = {0: {}, 1: {}}
+    toks = []
+    preds = [0] * ncomp
+    for ci, zz in stream:
+        tid = table_of[ci]
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        t = category(diff)
+        dc_freq[tid][t] = dc_freq[tid].get(t, 0) + 1
+        toks.append((True, tid, t, diff))
+        run = 0
+        for k in range(1, 64):
+            val = int(zz[k])
+            if val == 0:
+                run += 1
+                continue
+            while run >= 16:
+                ac_freq[tid][0xF0] = ac_freq[tid].get(0xF0, 0) + 1
+                toks.append((False, tid, 0xF0, 0))
+                run -= 16
+            s = category(val)
+            sym = (run << 4) | s
+            ac_freq[tid][sym] = ac_freq[tid].get(sym, 0) + 1
+            toks.append((False, tid, sym, val))
+            run = 0
+        if run:
+            ac_freq[tid][0x00] = ac_freq[tid].get(0x00, 0) + 1
+            toks.append((False, tid, 0x00, 0))
+
+    table_ids = [0] if gray else [0, 1]
+    dc_tables, ac_tables = {}, {}
+    dht = bytearray()
+    for tid in table_ids:
+        for cls, freq, store in ((0, dc_freq[tid], dc_tables),
+                                 (1, ac_freq[tid], ac_tables)):
+            codes, counts, symbols = _jpeg_canonical(freq)
+            store[tid] = codes
+            seg = bytes([(cls << 4) | tid]) + bytes(counts) + bytes(symbols)
+            dht += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+
+    wtr = _JpegBitWriter()
+    for is_dc, tid, sym, val in toks:
+        table = dc_tables[tid] if is_dc else ac_tables[tid]
+        length, code = table[sym]
+        wtr.put(code, length)
+        t = sym & 0x0F if not is_dc else sym
+        if t:
+            wtr.put(val if val >= 0 else val + (1 << t) - 1, t)
+    wtr.flush()
+
+    out = bytearray(b"\xff\xd8")
+    for tq in table_ids:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(x) for x in q_zz[tq])
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for cid, hh, v, _plane, tq in comps:
+        sof += bytes([cid, (hh << 4) | v, tq])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += dht
+    sos = bytearray([ncomp])
+    for ci, (cid, *_rest) in enumerate(comps):
+        tid = table_of[ci]
+        sos += bytes([cid, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += wtr.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_video_mjpeg(
+    frames: list, *, fps: float = 10.0, quality: int = 90
+) -> bytes:
+    """Video WRITE path: a minimal RIFF/AVI container of MJPEG frames
+    (each ``DecodedImage`` encoded by ``_encode_jpeg_baseline``) —
+    the inverse of ``_parse_avi``'s compressed branch. All frames
+    must share dimensions (one 'vids' stream header)."""
+    import struct
+
+    if not frames:
+        raise ValueError("encode_video_mjpeg needs at least one frame")
+    w, h = frames[0].width, frames[0].height
+    if any((f.width, f.height) != (w, h) for f in frames):
+        raise ValueError("all MJPEG-AVI frames must share dimensions")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(subtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", subtype + body)
+
+    usec = int(round(1e6 / fps)) if fps > 0 else 0
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII", 0, 0, 0, 0, 1, max(int(round(fps)), 1), 0,
+            len(frames), 0, 0, 0,
+        )
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, struct.unpack("<I", b"MJPG")[0], 0, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(
+        b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+    ))
+    movi = lst(b"movi", b"".join(
+        chunk(b"00dc", _encode_jpeg_baseline(f, quality=quality))
+        for f in frames
+    ))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

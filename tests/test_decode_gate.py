@@ -75,3 +75,64 @@ def test_decoded_phash_check_matches_analytic_law(spark):
         assert (got[i]["width"], got[i]["height"]) == (16, 16)
         # histogram bins sum constraint: exact /256 doubles
         assert got[i]["hist_0"] * 256 == int(got[i]["hist_0"] * 256)
+
+
+def test_encode_image_jpeg_production_writer():
+    """The production baseline JPEG writer: decode(encode) dimension-
+    exact with bounded error at high quality, pixel-EXACT for the
+    solid-gray analytic anchor at Q50 (Annex-K base tables, DC
+    divisible by q00=16), and agreeing pixel-for-pixel with the
+    INDEPENDENT test encoder on that anchor."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage,
+        _decode_jpeg,
+        decode_image,
+        encode_image,
+    )
+    from tests.test_jpeg_decode import _encode_jpeg, _rgb_array, _smooth, _solid
+
+    rgb = _rgb_array(24, 16, _smooth)
+    img = DecodedImage(24, 16, rgb.tobytes())
+    for kwargs, bound in (
+        ({"quality": 95}, 6),
+        ({"quality": 75, "subsample": (2, 2)}, 24),
+    ):
+        back = decode_image(encode_image(img, "jpeg", **kwargs))
+        assert (back.width, back.height) == (24, 16)
+        got = np.frombuffer(back.pixels, dtype=np.uint8).astype(np.int64)
+        err = np.abs(got - np.frombuffer(img.pixels, np.uint8).astype(np.int64))
+        assert err.max() <= bound, (kwargs, err.max())
+
+    solid_rgb = _rgb_array(16, 16, _solid(160))
+    solid = DecodedImage(16, 16, solid_rgb.tobytes())
+    ours = _decode_jpeg(encode_image(solid, "jpeg", quality=50))
+    theirs = _decode_jpeg(_encode_jpeg(solid_rgb, luma_q=16, chroma_q=17))
+    assert ours.pixels == solid.pixels  # exact anchor
+    assert ours.pixels == theirs.pixels  # two encoders, one pixel truth
+
+    gray = decode_image(encode_image(solid, "jpeg", quality=50, gray=True))
+    assert gray.pixels == solid.pixels
+
+
+def test_encode_video_mjpeg_roundtrip():
+    """Production MJPEG-AVI writer parses back through _parse_avi with
+    fps and per-frame pixels (solid anchor: exact); the independent
+    test AVI writer wrapping the same JPEG bytes parses identically."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage,
+        _parse_avi,
+        encode_video_mjpeg,
+    )
+    from tests.test_jpeg_decode import _rgb_array, _solid
+
+    imgs = [
+        DecodedImage(16, 12, _rgb_array(16, 12, _solid(v)).tobytes())
+        for v in (160, 96, 144)  # all DC-divisible at Q50 -> exact
+    ]
+    fps, frames = _parse_avi(encode_video_mjpeg(imgs, fps=25, quality=50))
+    assert fps == pytest.approx(25.0)
+    assert [f.pixels for f in frames] == [i.pixels for i in imgs]
+    with pytest.raises(ValueError, match="share dimensions"):
+        encode_video_mjpeg([imgs[0], DecodedImage(8, 8, bytes(192))])
+    with pytest.raises(ValueError, match="at least one"):
+        encode_video_mjpeg([])

@@ -3,9 +3,8 @@ PNG / baseline-JPEG image decode through ``decoded_image_features``
 and MJPEG-AVI video decode through ``decoded_video_frame_features``.
 
 The probe synthesizes its corpus: per doc a 32x32 gradient raster
-serialized in a format rotating by doc_id (BMP, PPM, PNG via the
-production ``encode_image``; JPEG via the independent test encoder —
-the decode side under test is production code either way), written to
+serialized in a format rotating by doc_id (all four via the
+production ``encode_image``, JPEG at quality 85 / 4:2:0), written to
 a scratch parquet and replicated RX times with shifted doc_ids, the
 shape a 10x bigger crawl would land in. Then it times the decode +
 featurize pass at each scale and reports docs/sec.
@@ -42,11 +41,10 @@ def _build_payload(doc_id: int, fmt: str) -> bytes:
     xg, yg = np.meshgrid(np.arange(32), np.arange(32))
     v = ((doc_id * 31 + 7 * xg + 13 * yg) % 256).astype(np.uint8)
     rgb = np.repeat(v[:, :, None], 3, axis=2)
+    img = DecodedImage(32, 32, rgb.tobytes())
     if fmt == "jpeg":
-        from tests.test_jpeg_decode import _encode_jpeg
-
-        return _encode_jpeg(rgb, luma_q=4, chroma_q=4, subsample=(2, 2))
-    return encode_image(DecodedImage(32, 32, rgb.tobytes()), fmt)
+        return encode_image(img, fmt, quality=85, subsample=(2, 2))
+    return encode_image(img, fmt)
 
 
 def main() -> None:
@@ -117,12 +115,25 @@ def main() -> None:
             corpus.unpersist()
 
         # video: MJPEG AVIs, 4 frames each, 1/10th the doc count
-        from tests.test_avi_decode import _make_avi
+        from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+            DecodedImage,
+            encode_video_mjpeg,
+        )
 
+        xg, yg = np.meshgrid(np.arange(32), np.arange(32))
         vids = []
         for i in range(base_n // 10):
-            frames = [_build_payload(i * 4 + k, "jpeg") for k in range(4)]
-            vids.append((i, _make_avi(frames, width=32, height=32)))
+            frames = []
+            for k in range(4):
+                v = (((i * 4 + k) * 31 + 7 * xg + 13 * yg) % 256).astype(
+                    np.uint8
+                )
+                frames.append(
+                    DecodedImage(
+                        32, 32, np.repeat(v[:, :, None], 3, axis=2).tobytes()
+                    )
+                )
+            vids.append((i, encode_video_mjpeg(frames, quality=85)))
         vdf = spark.createDataFrame(
             vids, "doc_id bigint, content binary"
         ).repartition(32).persist()
