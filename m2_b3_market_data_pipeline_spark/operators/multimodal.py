@@ -823,6 +823,20 @@ def _idct_8x8_matrix():
 
 
 def _decode_jpeg(data: bytes) -> DecodedImage:
+    """Quarantine boundary for `_decode_jpeg_inner`: a malformed
+    stream must surface as ValueError — never struct.error or
+    IndexError from deep in the marker walk — so one bad payload can
+    only ever be SKIPPED by the featurizers, not fail the Spark task
+    (the r12-advice WAV lesson, applied to the whole parser)."""
+    import struct
+
+    try:
+        return _decode_jpeg_inner(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed JPEG stream: {exc}") from exc
+
+
+def _decode_jpeg_inner(data: bytes) -> DecodedImage:
     """Pure-stdlib baseline JPEG decode (ITU T.81 sequential DCT,
     SOF0/SOF1, 8-bit precision): marker walk -> DQT/DHT tables ->
     Huffman-coded MCUs with byte unstuffing and DRI restart markers ->
@@ -970,6 +984,9 @@ def _decode_jpeg(data: bytes) -> DecodedImage:
                 for bx in range(h):
                     zz = np.zeros(64, dtype=np.int64)
                     t = reader.decode_huffman(huff_dc[dc_id])
+                    if t > 15:  # 8-bit baseline caps DC category at 11;
+                        # a corrupt table must not build unbounded ints
+                        raise ValueError(f"invalid JPEG DC category {t}")
                     diff = _jpeg_extend(reader.receive(t), t)
                     preds[ci] += diff
                     zz[0] = preds[ci]

@@ -136,3 +136,36 @@ def test_encode_video_mjpeg_roundtrip():
         encode_video_mjpeg([imgs[0], DecodedImage(8, 8, bytes(192))])
     with pytest.raises(ValueError, match="at least one"):
         encode_video_mjpeg([])
+
+
+def test_jpeg_and_avi_quarantine_under_deterministic_fuzz():
+    """Mutated / truncated JPEG and AVI payloads must decode or raise
+    ValueError/NotImplementedError — never struct.error, IndexError,
+    or any other class that would escape the featurizers' quarantine
+    net and fail a whole Spark task on one bad payload."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage,
+        _parse_avi,
+        decode_image,
+        encode_image,
+        encode_video_mjpeg,
+    )
+    from tests.test_jpeg_decode import _rgb_array, _smooth
+
+    rgb = _rgb_array(16, 16, _smooth)
+    img = DecodedImage(16, 16, rgb.tobytes())
+    jpeg = bytearray(encode_image(img, "jpeg", quality=75))
+    avi = bytearray(encode_video_mjpeg([img, img], quality=75))
+
+    def probe(fn, payload):
+        try:
+            fn(bytes(payload))
+        except (ValueError, NotImplementedError):
+            pass  # the quarantine contract
+
+    for base, fn in ((jpeg, decode_image), (avi, _parse_avi)):
+        for i in range(1, 200):
+            flipped = bytearray(base)
+            flipped[(i * 7919) % len(flipped)] ^= 0xFF
+            probe(fn, flipped)
+            probe(fn, base[: (i * 131) % len(base)])  # truncation
