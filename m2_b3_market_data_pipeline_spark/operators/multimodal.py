@@ -1233,7 +1233,7 @@ def _parse_avi(data: bytes) -> tuple[float, list[DecodedImage]]:
 
 DECODED_VIDEO_SCHEMA = (
     "doc_id bigint, frame_idx int, n_frames int, width int, height int, "
-    "fps double, phash64 bigint"
+    "fps double, phash64 bigint, mean_luma double"
 )
 
 
@@ -1253,7 +1253,8 @@ def decoded_video_frame_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, idxs, ns, ws, hs, fpss, phs = [], [], [], [], [], [], []
+            ids, idxs, ns, ws, hs = [], [], [], [], []
+            fpss, phs, lms = [], [], []
             for i, raw in zip(pdf[id_name], pdf[bin_name]):
                 if raw is None:
                     continue
@@ -1268,8 +1269,14 @@ def decoded_video_frame_features(
                     ws.append(img.width)
                     hs.append(img.height)
                     fpss.append(fps)
-                    ph = pixel_phash(img)
+                    # one luma pass feeds phash AND the brightness
+                    # summary (the r12-advice shared-pass rule)
+                    luma = img.luma()
+                    ph = pixel_phash(img, luma=luma)
                     phs.append(ph - (1 << 64) if ph >= (1 << 63) else ph)
+                    # exact-int sum, ONE division — oracle-exact when
+                    # the pixel count is a power of two
+                    lms.append(float(luma.sum()) / luma.size)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -1279,6 +1286,7 @@ def decoded_video_frame_features(
                     "height": pd.array(hs, dtype="int32"),
                     "fps": pd.array(fpss, dtype="float64"),
                     "phash64": pd.array(phs, dtype="int64"),
+                    "mean_luma": pd.array(lms, dtype="float64"),
                 }
             )
 

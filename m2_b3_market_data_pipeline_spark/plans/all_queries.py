@@ -156,16 +156,17 @@ from .registry import ORACLES, QUERIES
 # not fail the suite; regenerating the list next round bumps it.
 CHECK_PRIORITY_BASIS_ROUND = 12
 CHECK_PRIORITY: list[str] = [
-    # --- Round 13 window, generated (basis r12): two newborns lead
+    # --- Round 13 window, generated (basis r12): three newborns lead
     # (semdedup_assign_witness — the semantic family's fifth-decade
-    # sampled witness, r12 verdict item 6; decoded_phash_check — the
-    # media-decode family's differential oracle gate), then pure
-    # rotation — the 13 r8-era rows at age 4 (predicate_surface ...
-    # triangle_coparts), then the oldest r9-era remainder
-    # alphabetical-within-round, anchor last. Budget: 189 rotating /
-    # 49 slots = 3.9 rounds.
+    # sampled witness, r12 verdict item 6; decoded_phash_check /
+    # decoded_video_check — the media-decode family's differential
+    # oracle gates, image and video), then pure rotation — the 13
+    # r8-era rows at age 4 (predicate_surface ... triangle_coparts),
+    # then the oldest r9-era remainder alphabetical-within-round,
+    # anchor last. Budget: 190 rotating / 49 slots = 3.9 rounds.
     "semdedup_assign_witness",
     "decoded_phash_check",
+    "decoded_video_check",
     "predicate_surface",
     "profile_events",
     "quantile_binning",
@@ -212,7 +213,6 @@ CHECK_PRIORITY: list[str] = [
     "source_kl_divergence",
     "token_pack",
     "training_shards",
-    "trending_daily",
     "refined_pipeline",
 ]
 

@@ -178,3 +178,72 @@ def decoded_phash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("luma_hist")[7].alias("hist_7"),
         F.col("luma_hist")[15].alias("hist_15"),
     )
+
+
+@register(
+    "decoded_video_check",
+    oracle="""
+WITH ids AS (
+    SELECT doc_id, abs(doc_id) AS hid
+    FROM documents WHERE doc_id IS NOT NULL
+),
+fr AS (SELECT unnest(generate_series(0, 3)) AS k)
+SELECT i.doc_id,
+       CAST(fr.k AS INT)                       AS frame_idx,
+       CAST(4 AS INT)                          AS n_frames,
+       CAST(16 AS INT)                         AS width,
+       CAST(16 AS INT)                         AS height,
+       CAST(10.0 AS DOUBLE)                    AS fps,
+       CAST(0 AS BIGINT)                       AS phash64,
+       CAST(128 + 2 * ((i.hid * 5 + fr.k * 3) % 32) AS DOUBLE) AS mean_luma
+FROM ids i, fr
+ORDER BY i.doc_id, frame_idx
+""",
+)
+def decoded_video_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO container + JPEG decoder's differential oracle gate
+    (r13): per doc a 4-frame MJPEG AVI whose frame k is SOLID gray
+    v(i, k) = 128 + 2*((|doc_id|*5 + 3k) mod 32) — every v is even, so
+    the frame's DC (8*(v-128)) is divisible by the Q50 Annex-K quant
+    step 16 and the lossy roundtrip is analytically EXACT: decoded
+    luma == v on every pixel. The production
+    ``decoded_video_frame_features`` then emits per-frame rows whose
+    mean_luma equals the law, phash64 is 0 (solid frames tie every
+    cell to the mean), fps/dims/frame-count pin the container walk.
+    The oracle computes all of it straight from the law — the whole
+    write-container -> parse-container -> entropy-decode -> IDCT ->
+    color-convert -> featurize chain is hash-checked driver evidence
+    (exact because mean over 256 pixels divides by a power of two)."""
+    from ..operators.multimodal import (
+        DecodedImage,
+        decoded_video_frame_features,
+        encode_video_mjpeg,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id").isNotNull())
+    )
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                hid = abs(int(i))
+                frames = [
+                    DecodedImage(
+                        16, 16,
+                        bytes([128 + 2 * ((hid * 5 + k * 3) % 32)]) * 768,
+                    )
+                    for k in range(4)
+                ]
+                payloads.append(
+                    encode_video_mjpeg(frames, fps=10.0, quality=50)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    wrapped = docs.mapInPandas(synth, "doc_id bigint, content binary")
+    return decoded_video_frame_features(wrapped)

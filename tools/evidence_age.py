@@ -89,6 +89,12 @@ TEST_PINNED: dict[str, str] = {
     # forms rotate, the witness posture is exercised at scale (SCALE.md)
     "pagerank_cosuppliers_subgraph": "pagerank_cosuppliers",
     "triangle_coparts_subgraph": "triangle_coparts",
+    "dedup_clusters_sample": "dedup_clusters",  # r13: budget for the two
+    # media-decode newborns (same md5-sample-below-signatures path; the
+    # sf10/sf100 witness evidence stands in SCALE.md §18/§22)
+    # sub-step of the rotating frame_dedup composite (r13, same budget
+    # move): sample_frames feeds frame_dedup's fold directly
+    "multimodal_frames": "frame_dedup",
     # family-duplicate market indicators (window/ratio variants)
     "indicator_returns": "indicator_bollinger",
     "indicator_rsi": "indicator_bollinger",
