@@ -169,3 +169,46 @@ def test_jpeg_and_avi_quarantine_under_deterministic_fuzz():
             flipped[(i * 7919) % len(flipped)] ^= 0xFF
             probe(fn, flipped)
             probe(fn, base[: (i * 131) % len(base)])  # truncation
+
+
+def test_lossless_and_wav_quarantine_under_deterministic_fuzz():
+    """The BMP/PPM/PNG/WAV parsers under the same 300-point flip +
+    truncation fuzz as JPEG/AVI: decode or ValueError/
+    NotImplementedError, nothing else escapes the quarantine net."""
+    import struct
+
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage,
+        _decode_wav,
+        decode_image,
+        encode_image,
+    )
+
+    rgb = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    img = DecodedImage(16, 16, rgb.tobytes())
+
+    def probe(fn, payload):
+        try:
+            fn(bytes(payload))
+        except (ValueError, NotImplementedError):
+            pass
+
+    for fmt in ("bmp", "ppm", "png"):
+        base = bytearray(encode_image(img, fmt))
+        for i in range(1, 300):
+            flipped = bytearray(base)
+            flipped[(i * 7919) % len(flipped)] ^= 0xFF
+            probe(decode_image, flipped)
+            probe(decode_image, base[: (i * 131) % len(base)])
+
+    wav = bytearray(
+        b"RIFF" + struct.pack("<I", 36 + 64) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 64) + bytes(64)
+    )
+    for i in range(1, 200):
+        flipped = bytearray(wav)
+        flipped[(i * 7919) % len(flipped)] ^= 0xFF
+        probe(_decode_wav, flipped)
+        probe(_decode_wav, wav[: (i * 13) % len(wav)])
