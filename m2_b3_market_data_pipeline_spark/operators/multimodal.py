@@ -15,7 +15,9 @@ BMP (``_decode_bmp``), binary PPM (``_decode_ppm``), PCM WAV
 sequential JPEG (``_decode_jpeg``, ITU T.81: Huffman entropy decode +
 matrix IDCT + chroma upsample), and the RIFF/AVI video container
 (``_parse_avi`` — MJPEG frames ride the JPEG decoder, '00db' frames
-the DIB layout) sit behind the PIL import-try, and the decoded-domain
+the DIB layout), and GIF87a/89a (``_parse_gif``: LZW, palettes,
+interlace, animation compositing with transparency + disposal) sit
+behind the PIL import-try, and the decoded-domain
 featurizers (``decoded_image_features`` — phash/luma over decoded
 pixels; ``decoded_frame_energy`` — per-frame RMS over decoded samples;
 ``decoded_video_frame_features`` — per-frame phash over decoded video
@@ -160,10 +162,12 @@ def decode_image(data: bytes) -> DecodedImage:
         return _decode_png(data)
     if data[:2] == b"\xff\xd8":
         return _decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(data)
     raise NotImplementedError(
         "no decoder for this payload: PIL absent and not an uncompressed "
-        "24-bit BMP / binary PPM / 8-bit PNG / baseline JPEG — byte-level "
-        "features apply (deterministic_features)"
+        "24-bit BMP / binary PPM / 8-bit PNG / baseline JPEG / GIF — "
+        "byte-level features apply (deterministic_features)"
     )
 
 
@@ -1258,8 +1262,12 @@ def decoded_video_frame_features(
             for i, raw in zip(pdf[id_name], pdf[bin_name]):
                 if raw is None:
                     continue
+                payload = bytes(raw)
                 try:
-                    fps, frames = _parse_avi(bytes(raw))
+                    if payload[:6] in (b"GIF87a", b"GIF89a"):
+                        fps, frames = _parse_gif(payload)  # animated GIF
+                    else:
+                        fps, frames = _parse_avi(payload)
                 except (NotImplementedError, ValueError):
                     continue
                 for k, img in enumerate(frames):
@@ -1344,6 +1352,8 @@ def encode_image(img: DecodedImage, fmt: str, **kwargs) -> bytes:
         )
     if fmt == "jpeg":
         return _encode_jpeg_baseline(img, **kwargs)
+    if fmt == "gif":
+        return _encode_gif(img)
     raise ValueError(f"unsupported image encode format {fmt!r}")
 
 
@@ -1645,3 +1655,297 @@ def encode_video_mjpeg(
     ))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, expected: int) -> bytearray:
+    """GIF's LZW variant (LSB-first bit packing, CLEAR/END codes,
+    code width growing to 12 bits as the dictionary fills): returns
+    palette indices. Stops after ``expected`` indices (some encoders
+    omit END); anything structurally invalid raises ValueError."""
+    if not (2 <= min_code <= 8):
+        raise ValueError(f"bad GIF LZW minimum code size {min_code}")
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            raise ValueError("truncated GIF LZW stream")
+        v = 0
+        for i in range(width):
+            v |= ((data[bitpos >> 3] >> (bitpos & 7)) & 1) << i
+            bitpos += 1
+        return v
+
+    table: list[bytes] = []
+    code_size = min_code + 1
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code + 1
+        prev = None
+
+    reset()
+    while len(out) < expected:
+        code = read(code_size)
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table) or code >= clear:
+                raise ValueError(f"invalid first GIF LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"GIF LZW code {code} beyond table")
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError(
+            f"GIF LZW stream ended early ({len(out)} < {expected} indices)"
+        )
+    return out[:expected]
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _parse_gif(data: bytes) -> tuple[float, list[DecodedImage]]:
+    """Pure-stdlib GIF87a/GIF89a parse -> (fps, frames): logical
+    screen + global color table, per-frame image descriptors with
+    local color tables, the GIF LZW decompressor above, Adam-free
+    4-pass interlace reorder, GCE transparency (transparent pixels
+    keep the canvas — the compositing rule animation relies on), and
+    disposal methods 0/1 (leave) and 2 (restore background). Frames
+    composite onto the logical-screen canvas, so partial-rect frames
+    come out full size, top-down RGB like every other decoder here.
+    Disposal 3 (restore previous) and malformed structures raise
+    ValueError — fail loud, never guess pixels. fps derives from the
+    mean GCE delay (centiseconds); 0.0 when no delay is present."""
+    import struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    width, height = struct.unpack_from("<HH", data, 6)
+    if width == 0 or height == 0:
+        raise ValueError(f"degenerate GIF dimensions {width}x{height}")
+    flags = data[10]
+    bg_index = data[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = data[pos : pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF global color table")
+        pos += 3 * n
+    canvas = np.zeros((height, width, 3), dtype=np.uint8)
+    if gct is not None and 3 * bg_index + 3 <= len(gct):
+        canvas[:] = np.frombuffer(
+            gct[3 * bg_index : 3 * bg_index + 3], dtype=np.uint8
+        )
+    frames: list[DecodedImage] = []
+    delays: list[int] = []
+    transparent: int | None = None
+    delay_cs = 0
+    disposal = 0
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(data) and data[p] != 0:
+            p += 1 + data[p]
+        if p >= len(data):
+            raise ValueError("unterminated GIF sub-blocks")
+        return p + 1
+
+    while pos < len(data):
+        marker = data[pos]
+        if marker == 0x3B:  # trailer
+            break
+        if marker == 0x21:  # extension
+            if pos + 2 > len(data):
+                raise ValueError("truncated GIF extension")
+            label = data[pos + 1]
+            body_at = pos + 2
+            if label == 0xF9 and body_at < len(data) and data[body_at] >= 4:
+                packed = data[body_at + 1]
+                disposal = (packed >> 2) & 0x7
+                if disposal == 3:
+                    raise ValueError(
+                        "GIF disposal 'restore previous' not supported"
+                    )
+                (delay_cs,) = struct.unpack_from("<H", data, body_at + 2)
+                transparent = data[body_at + 4] if packed & 1 else None
+            pos = skip_subblocks(body_at)
+        elif marker == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise ValueError("truncated GIF image descriptor")
+            fx, fy, fw, fh = struct.unpack_from("<HHHH", data, pos + 1)
+            iflags = data[pos + 9]
+            pos += 10
+            if fw == 0 or fh == 0 or fx + fw > width or fy + fh > height:
+                raise ValueError("GIF frame rect outside logical screen")
+            palette = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                palette = data[pos : pos + 3 * n]
+                if len(palette) < 3 * n:
+                    raise ValueError("truncated GIF local color table")
+                pos += 3 * n
+            if palette is None:
+                raise ValueError("GIF frame with no color table")
+            interlaced = bool(iflags & 0x40)
+            if pos >= len(data):
+                raise ValueError("truncated GIF image data")
+            min_code = data[pos]
+            pos += 1
+            chunks = []
+            while pos < len(data) and data[pos] != 0:
+                sz = data[pos]
+                chunk = data[pos + 1 : pos + 1 + sz]
+                if len(chunk) < sz:
+                    raise ValueError("truncated GIF data sub-block")
+                chunks.append(chunk)
+                pos += 1 + sz
+            if pos >= len(data):
+                raise ValueError("unterminated GIF image data")
+            pos += 1
+            idx = np.frombuffer(
+                _gif_lzw_decode(b"".join(chunks), min_code, fw * fh),
+                dtype=np.uint8,
+            ).reshape(fh, fw)
+            if interlaced:
+                rows = np.empty(fh, dtype=np.int64)
+                k = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    for y in range(start, fh, step):
+                        rows[y] = k
+                        k += 1
+                idx = idx[rows]
+            pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                raise ValueError("GIF pixel index beyond color table")
+            rect = canvas[fy : fy + fh, fx : fx + fw]
+            rgb = pal[idx]
+            if transparent is not None:
+                mask = idx != transparent
+                rect[mask] = rgb[mask]
+            else:
+                rect[:] = rgb
+            frames.append(DecodedImage(width, height, canvas.tobytes()))
+            delays.append(delay_cs)
+            if disposal == 2:  # restore background into the frame rect
+                if gct is not None and 3 * bg_index + 3 <= len(gct):
+                    rect[:] = np.frombuffer(
+                        gct[3 * bg_index : 3 * bg_index + 3], dtype=np.uint8
+                    )
+                else:
+                    rect[:] = 0
+            transparent = None
+            delay_cs = 0
+            disposal = 0
+        else:
+            raise ValueError(f"unknown GIF block marker 0x{marker:02x}")
+    if not frames:
+        raise ValueError("GIF contains no frames")
+    nonzero = [d for d in delays if d]
+    fps = 100.0 * len(nonzero) / sum(nonzero) if nonzero else 0.0
+    return fps, frames
+
+
+def _decode_gif(data: bytes) -> DecodedImage:
+    """First composited frame of a GIF — the still-image entry in
+    ``decode_image``'s chain (animations go through ``_parse_gif`` /
+    ``decoded_video_frame_features``)."""
+    _fps, frames = _parse_gif(data)
+    return frames[0]
+
+
+def _encode_gif(img: DecodedImage) -> bytes:
+    """GIF89a write path for PALETTE-EXPRESSIBLE rasters (<= 256
+    unique colors — the honest constraint; general images need color
+    quantization, which is a modeling choice this engine won't make
+    silently): palette = sorted unique colors, LZW literal emission
+    with a CLEAR before each code-width growth (the classic
+    uncompressed-GIF form every decoder accepts). Lossless by
+    construction, so it joins the ``decoded_phash_check`` rotation."""
+    import struct
+
+    import numpy as np
+
+    rgb = np.frombuffer(img.pixels, dtype=np.uint8).reshape(-1, 3)
+    colors, inverse = np.unique(rgb, axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        raise ValueError(
+            f"GIF encode needs <= 256 unique colors, got {colors.shape[0]}"
+        )
+    depth = max((colors.shape[0] - 1).bit_length(), 1)
+    ncol = 1 << depth
+    palette = np.zeros((ncol, 3), dtype=np.uint8)
+    palette[: colors.shape[0]] = colors
+    min_code = max(depth, 2)
+    clear = 1 << min_code
+    end = clear + 1
+
+    buf = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(val: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= val << nbits
+        nbits += width
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    cs = min_code + 1
+    put(clear, cs)
+    table_len = clear + 2
+    first = True
+    for ix in inverse:
+        if not first and table_len + 1 == (1 << cs):
+            put(clear, cs)
+            cs = min_code + 1
+            table_len = clear + 2
+            first = True
+        put(int(ix), cs)
+        if first:
+            first = False
+        else:
+            table_len += 1
+            if table_len == (1 << cs) and cs < 12:
+                cs += 1
+    put(end, cs)
+    if nbits:
+        buf.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", img.width, img.height)
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    out += palette.tobytes()
+    out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, img.width, img.height)
+    out += bytes([0, min_code])
+    for i in range(0, len(buf), 255):
+        chunk = buf[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3B"
+    return bytes(out)

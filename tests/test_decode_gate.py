@@ -29,7 +29,8 @@ def test_encode_image_roundtrips_all_formats():
         rng = np.random.default_rng(w * 100 + h)
         rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         img = DecodedImage(w, h, rgb.tobytes())
-        for fmt in ("bmp", "ppm", "png"):
+        # gif is valid here too: <= 256 pixels -> <= 256 unique colors
+        for fmt in ("bmp", "ppm", "png", "gif"):
             back = decode_image(encode_image(img, fmt))
             assert (back.width, back.height) == (w, h), fmt
             assert back.pixels == img.pixels, f"{fmt} {w}x{h}"
@@ -40,9 +41,9 @@ def test_encode_image_roundtrips_all_formats():
 def test_decoded_phash_check_matches_analytic_law(spark):
     """The registered differential gate reproduces the oracle's
     analytic phash for hand-computed doc ids, through each of the
-    three container formats (|id| mod 3 rotation), and its phash
-    values are exactly what pixel_phash computes on the raw raster —
-    the encode/decode hop is transparent."""
+    four container formats (|id| mod 4 rotation: BMP/PPM/PNG/GIF),
+    and its phash values are exactly what pixel_phash computes on the
+    raw raster — the encode/decode hop is transparent."""
     from m2_b3_market_data_pipeline_spark.operators.multimodal import pixel_phash
     from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
 
@@ -51,7 +52,7 @@ def test_decoded_phash_check_matches_analytic_law(spark):
     import tempfile, os
 
     with tempfile.TemporaryDirectory() as d:
-        ids = [0, 1, 2, 5, 17, 100]  # covers all three formats twice
+        ids = [0, 1, 2, 3, 5, 17, 100, 102]  # covers all four formats twice
         pq.write_table(
             pa.table(
                 {
