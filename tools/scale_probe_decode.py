@@ -3,8 +3,9 @@ PNG / baseline-JPEG image decode through ``decoded_image_features``
 and MJPEG-AVI video decode through ``decoded_video_frame_features``.
 
 The probe synthesizes its corpus: per doc a 32x32 gradient raster
-serialized in a format rotating by doc_id (all four via the
-production ``encode_image``, JPEG at quality 85 / 4:2:0), written to
+serialized in a format rotating by doc_id (all five via the
+production ``encode_image``, JPEG at quality 85 / 4:2:0; GIF rides
+the gray palette), written to
 a scratch parquet and replicated RX times with shifted doc_ids, the
 shape a 10x bigger crawl would land in. Then it times the decode +
 featurize pass at each scale and reports docs/sec.
@@ -59,11 +60,11 @@ def main() -> None:
 
     spark = get_spark("scale-probe-decode")
     base_n = 5000
-    fmts = ("bmp", "ppm", "png", "jpeg")
+    fmts = ("bmp", "ppm", "png", "jpeg", "gif")
     scratch = tempfile.mkdtemp(prefix="decode_probe_")
     try:
         rows = [
-            (i, fmts[i % 4], _build_payload(i, fmts[i % 4]))
+            (i, fmts[i % 5], _build_payload(i, fmts[i % 5]))
             for i in range(base_n)
         ]
         base = spark.createDataFrame(
