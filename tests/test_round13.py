@@ -218,7 +218,10 @@ def test_pil_decode_failure_falls_through_to_stdlib(monkeypatch):
     png = _make_png(5, 4, _grad)
     assert multimodal.decode_image(bmp).pixels == multimodal.decode_image(png).pixels
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"GIF89a not a supported payload")
+        # TIFF magic: a real format no stdlib path reads (GIF89a, the
+        # example before r13's GIF decoder, now dispatches and raises
+        # ValueError for malformed bodies instead)
+        multimodal.decode_image(b"II*\x00 not a supported payload")
 
 
 def test_phash_and_histogram_accept_shared_luma():
