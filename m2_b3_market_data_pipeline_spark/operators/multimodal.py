@@ -846,9 +846,9 @@ def _decode_jpeg_inner(data: bytes) -> DecodedImage:
     Huffman-coded MCUs with byte unstuffing and DRI restart markers ->
     dequantize -> dezigzag -> matrix IDCT (numpy) -> chroma upsample
     by pixel replication -> JFIF full-range YCbCr->RGB. Grayscale
-    (1 component) replicates to RGB; generic sampling factors
-    (4:4:4 / 4:2:2 / 4:2:0 / anything with h,v <= 4) are handled via
-    hmax/vmax plane replication. The compressed LOSSY member of the
+    (1 component) replicates to RGB; sampling factors whose h,v divide
+    hmax/vmax (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1) are handled via integer
+    plane replication — spec-legal non-divisor pairs raise ValueError. The compressed LOSSY member of the
     stdlib decode family — r12's verdict called JPEG "not reasonably
     stdlib"; it is ~250 lines of T.81. Progressive (SOF2),
     arithmetic-coded, lossless, 12-bit, and 4-component (CMYK)
@@ -962,6 +962,17 @@ def _decode_jpeg_inner(data: bytes) -> DecodedImage:
     vmax = max(c[2] for c in comps)
     if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
         raise ValueError(f"bad JPEG sampling factors (hmax={hmax}, vmax={vmax})")
+    for _cid, ch, cv, _tq in comps:
+        # upsampling is integer pixel replication (np.repeat by
+        # vmax//v, hmax//h), so each factor must divide the max —
+        # covers 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1; spec-legal non-divisor
+        # pairs (3 vs 2, 4 vs 3) raise instead of mis-shaping planes
+        # (r13 advice, low: fail explicitly, don't overstate coverage)
+        if ch < 1 or cv < 1 or hmax % ch or vmax % cv:
+            raise ValueError(
+                f"non-divisor JPEG sampling factors ({ch}x{cv} vs "
+                f"max {hmax}x{vmax}) not supported"
+            )
     mcux = -(-width // (8 * hmax))
     mcuy = -(-height // (8 * vmax))
     basis = _idct_8x8_matrix()
@@ -1724,7 +1735,32 @@ def _gif_lzw_decode(data: bytes, min_code: int, expected: int) -> bytearray:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+# GIF resource bounds (r13 advice, medium): the logical-screen header
+# alone sizes the canvas, so a tiny crafted payload could otherwise
+# demand a multi-GB allocation. Per-canvas pixels are capped both
+# absolutely and against what the payload's LZW data could possibly
+# emit (n codes of >=3 bits can decode to at most ~n^2/2 symbols —
+# dictionary strings grow by one per code); total decoded bytes across
+# an animation are capped so frame count can't multiply past memory.
+_GIF_MAX_CANVAS_PIXELS = 1 << 26  # 64M px = 192 MB RGB per frame
+_GIF_MAX_TOTAL_BYTES = 1 << 28  # 256 MB of composited frames/payload
+
+
 def _parse_gif(data: bytes) -> tuple[float, list[DecodedImage]]:
+    """Quarantine boundary for `_parse_gif_inner`: a malformed stream
+    must surface as ValueError — never struct.error or IndexError from
+    deep in the block walk — so one bad payload can only ever be
+    SKIPPED by the featurizers, not fail the Spark task (r13 advice,
+    high: the same wrapper `_decode_jpeg` already has)."""
+    import struct
+
+    try:
+        return _parse_gif_inner(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed GIF stream: {exc}") from exc
+
+
+def _parse_gif_inner(data: bytes) -> tuple[float, list[DecodedImage]]:
     """Pure-stdlib GIF87a/GIF89a parse -> (fps, frames): logical
     screen + global color table, per-frame image descriptors with
     local color tables, the GIF LZW decompressor above, Adam-free
@@ -1747,6 +1783,24 @@ def _parse_gif(data: bytes) -> tuple[float, list[DecodedImage]]:
     width, height = struct.unpack_from("<HH", data, 6)
     if width == 0 or height == 0:
         raise ValueError(f"degenerate GIF dimensions {width}x{height}")
+    # Resource bounds BEFORE the canvas allocation: absolute pixel cap,
+    # plus an LZW-feasibility cap — a payload of L bytes holds at most
+    # ~8L/3 codes (minimum code width 3 bits) and LZW output is at most
+    # quadratic in code count, so a header claiming far more pixels
+    # than the data could ever decode is rejected, not materialized
+    # (the BMP/DIB decoders' truncation check, adapted to compression).
+    if width * height > _GIF_MAX_CANVAS_PIXELS:
+        raise ValueError(
+            f"GIF logical screen {width}x{height} exceeds the "
+            f"{_GIF_MAX_CANVAS_PIXELS}-pixel canvas bound"
+        )
+    max_codes = (8 * len(data)) // 3
+    lzw_budget = max(4096, max_codes * (max_codes + 1) // 2)
+    if width * height > lzw_budget:
+        raise ValueError(
+            f"GIF logical screen {width}x{height} implausible for a "
+            f"{len(data)}-byte payload (LZW budget {lzw_budget} px)"
+        )
     flags = data[10]
     bg_index = data[11]
     pos = 13
@@ -1784,7 +1838,14 @@ def _parse_gif(data: bytes) -> tuple[float, list[DecodedImage]]:
                 raise ValueError("truncated GIF extension")
             label = data[pos + 1]
             body_at = pos + 2
-            if label == 0xF9 and body_at < len(data) and data[body_at] >= 4:
+            # GCE body spans bytes [body_at, body_at+4]; require them
+            # all (r13 advice, high: a truncated GCE must fail inside
+            # the ValueError quarantine, not via IndexError)
+            if (
+                label == 0xF9
+                and body_at + 5 <= len(data)
+                and data[body_at] >= 4
+            ):
                 packed = data[body_at + 1]
                 disposal = (packed >> 2) & 0x7
                 if disposal == 3:
@@ -1849,6 +1910,11 @@ def _parse_gif(data: bytes) -> tuple[float, list[DecodedImage]]:
                 rect[mask] = rgb[mask]
             else:
                 rect[:] = rgb
+            if (len(frames) + 1) * width * height * 3 > _GIF_MAX_TOTAL_BYTES:
+                raise ValueError(
+                    "GIF animation exceeds the "
+                    f"{_GIF_MAX_TOTAL_BYTES}-byte decoded-frames bound"
+                )
             frames.append(DecodedImage(width, height, canvas.tobytes()))
             delays.append(delay_cs)
             if disposal == 2:  # restore background into the frame rect

@@ -1,0 +1,137 @@
+"""Round-14 advice regressions: GIF quarantine boundary + resource
+bounds (r13 advice high/medium) and the JPEG non-divisor sampling
+guard (r13 advice low). Crafted payloads mirror the advice's verified
+reproducers: a truncated GCE, a 35-byte GIF claiming 8000x8000, and a
+max-dims header — all must surface as ValueError (the featurizers'
+quarantine net), never IndexError/struct.error/MemoryError."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from tests.test_gif_decode import _PALETTE16, _grid, _make_gif
+
+
+def _gif_header(width: int, height: int) -> bytes:
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + bytes([0x80 | 3, 0, 0])
+        + _PALETTE16
+    )
+
+
+def test_gif_truncated_gce_raises_valueerror():
+    """r13 advice (high): a GCE cut off after its size byte used to
+    read past the buffer (IndexError / struct.error escaping the
+    quarantine); it must now be a ValueError like every other
+    malformation."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import _parse_gif
+
+    hdr = _gif_header(8, 8)
+    for tail in (
+        bytes([0x21, 0xF9, 4]),  # size byte present, body missing
+        bytes([0x21, 0xF9, 4, 0x04]),  # packed byte only
+        bytes([0x21, 0xF9, 4, 0x04, 0x00]),  # cut mid-delay
+        bytes([0x21, 0xF9, 4, 0x04, 0x00, 0x00, 0x00]),  # cut at tindex
+        bytes([0x21]),  # extension introducer alone
+    ):
+        with pytest.raises(ValueError):
+            _parse_gif(hdr + tail)
+
+
+def test_gif_implausible_logical_screen_rejected():
+    """r13 advice (medium): a 35-byte GIF claiming 8000x8000 used to
+    materialize a 192 MB canvas per frame. The LZW-feasibility bound
+    (a payload of L bytes cannot decode to more than ~ (8L/3)^2/2
+    pixels) rejects it before any allocation."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import _parse_gif
+
+    tiny = (
+        b"GIF89a"
+        + struct.pack("<HH", 8000, 8000)
+        + bytes([0, 0, 0, 0x2C])
+        + struct.pack("<HHHH", 0, 0, 1, 1)
+        + bytes([0, 2, 1, 0x44, 0])
+        + b"\x3B"
+    )
+    assert len(tiny) < 64
+    with pytest.raises(ValueError, match="implausible|canvas bound"):
+        _parse_gif(tiny)
+
+
+def test_gif_absolute_canvas_cap():
+    """Max header dims (65535x65535 -> ~12.9 GB per frame) must be
+    rejected by the absolute canvas bound even when the payload is
+    large enough that the LZW budget alone would pass it."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import _parse_gif
+
+    big = (
+        b"GIF89a"
+        + struct.pack("<HH", 65535, 65535)
+        + bytes([0, 0, 0])
+        + b"\x00" * 2_000_000  # enough bytes to defeat the LZW budget
+    )
+    with pytest.raises(ValueError, match="canvas bound"):
+        _parse_gif(big)
+
+
+def test_gif_animation_total_bytes_cap():
+    """Frame-count multiplication is bounded too: the per-payload
+    decoded-frames cap fires once cumulative frames exceed it (the
+    advice's 'multiplied by frame count in the video featurizer'
+    escalation). 1024x1024 canvas = 3 MB/frame -> 86 frames clear
+    the 256 MB bound."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        _GIF_MAX_TOTAL_BYTES,
+        _parse_gif,
+    )
+
+    w = h = 1024
+    idx = np.zeros((1, 1), dtype=np.uint8)
+    n_frames = _GIF_MAX_TOTAL_BYTES // (w * h * 3) + 1
+    payload = _make_gif(
+        [(0, 0, idx, 1, None)] * n_frames, width=w, height=h
+    )
+    with pytest.raises(ValueError, match="decoded-frames bound"):
+        _parse_gif(payload)
+
+
+def test_gif_good_payloads_still_decode():
+    """The new bounds must not reject legitimate small GIFs (floor of
+    4096 px on the LZW budget) or real animations under the cap."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import _parse_gif
+
+    idx = _grid(16, 16)
+    fps, frames = _parse_gif(
+        _make_gif([(0, 0, idx, 5, None)] * 3, width=16, height=16)
+    )
+    assert len(frames) == 3 and frames[0].width == 16
+
+
+def test_jpeg_non_divisor_sampling_factors_raise_explicitly():
+    """r13 advice (low): spec-legal sampling pairs whose factors don't
+    divide hmax/vmax (3 vs 2) used to die in a shape mismatch; they
+    now raise the explicit non-divisor ValueError before entropy
+    decode, and the docstring no longer overstates coverage."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage,
+        _decode_jpeg,
+        encode_image,
+    )
+
+    rng = np.random.default_rng(14)
+    rgb = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    payload = bytearray(
+        encode_image(DecodedImage(24, 24, rgb.tobytes()), "jpeg")
+    )
+    sof = payload.index(b"\xff\xc0")
+    comp0_hv = sof + 10 + 1  # ncomp at sof+9; comp0 = (cid, hv, tq)
+    comp1_hv = comp0_hv + 3
+    payload[comp0_hv] = 0x31  # Y: h=3, v=1
+    payload[comp1_hv] = 0x21  # Cb: h=2, v=1 -> 3 % 2 != 0
+    with pytest.raises(ValueError, match="non-divisor"):
+        _decode_jpeg(bytes(payload))
