@@ -11,9 +11,11 @@ The container has no image/audio libraries. Since round 12 the decode
 step is REAL regardless: pure-stdlib parsers for uncompressed 24-bit
 BMP (``_decode_bmp``), binary PPM (``_decode_ppm``), PCM WAV
 (``_decode_wav``) and — round 13 — non-interlaced 8-bit RGB/RGBA PNG
-(``_decode_png``, stdlib zlib + the four row defilters), baseline
-sequential JPEG (``_decode_jpeg``, ITU T.81: Huffman entropy decode +
-matrix IDCT + chroma upsample), and the RIFF/AVI video container
+(``_decode_png``, stdlib zlib + the four row defilters), JPEG —
+baseline sequential AND (round 14) progressive with successive
+approximation (``_decode_jpeg``, ITU T.81 incl. Annex G: Huffman
+entropy decode + matrix IDCT + chroma upsample), and the RIFF/AVI
+video container
 (``_parse_avi`` — MJPEG frames ride the JPEG decoder, '00db' frames
 the DIB layout), and GIF87a/89a (``_parse_gif``: LZW, palettes,
 interlace, animation compositing with transparency + disposal) sit
@@ -132,8 +134,9 @@ def decode_image(data: bytes) -> DecodedImage:
     """Real decode. Chain: PIL when a container ships it (converted to
     the DecodedImage interface), else the pure-stdlib parsers for
     uncompressed 24-bit BMP, binary PPM (P6), non-interlaced 8-bit
-    PNG (r13), and baseline-sequential JPEG (r13) — EXERCISED in this
-    container (round 12+; the decode step is no longer stub-only).
+    PNG (r13), and JPEG — baseline-sequential (r13) AND progressive
+    (r14) — EXERCISED in this container (round 12+; the decode step
+    is no longer stub-only).
     Anything no path can read raises NotImplementedError and the
     byte-level deterministic_features stand-in applies.
 
@@ -166,7 +169,7 @@ def decode_image(data: bytes) -> DecodedImage:
         return _decode_gif(data)
     raise NotImplementedError(
         "no decoder for this payload: PIL absent and not an uncompressed "
-        "24-bit BMP / binary PPM / 8-bit PNG / baseline JPEG / GIF — "
+        "24-bit BMP / binary PPM / 8-bit PNG / JPEG / GIF — "
         "byte-level features apply (deterministic_features)"
     )
 
@@ -696,7 +699,6 @@ _JPEG_ZIGZAG = (
 )
 
 _JPEG_SOF_UNSUPPORTED = {
-    0xC2: "progressive DCT (SOF2)",
     0xC3: "lossless sequential (SOF3)",
     0xC5: "differential sequential (SOF5)",
     0xC6: "differential progressive (SOF6)",
@@ -841,22 +843,37 @@ def _decode_jpeg(data: bytes) -> DecodedImage:
 
 
 def _decode_jpeg_inner(data: bytes) -> DecodedImage:
-    """Pure-stdlib baseline JPEG decode (ITU T.81 sequential DCT,
-    SOF0/SOF1, 8-bit precision): marker walk -> DQT/DHT tables ->
-    Huffman-coded MCUs with byte unstuffing and DRI restart markers ->
-    dequantize -> dezigzag -> matrix IDCT (numpy) -> chroma upsample
-    by pixel replication -> JFIF full-range YCbCr->RGB. Grayscale
-    (1 component) replicates to RGB; sampling factors whose h,v divide
-    hmax/vmax (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1) are handled via integer
-    plane replication — spec-legal non-divisor pairs raise ValueError. The compressed LOSSY member of the
-    stdlib decode family — r12's verdict called JPEG "not reasonably
-    stdlib"; it is ~250 lines of T.81. Progressive (SOF2),
-    arithmetic-coded, lossless, 12-bit, and 4-component (CMYK)
-    streams raise ValueError — fail loud, never guess pixels.
+    """Pure-stdlib JPEG decode, baseline AND progressive (ITU T.81
+    SOF0/SOF1 sequential DCT + SOF2 progressive DCT, 8-bit precision):
+    marker walk -> DQT/DHT tables (redefinable between scans) -> one
+    or more entropy-coded scans accumulated into per-component
+    COEFFICIENT arrays -> dequantize -> dezigzag -> batched matrix
+    IDCT (one numpy matmul over every block at once) -> chroma
+    upsample by pixel replication -> JFIF full-range YCbCr->RGB.
 
-    Cost shape: entropy decode is a per-block Python loop and IDCT a
-    per-block 8x8 numpy matmul, all inside the caller's Arrow batch —
-    per-payload work, never task-serial, same posture as _decode_png."""
+    Progressive scans (r13 verdict item 1 — most real web JPEGs are
+    progressive) implement the full T.81 Annex G successive-
+    approximation ladder: interleaved/non-interleaved DC first scans
+    (point transform Al), DC refinement bits, per-component AC scans
+    with spectral selection Ss..Se and EOB-run coding, and AC
+    refinement scans with correction bits. DRI restart markers reset
+    DC predictors and the EOB run in every scan kind. Because every
+    scan only ever writes quantized coefficients, a fully-refined
+    progressive stream reconstructs the IDENTICAL coefficients a
+    baseline stream of the same quantized blocks carries — pinned by
+    the baseline-vs-progressive pixel-equality test.
+
+    Grayscale (1 component) replicates to RGB; sampling factors whose
+    h,v divide hmax/vmax (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1) are handled
+    via integer plane replication — spec-legal non-divisor pairs
+    raise ValueError. Arithmetic-coded, lossless, hierarchical,
+    12-bit, and 4-component (CMYK) streams raise ValueError — fail
+    loud, never guess pixels.
+
+    Cost shape: entropy decode is a per-block Python loop; IDCT is a
+    single broadcast matmul over (blocks_y, blocks_x, 8, 8), all
+    inside the caller's Arrow batch — per-payload work, never
+    task-serial, same posture as _decode_png."""
     import struct
 
     import numpy as np
@@ -867,18 +884,28 @@ def _decode_jpeg_inner(data: bytes) -> DecodedImage:
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (height, width, [(comp_id, h, v, tq), ...])
+    progressive = False
     restart_interval = 0
+    geom = None  # filled at first SOS
+    coefs = None  # per-comp zigzag coefficient arrays (pbh, pbw, 64)
+    preds = None
+    saw_scan = False
     pos = 2
-    scan = None
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at byte {pos}")
         marker = data[pos + 1]
         if marker == 0xFF:  # fill byte (T.81 B.1.1.2) — slide to marker
             pos += 1
             continue
-        if marker == 0xD9:  # EOI before any SOS
+        if marker == 0xD9:  # EOI
             break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            # stray RSTn / TEM between segments: standalone, no length
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG marker segment")
         (size,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + size]
         if len(body) < size - 2:
@@ -910,7 +937,9 @@ def _decode_jpeg_inner(data: bytes) -> DecodedImage:
                     counts, symbols
                 )
                 off += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: baseline & extended seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
+            if frame is not None:
+                raise ValueError("multiple JPEG SOF markers")
             precision = body[0]
             if precision != 8:
                 raise ValueError(
@@ -928,6 +957,7 @@ def _decode_jpeg_inner(data: bytes) -> DecodedImage:
                 hv = body[7 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * i]))
             frame = (height, width, comps)
+            progressive = marker == 0xC2
         elif marker in _JPEG_SOF_UNSUPPORTED or marker == 0xCC:
             raise ValueError(
                 "unsupported JPEG coding: "
@@ -938,6 +968,13 @@ def _decode_jpeg_inner(data: bytes) -> DecodedImage:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if geom is None:
+                geom = _jpeg_geometry(frame)
+                coefs = [
+                    np.zeros((pbh, pbw, 64), dtype=np.int32)
+                    for (pbh, pbw, _bh, _bw) in geom["blocks"]
+                ]
+                preds = [0] * len(frame[2])
             ns = body[0]
             scan = []  # (comp_idx, dc_table_id, ac_table_id)
             comp_ids = [c[0] for c in frame[2]]
@@ -947,86 +984,51 @@ def _decode_jpeg_inner(data: bytes) -> DecodedImage:
                 if cs not in comp_ids:
                     raise ValueError(f"JPEG scan references unknown comp {cs}")
                 scan.append((comp_ids.index(cs), tds >> 4, tds & 0x0F))
-            if ns != len(comp_ids):
-                raise ValueError("partial-scan JPEG not supported")
-            pos = pos + 2 + size
-            break  # entropy-coded data starts here
+            ss, se, a = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            if not progressive:
+                if ns != len(comp_ids):
+                    raise ValueError("partial-scan JPEG not supported")
+                ss, se, ah, al = 0, 63, 0, 0
+                preds = [0] * len(comp_ids)  # predictors reset per scan
+            pos = _jpeg_decode_scan(
+                data,
+                pos + 2 + size,
+                frame,
+                geom,
+                scan,
+                (ss, se, ah, al),
+                coefs,
+                preds,
+                huff_dc,
+                huff_ac,
+                restart_interval,
+                progressive,
+            )
+            saw_scan = True
+            continue
         # APPn / COM / others: skip
         pos += 2 + size
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("JPEG missing SOF/SOS")
     height, width, comps = frame
-    if height == 0 or width == 0:
-        raise ValueError(f"degenerate JPEG dimensions {width}x{height}")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
-        raise ValueError(f"bad JPEG sampling factors (hmax={hmax}, vmax={vmax})")
-    for _cid, ch, cv, _tq in comps:
-        # upsampling is integer pixel replication (np.repeat by
-        # vmax//v, hmax//h), so each factor must divide the max —
-        # covers 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1; spec-legal non-divisor
-        # pairs (3 vs 2, 4 vs 3) raise instead of mis-shaping planes
-        # (r13 advice, low: fail explicitly, don't overstate coverage)
-        if ch < 1 or cv < 1 or hmax % ch or vmax % cv:
-            raise ValueError(
-                f"non-divisor JPEG sampling factors ({ch}x{cv} vs "
-                f"max {hmax}x{vmax}) not supported"
-            )
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
+    hmax = geom["hmax"]
+    vmax = geom["vmax"]
     basis = _idct_8x8_matrix()
-    planes = []
-    for _cid, h, v, _tq in comps:
-        planes.append(np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64))
-    reader = _JpegBitReader(data, pos)
-    preds = [0] * len(comps)
-    rst_count = 0
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            reader.restart(rst_count)
-            rst_count = (rst_count + 1) & 7
-            preds = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for ci, dc_id, ac_id in scan:
-            _cid, h, v, tq = comps[ci]
-            if tq not in quant:
-                raise ValueError(f"JPEG references missing quant table {tq}")
-            if dc_id not in huff_dc or ac_id not in huff_ac:
-                raise ValueError("JPEG references missing Huffman table")
-            qt = quant[tq]
-            for by in range(v):
-                for bx in range(h):
-                    zz = np.zeros(64, dtype=np.int64)
-                    t = reader.decode_huffman(huff_dc[dc_id])
-                    if t > 15:  # 8-bit baseline caps DC category at 11;
-                        # a corrupt table must not build unbounded ints
-                        raise ValueError(f"invalid JPEG DC category {t}")
-                    diff = _jpeg_extend(reader.receive(t), t)
-                    preds[ci] += diff
-                    zz[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_huffman(huff_ac[ac_id])
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL: sixteen zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        zz[k] = _jpeg_extend(reader.receive(s), s)
-                        k += 1
-                    coeffs = np.zeros(64, dtype=np.float64)
-                    coeffs[list(_JPEG_ZIGZAG)] = zz * qt
-                    block = basis.T @ coeffs.reshape(8, 8) @ basis
-                    y0 = (my * v + by) * 8
-                    x0 = (mx * h + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
+    order = np.asarray(_JPEG_ZIGZAG)
     out_planes = []
-    for (_cid, h, v, _tq), plane in zip(comps, planes):
+    for ci, (_cid, h, v, tq) in enumerate(comps):
+        if tq not in quant:
+            raise ValueError(f"JPEG references missing quant table {tq}")
+        pbh, pbw = coefs[ci].shape[:2]
+        dq = coefs[ci].astype(np.float64) * quant[tq][None, None, :]
+        nat = np.empty_like(dq)
+        nat[:, :, order] = dq  # dezigzag every block at once
+        blocks = nat.reshape(pbh, pbw, 8, 8)
+        spatial = basis.T @ blocks @ basis  # broadcast IDCT over blocks
+        plane = (
+            spatial.transpose(0, 2, 1, 3).reshape(pbh * 8, pbw * 8) + 128.0
+        )
         up = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1)
         out_planes.append(up[:height, :width])
     if len(out_planes) == 1:
@@ -1041,6 +1043,260 @@ def _decode_jpeg_inner(data: bytes) -> DecodedImage:
             np.round(np.stack([r, g, b], axis=2)), 0, 255
         ).astype(np.uint8)
     return DecodedImage(width, height, rgb.tobytes())
+
+
+def _jpeg_geometry(frame: tuple) -> dict:
+    """Block geometry per T.81 A.1.1/A.2.4: MCU grid from the max
+    sampling factors; per component both the MCU-PADDED block dims
+    (interleaved scans cover them) and the TRUE block dims (ceil of
+    the component's own sample dims / 8 — non-interleaved scans cover
+    only these). Validates factor ranges and the divisor constraint
+    the upsampler needs (r13 advice, low)."""
+    height, width, comps = frame
+    if height == 0 or width == 0:
+        raise ValueError(f"degenerate JPEG dimensions {width}x{height}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not (1 <= hmax <= 4 and 1 <= vmax <= 4):
+        raise ValueError(f"bad JPEG sampling factors (hmax={hmax}, vmax={vmax})")
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    blocks = []
+    for _cid, ch, cv, _tq in comps:
+        if ch < 1 or cv < 1 or hmax % ch or vmax % cv:
+            # upsampling is integer pixel replication (np.repeat by
+            # vmax//v, hmax//h), so each factor must divide the max —
+            # spec-legal non-divisor pairs (3 vs 2) raise instead of
+            # mis-shaping planes (r13 advice, low)
+            raise ValueError(
+                f"non-divisor JPEG sampling factors ({ch}x{cv} vs "
+                f"max {hmax}x{vmax}) not supported"
+            )
+        cw = -(-width * ch // hmax)  # component sample dims (A.1.1)
+        chh = -(-height * cv // vmax)
+        blocks.append((mcuy * cv, mcux * ch, -(-chh // 8), -(-cw // 8)))
+    return {
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcux": mcux,
+        "mcuy": mcuy,
+        "blocks": blocks,  # per comp: (padded_bh, padded_bw, true_bh, true_bw)
+    }
+
+
+def _jpeg_decode_scan(
+    data: bytes,
+    pos: int,
+    frame: tuple,
+    geom: dict,
+    scan: list,
+    band: tuple,
+    coefs: list,
+    preds: list,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+    progressive: bool,
+) -> int:
+    """Decode one entropy-coded scan (baseline full-band, or any of
+    the four progressive scan kinds) into the per-component zigzag
+    coefficient arrays; returns the byte offset of the next marker.
+    Restart markers reset DC predictors AND the EOB run (T.81 G.1.2)."""
+    _height, _width, comps = frame
+    ss, se, ah, al = band
+    ns = len(scan)
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError(
+                "progressive JPEG scan cannot mix DC and AC bands "
+                f"(Ss={ss}, Se={se})"
+            )
+        if ss > 0 and ns != 1:
+            raise ValueError(
+                "progressive JPEG AC scan must be single-component"
+            )
+        if not (se < 64 and ss <= se and al < 14):
+            raise ValueError(f"bad progressive JPEG band (Ss={ss}, Se={se})")
+    dc_scan = ss == 0
+    # table presence scoped by scan kind: DC-refine scans use no
+    # Huffman table at all; AC scans never touch a DC table
+    tables = []
+    for ci, dc_id, ac_id in scan:
+        dc_tbl = ac_tbl = None
+        if not progressive:
+            if dc_id not in huff_dc or ac_id not in huff_ac:
+                raise ValueError("JPEG references missing Huffman table")
+            dc_tbl, ac_tbl = huff_dc[dc_id], huff_ac[ac_id]
+        elif dc_scan and ah == 0:
+            if dc_id not in huff_dc:
+                raise ValueError("JPEG references missing Huffman table")
+            dc_tbl = huff_dc[dc_id]
+        elif not dc_scan:
+            if ac_id not in huff_ac:
+                raise ValueError("JPEG references missing Huffman table")
+            ac_tbl = huff_ac[ac_id]
+        tables.append((ci, dc_tbl, ac_tbl))
+    reader = _JpegBitReader(data, pos)
+    state = {"eobrun": 0}
+    rst_count = 0
+
+    def decode_block(zz, ci, dc_tbl, ac_tbl):
+        if not progressive:
+            _jpeg_block_baseline(reader, zz, ci, dc_tbl, ac_tbl, preds)
+        elif dc_scan and ah == 0:
+            t = reader.decode_huffman(dc_tbl)
+            if t > 15:
+                raise ValueError(f"invalid JPEG DC category {t}")
+            preds[ci] += _jpeg_extend(reader.receive(t), t)
+            zz[0] = preds[ci] << al
+        elif dc_scan:
+            if reader.read_bit():
+                zz[0] |= 1 << al
+        elif ah == 0:
+            state["eobrun"] = _jpeg_block_ac_first(
+                reader, ac_tbl, zz, ss, se, al, state["eobrun"]
+            )
+        else:
+            state["eobrun"] = _jpeg_block_ac_refine(
+                reader, ac_tbl, zz, ss, se, al, state["eobrun"]
+            )
+
+    def maybe_restart(unit: int):
+        nonlocal rst_count
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.restart(rst_count)
+            rst_count = (rst_count + 1) & 7
+            for i in range(len(preds)):
+                preds[i] = 0
+            state["eobrun"] = 0
+
+    if ns > 1:  # interleaved: MCU order over padded block dims
+        mcux, mcuy = geom["mcux"], geom["mcuy"]
+        for m in range(mcux * mcuy):
+            maybe_restart(m)
+            my, mx = divmod(m, mcux)
+            for ci, dc_tbl, ac_tbl in tables:
+                _cid, ch, cv, _tq = comps[ci]
+                arr = coefs[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        decode_block(
+                            arr[my * cv + by, mx * ch + bx],
+                            ci,
+                            dc_tbl,
+                            ac_tbl,
+                        )
+    else:  # non-interleaved: raster order over the comp's TRUE dims
+        ci, dc_tbl, ac_tbl = tables[0]
+        _pbh, _pbw, bh, bw = geom["blocks"][ci]
+        arr = coefs[ci]
+        for b in range(bh * bw):
+            maybe_restart(b)
+            decode_block(arr[b // bw, b % bw], ci, dc_tbl, ac_tbl)
+
+    # advance to the next marker: skip stuffed FF00 pairs and any
+    # trailing pad bits; leave pos at the 0xFF of a real marker
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            return p
+        p += 2 if data[p] == 0xFF else 1
+    raise ValueError("JPEG scan data runs past end of stream")
+
+
+def _jpeg_block_baseline(reader, zz, ci, dc_tbl, ac_tbl, preds) -> None:
+    """T.81 F.2: one full sequential block — DC diff + AC run/size."""
+    t = reader.decode_huffman(dc_tbl)
+    if t > 15:  # 8-bit baseline caps DC category at 11; a corrupt
+        # table must not build unbounded ints
+        raise ValueError(f"invalid JPEG DC category {t}")
+    preds[ci] += _jpeg_extend(reader.receive(t), t)
+    zz[0] = preds[ci]
+    k = 1
+    while k < 64:
+        rs = reader.decode_huffman(ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run past block end")
+        zz[k] = _jpeg_extend(reader.receive(s), s)
+        k += 1
+
+
+def _jpeg_block_ac_first(reader, tbl, zz, ss, se, al, eobrun) -> int:
+    """T.81 G.1.2.2: first AC scan of a band — run/size coding with
+    EOBn run-length codes; new coefficients enter at magnitude << Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huffman(tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        zz[k] = _jpeg_extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _jpeg_block_ac_refine(reader, tbl, zz, ss, se, al, eobrun) -> int:
+    """T.81 G.1.2.3: AC refinement — newly-nonzero coefficients enter
+    at +-1<<Al; every already-nonzero coefficient passed on the way
+    reads one correction bit (adding 1<<Al toward its sign when the
+    bit is set and that bit position is still clear)."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huffman(tbl)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid JPEG AC refinement magnitude")
+                val = p1 if reader.read_bit() else -p1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.receive(r)
+                break  # correction tail below handles this block
+            # advance over r zero-history coefficients, correcting the
+            # nonzero-history ones encountered on the way (ZRL: r=15
+            # plus the terminating zero = 16 positions)
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB-run block: correction bits only
+            if zz[k] != 0:
+                if reader.read_bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def _decode_wav(data: bytes) -> tuple[int, int, list[int]]:
@@ -1363,6 +1619,8 @@ def encode_image(img: DecodedImage, fmt: str, **kwargs) -> bytes:
         )
     if fmt == "jpeg":
         return _encode_jpeg_baseline(img, **kwargs)
+    if fmt == "pjpeg":
+        return _encode_jpeg_progressive(img, **kwargs)
     if fmt == "gif":
         return _encode_gif(img)
     raise ValueError(f"unsupported image encode format {fmt!r}")
@@ -1450,26 +1708,24 @@ def _jpeg_canonical(symbol_freq: dict) -> tuple:
     return codes, counts, symbols
 
 
-def _encode_jpeg_baseline(
+def _jpeg_plan(
     img: DecodedImage,
     *,
     quality: int = 90,
     subsample: tuple = (1, 1),
     gray: bool = False,
-) -> bytes:
-    """Baseline-sequential JPEG encode (ITU T.81 SOF0): level shift,
-    forward DCT via the same orthonormal basis the decoder inverts,
-    Annex-K quant tables under the IJG quality scale, canonical
-    Huffman tables built from this image's own symbol frequencies
-    (smaller and simpler than the Annex K defaults; any valid table
-    decodes identically), interleaved MCUs with byte stuffing.
-    ``subsample=(2, 2)`` gives 4:2:0 with box-mean chroma downsample;
-    ``gray`` emits a single-component stream. Lossy by nature — the
-    pixel-exact write formats are bmp/ppm/png; the analytic anchor is
-    that a solid gray whose DC is divisible by the scaled quant step
-    roundtrips exactly (pinned in tests)."""
-    import struct
-
+) -> tuple:
+    """Shared encode planning for the baseline AND progressive JPEG
+    writers: level shift, forward DCT via the same orthonormal basis
+    the decoder inverts (one broadcast matmul over all blocks),
+    Annex-K quant under the IJG quality scale, zigzag. Returns
+    (comps, q_zz, blocks, geom) where comps = [(cid, h, v, tq)],
+    q_zz = {tq: zigzag quant table}, blocks[ci] is an int64
+    (padded_bh, padded_bw, 64) array of zigzag-quantized coefficients
+    and geom carries (hmax, vmax, mcux, mcuy, true (bh, bw) per comp).
+    The two writers differ only in scan structure — both serialize
+    these same quantized coefficients, which is what makes the
+    baseline-vs-progressive pixel-equality test meaningful."""
     import numpy as np
 
     basis = _idct_8x8_matrix()  # forward: basis @ f @ basis.T
@@ -1508,74 +1764,110 @@ def _encode_jpeg_baseline(
         q_rm[tq] = rm.reshape(8, 8)
 
     if gray:
-        comps = [(1, 1, 1, y, 0)]
+        planes = [(1, 1, 1, y, 0)]
     else:
-        comps = [
+        planes = [
             (1, sh, sv, y, 0),
             (2, 1, 1, downsample(cb, sh, sv), 1),
             (3, 1, 1, downsample(cr, sh, sv), 1),
         ]
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    padded = [
-        pad_to(plane, mcuy * v * 8, mcux * hh * 8)
-        for (_cid, hh, v, plane, _tq) in comps
-    ]
+    comps = []
+    blocks = []
+    true_dims = []
+    for cid, ch, cv, plane, tq in planes:
+        pbh, pbw = mcuy * cv, mcux * ch
+        padded = pad_to(plane, pbh * 8, pbw * 8) - 128.0
+        cells = padded.reshape(pbh, 8, pbw, 8).transpose(0, 2, 1, 3)
+        coeff = basis @ cells @ basis.T  # broadcast FDCT over blocks
+        zrm = np.round(coeff / q_rm[tq][None, None]).astype(np.int64)
+        blocks.append(zrm.reshape(pbh, pbw, 64)[:, :, order])
+        comps.append((cid, ch, cv, tq))
+        cw, chh = -(-w * ch // hmax), -(-h * cv // vmax)
+        true_dims.append((-(-chh // 8), -(-cw // 8)))
+    geom = {
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcux": mcux,
+        "mcuy": mcuy,
+        "true_dims": true_dims,
+    }
+    return comps, q_zz, blocks, geom
 
-    # pass 1: quantized zigzag blocks in interleaved emission order
-    stream = []
-    for m in range(mcux * mcuy):
-        my, mx = divmod(m, mcux)
-        for ci, (_cid, hh, v, _plane, tq) in enumerate(comps):
-            for by in range(v):
-                for bx in range(hh):
-                    y0, x0 = (my * v + by) * 8, (mx * hh + bx) * 8
-                    block = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                    coeff = basis @ block @ basis.T
-                    zrm = np.round(coeff / q_rm[tq]).astype(np.int64)
-                    stream.append((ci, zrm.flatten()[order]))
 
-    def category(val: int) -> int:
-        t, a = 0, abs(int(val))
-        while a:
-            t += 1
-            a >>= 1
-        return t
+def _jpeg_category(val: int) -> int:
+    t, a = 0, abs(int(val))
+    while a:
+        t += 1
+        a >>= 1
+    return t
 
-    # pass 2: tokenize (DC diffs + AC run/size), tally table freqs
+
+def _encode_jpeg_baseline(
+    img: DecodedImage,
+    *,
+    quality: int = 90,
+    subsample: tuple = (1, 1),
+    gray: bool = False,
+) -> bytes:
+    """Baseline-sequential JPEG encode (ITU T.81 SOF0): the shared
+    `_jpeg_plan` quantized blocks serialized as one interleaved
+    full-band scan — canonical Huffman tables built from this image's
+    own symbol frequencies (smaller and simpler than the Annex K
+    defaults; any valid table decodes identically), byte stuffing.
+    ``subsample=(2, 2)`` gives 4:2:0 with box-mean chroma downsample;
+    ``gray`` emits a single-component stream. Lossy by nature — the
+    pixel-exact write formats are bmp/ppm/png; the analytic anchor is
+    that a solid gray whose DC is divisible by the scaled quant step
+    roundtrips exactly (pinned in tests)."""
+    import struct
+
+    comps, q_zz, blocks, geom = _jpeg_plan(
+        img, quality=quality, subsample=subsample, gray=gray
+    )
+    mcux, mcuy = geom["mcux"], geom["mcuy"]
+
+    # tokenize (DC diffs + AC run/size) in interleaved MCU order,
+    # tallying per-table symbol frequencies
     ncomp = len(comps)
     table_of = [0] + [1] * (ncomp - 1)
     dc_freq: dict[int, dict] = {0: {}, 1: {}}
     ac_freq: dict[int, dict] = {0: {}, 1: {}}
     toks = []
     preds = [0] * ncomp
-    for ci, zz in stream:
-        tid = table_of[ci]
-        diff = int(zz[0]) - preds[ci]
-        preds[ci] = int(zz[0])
-        t = category(diff)
-        dc_freq[tid][t] = dc_freq[tid].get(t, 0) + 1
-        toks.append((True, tid, t, diff))
-        run = 0
-        for k in range(1, 64):
-            val = int(zz[k])
-            if val == 0:
-                run += 1
-                continue
-            while run >= 16:
-                ac_freq[tid][0xF0] = ac_freq[tid].get(0xF0, 0) + 1
-                toks.append((False, tid, 0xF0, 0))
-                run -= 16
-            s = category(val)
-            sym = (run << 4) | s
-            ac_freq[tid][sym] = ac_freq[tid].get(sym, 0) + 1
-            toks.append((False, tid, sym, val))
-            run = 0
-        if run:
-            ac_freq[tid][0x00] = ac_freq[tid].get(0x00, 0) + 1
-            toks.append((False, tid, 0x00, 0))
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for ci, (_cid, ch, cv, _tq) in enumerate(comps):
+            tid = table_of[ci]
+            for by in range(cv):
+                for bx in range(ch):
+                    zz = blocks[ci][my * cv + by, mx * ch + bx]
+                    diff = int(zz[0]) - preds[ci]
+                    preds[ci] = int(zz[0])
+                    t = _jpeg_category(diff)
+                    dc_freq[tid][t] = dc_freq[tid].get(t, 0) + 1
+                    toks.append((True, tid, t, diff))
+                    run = 0
+                    for k in range(1, 64):
+                        val = int(zz[k])
+                        if val == 0:
+                            run += 1
+                            continue
+                        while run >= 16:
+                            ac_freq[tid][0xF0] = ac_freq[tid].get(0xF0, 0) + 1
+                            toks.append((False, tid, 0xF0, 0))
+                            run -= 16
+                        s = _jpeg_category(val)
+                        sym = (run << 4) | s
+                        ac_freq[tid][sym] = ac_freq[tid].get(sym, 0) + 1
+                        toks.append((False, tid, sym, val))
+                        run = 0
+                    if run:
+                        ac_freq[tid][0x00] = ac_freq[tid].get(0x00, 0) + 1
+                        toks.append((False, tid, 0x00, 0))
 
     table_ids = [0] if gray else [0, 1]
     dc_tables, ac_tables = {}, {}
@@ -1602,9 +1894,10 @@ def _encode_jpeg_baseline(
     for tq in table_ids:
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
         out += bytes(int(x) for x in q_zz[tq])
-    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
-    for cid, hh, v, _plane, tq in comps:
-        sof += bytes([cid, (hh << 4) | v, tq])
+    sof = bytearray([8]) + struct.pack(">HH", img.height, img.width)
+    sof += bytes([ncomp])
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     out += dht
     sos = bytearray([ncomp])
@@ -1616,6 +1909,269 @@ def _encode_jpeg_baseline(
     out += wtr.buf
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _encode_jpeg_progressive(
+    img: DecodedImage,
+    *,
+    quality: int = 90,
+    subsample: tuple = (1, 1),
+    gray: bool = False,
+    max_scans: int | None = None,
+) -> bytes:
+    """Progressive JPEG encode (ITU T.81 SOF2, Annex G): the SAME
+    `_jpeg_plan` quantized blocks as the baseline writer, serialized
+    through a scan script exercising every progressive scan kind —
+    interleaved DC first scan at Al>0, spectral-selection AC first
+    scans, AC successive-approximation refinement (EOB runs with
+    buffered correction bits), and the Huffman-free DC refinement
+    scan. The script refines every band down to Al=0, so the decoder
+    reconstructs coefficients IDENTICAL to the baseline stream's and
+    the two writers are pixel-equal end to end (the equivalence test's
+    anchor; also what makes solid-gray payloads analytically exact for
+    the driver-oracle gate). Per-scan canonical Huffman tables are
+    rebuilt from that scan's own symbols and emitted as a fresh DHT
+    before each SOS (table ids reused — T.81 allows redefinition)."""
+    import struct
+
+    comps, q_zz, blocks, geom = _jpeg_plan(
+        img, quality=quality, subsample=subsample, gray=gray
+    )
+    ncomp = len(comps)
+    if ncomp == 1:
+        script = [
+            ("dc_first", list(range(ncomp)), 0, 0, 0, 1),
+            ("ac_first", [0], 1, 5, 0, 2),
+            ("ac_first", [0], 6, 63, 0, 2),
+            ("ac_refine", [0], 1, 63, 2, 1),
+            ("dc_refine", list(range(ncomp)), 0, 0, 1, 0),
+            ("ac_refine", [0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ("dc_first", list(range(ncomp)), 0, 0, 0, 1),
+            ("ac_first", [0], 1, 5, 0, 2),
+            ("ac_first", [1], 1, 63, 0, 1),
+            ("ac_first", [2], 1, 63, 0, 1),
+            ("ac_first", [0], 6, 63, 0, 2),
+            ("ac_refine", [0], 1, 63, 2, 1),
+            ("dc_refine", list(range(ncomp)), 0, 0, 1, 0),
+            ("ac_refine", [0], 1, 63, 1, 0),
+            ("ac_refine", [1], 1, 63, 1, 0),
+            ("ac_refine", [2], 1, 63, 1, 0),
+        ]
+
+    out = bytearray(b"\xff\xd8")
+    for tq in sorted(q_zz):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(x) for x in q_zz[tq])
+    sof = bytearray([8]) + struct.pack(">HH", img.height, img.width)
+    sof += bytes([ncomp])
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+
+    # max_scans truncates the script AFTER the DC scan (a legal,
+    # coarse progressive stream — how browsers render mid-download);
+    # tests use it to pin that partially-refined streams still decode
+    for kind, cis, ss, se, ah, al in script[:max_scans]:
+        if kind == "dc_first":
+            toks = _ptoks_dc_first(blocks, comps, cis, geom, al)
+            tbl_class = 0
+        elif kind == "dc_refine":
+            toks = _ptoks_dc_refine(blocks, comps, cis, geom, al)
+            tbl_class = 0
+        elif kind == "ac_first":
+            toks = _ptoks_ac_first(blocks[cis[0]], geom["true_dims"][cis[0]],
+                                   ss, se, al)
+            tbl_class = 1
+        else:
+            toks = _ptoks_ac_refine(blocks[cis[0]], geom["true_dims"][cis[0]],
+                                    ss, se, al)
+            tbl_class = 1
+        freq: dict[int, int] = {}
+        for t in toks:
+            if t[0] == 0:
+                freq[t[1]] = freq.get(t[1], 0) + 1
+        codes = None
+        if freq:
+            codes, counts, symbols = _jpeg_canonical(freq)
+            seg = bytes([(tbl_class << 4) | 0]) + bytes(counts)
+            seg += bytes(symbols)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+        sos = bytearray([len(cis)])
+        for ci in cis:
+            sos += bytes([comps[ci][0], 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        wtr = _JpegBitWriter()
+        for t in toks:
+            if t[0] == 0:
+                length, code = codes[t[1]]
+                wtr.put(code, length)
+            else:
+                wtr.put(t[1], t[2])
+        wtr.flush()
+        out += wtr.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# progressive scan tokenizers: tokens are (0, huff_symbol) or
+# (1, bits_value, nbits) — the symbol stream is independent of the
+# Huffman code assignment, so each scan tallies then emits.
+
+
+def _ptoks_dc_first(blocks, comps, cis, geom, al) -> list:
+    """T.81 G.1.2.1: DC first scan — diffs of the point-transformed
+    (arithmetic >> Al) DC values, interleaved MCU order when ns > 1,
+    raster order over true dims for a single-component scan."""
+    toks = []
+    preds = {ci: 0 for ci in cis}
+
+    def one(ci, zz):
+        v = int(zz[0]) >> al
+        diff = v - preds[ci]
+        preds[ci] = v
+        t = _jpeg_category(diff)
+        toks.append((0, t))
+        if t:
+            toks.append((1, diff if diff >= 0 else diff + (1 << t) - 1, t))
+
+    _pscan_blocks(blocks, comps, cis, geom, one)
+    return toks
+
+
+def _ptoks_dc_refine(blocks, comps, cis, geom, al) -> list:
+    """T.81 G.1.2.1: DC refinement — one raw bit per block (bit Al of
+    the arithmetic-shifted DC); no Huffman symbols at all."""
+    toks = []
+    _pscan_blocks(
+        blocks, comps, cis, geom,
+        lambda ci, zz: toks.append((1, (int(zz[0]) >> al) & 1, 1)),
+    )
+    return toks
+
+
+def _pscan_blocks(blocks, comps, cis, geom, fn) -> None:
+    """Visit blocks in the scan order the decoder expects: interleaved
+    MCU order over MCU-padded dims (ns > 1), else raster order over
+    the component's true block dims."""
+    if len(cis) > 1:
+        mcux, mcuy = geom["mcux"], geom["mcuy"]
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci in cis:
+                _cid, ch, cv, _tq = comps[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        fn(ci, blocks[ci][my * cv + by, mx * ch + bx])
+    else:
+        ci = cis[0]
+        bh, bw = geom["true_dims"][ci]
+        for b in range(bh * bw):
+            fn(ci, blocks[ci][b // bw, b % bw])
+
+
+def _ptoks_ac_first(comp_blocks, dims, ss, se, al) -> list:
+    """T.81 G.1.2.2: AC first scan over one component's true block
+    dims — run/size with EOBn codes batching all-zero bands."""
+    toks = []
+    bh, bw = dims
+    eobrun = 0
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            toks.append((0, nb << 4))
+            if nb:
+                toks.append((1, eobrun - (1 << nb), nb))
+            eobrun = 0
+
+    for b in range(bh * bw):
+        zz = comp_blocks[b // bw, b % bw]
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            t = (v >> al) if v >= 0 else -((-v) >> al)
+            if t == 0:
+                run += 1
+                continue
+            flush()
+            while run > 15:
+                toks.append((0, 0xF0))
+                run -= 16
+            s = _jpeg_category(t)
+            toks.append((0, (run << 4) | s))
+            toks.append((1, t if t >= 0 else t + (1 << s) - 1, s))
+            run = 0
+        if run:  # band ends in zeros (or is entirely zero): EOB run
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+    return toks
+
+
+def _ptoks_ac_refine(comp_blocks, dims, ss, se, al) -> list:
+    """T.81 G.1.2.3: AC refinement scan — newly-nonzero coefficients
+    (|v| >> Al == 1) emit (run<<4)|1 + sign; already-nonzero ones emit
+    buffered correction bits, flushed positionally after each emitted
+    symbol so the decoder's advance walk reads them in order; trailing
+    zero runs fold into EOB runs whose correction bits ride along."""
+    toks = []
+    bh, bw = dims
+    eobrun = 0
+    pending: list = []  # correction bits buffered across the EOB run
+
+    def flush():
+        nonlocal eobrun
+        if eobrun:
+            nb = eobrun.bit_length() - 1
+            toks.append((0, nb << 4))
+            if nb:
+                toks.append((1, eobrun - (1 << nb), nb))
+            eobrun = 0
+        toks.extend(pending)
+        pending.clear()
+
+    for b in range(bh * bw):
+        zz = comp_blocks[b // bw, b % bw]
+        vals = [int(zz[k]) for k in range(ss, se + 1)]
+        ts = [abs(v) >> al for v in vals]
+        eob = 0  # band index just past the last newly-nonzero coef
+        for i, t in enumerate(ts):
+            if t == 1:
+                eob = i + 1
+        run = 0
+        br: list = []  # correction bits since the last emitted symbol
+        for i, (v, t) in enumerate(zip(vals, ts)):
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and i < eob:
+                flush()
+                toks.append((0, 0xF0))
+                run -= 16
+                toks.extend(br)
+                br = []
+            if t > 1:  # already nonzero: buffer its correction bit
+                br.append((1, t & 1, 1))
+                continue
+            flush()
+            toks.append((0, (run << 4) | 1))
+            toks.append((1, 1 if v > 0 else 0, 1))
+            toks.extend(br)
+            br = []
+            run = 0
+        if run or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF or len(pending) > 900:
+                flush()
+    flush()
+    return toks
 
 
 def encode_video_mjpeg(

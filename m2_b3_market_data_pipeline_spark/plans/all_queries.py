@@ -154,65 +154,62 @@ from .registry import ORACLES, QUERIES
 # against. The equality pin computes front_load over files <= this
 # round, so the DRIVER landing the current round's file mid-round does
 # not fail the suite; regenerating the list next round bumps it.
-CHECK_PRIORITY_BASIS_ROUND = 12
+CHECK_PRIORITY_BASIS_ROUND = 13
 CHECK_PRIORITY: list[str] = [
-    # --- Round 13 window, generated (basis r12): three newborns lead
-    # (semdedup_assign_witness — the semantic family's fifth-decade
-    # sampled witness, r12 verdict item 6; decoded_phash_check /
-    # decoded_video_check — the media-decode family's differential
-    # oracle gates, image and video), then pure rotation — the 13
-    # r8-era rows at age 4 (predicate_surface ... triangle_coparts),
-    # then the oldest r9-era remainder alphabetical-within-round,
-    # anchor last. Budget: 190 rotating / 49 slots = 3.9 rounds.
-    "semdedup_assign_witness",
-    "decoded_phash_check",
-    "decoded_video_check",
-    "predicate_surface",
-    "profile_events",
-    "quantile_binning",
-    "regex_functions",
-    "repetition_stats",
-    "retention_cohorts",
-    "salted_skew_agg",
-    "salted_skew_join",
-    "sample_per_group",
-    "set_ops",
-    "source_temperature_weights",
-    "tfidf_top_terms",
-    "triangle_coparts",
-    "asset_aggregates",
-    "bm25_topk",
-    "coalesce_duplicates",
-    "containment_pairs",
-    "corpus_mixture",
-    "correlation_matrix",
-    "date_functions",
-    "dedup_exact",
-    "doc_fingerprint",
-    "enrich_join",
-    "filter_sort_limit",
-    "fuzzy_name_match",
-    "jl_project_norms",
-    "json_extract",
-    "json_parse_audit",
-    "lang_id",
-    "leakage_safe_split",
-    "markov_transitions",
-    "minhash_dedup",
-    "ngram_jaccard",
-    "null_scalars",
-    "partial_agg_merge",
-    "percentile_binning",
-    "phash_near_dups",
-    "quality_score",
-    "scalar_subquery",
-    "scd2_user_values",
-    "semdedup_k_scaled",
-    "sessionize_stats",
-    "sliding_window",
-    "source_kl_divergence",
-    "token_pack",
-    "training_shards",
+    # --- Round 14 window, generated (basis r13): one newborn leads
+    # (decoded_pjpeg_check — progressive JPEG's differential oracle
+    # gate, closing the r13 verdict's top item), then pure rotation:
+    # the r10-era rows at age 4 oldest-first alphabetical-within-round,
+    # anchor last. Budget: 191 rotating / 49 slots = 3.9 rounds.
+    "decoded_pjpeg_check",
+    "trending_daily",
+    "value_histogram",
+    "window_distribution",
+    "window_running_total",
+    "zscore_anomalies",
+    "approx_distinct_check",
+    "approx_quantile_check",
+    "audio_frame_energy",
+    "balanced_sample",
+    "boilerplate_frac",
+    "cluster_size_histogram",
+    "dedup_rate_by_source",
+    "dup_ngram_spans",
+    "embed_quantize",
+    "frame_dedup",
+    "incremental_near_dedup",
+    "indicator_vwap_drawdown",
+    "kmeans_clusters",
+    "label_centroids",
+    "mixture_rebalance",
+    "mmr_recall_check",
+    "multimodal_meta",
+    "nb_hashed",
+    "normalized_vectors",
+    "orc_roundtrip",
+    "q11_partsupp",
+    "q16_partsupp",
+    "q1_pricing_summary",
+    "q20_partsupp",
+    "realized_volatility",
+    "refined_write_roundtrip",
+    "rolling_mean_7",
+    "seasonal_backtest",
+    "select_limit",
+    "simhash_near_dups",
+    "snapshot_diff",
+    "string_functions",
+    "text_stats",
+    "top_bigram_frac",
+    "union_all",
+    "unpivot_metrics",
+    "weighted_sample",
+    "zorder_keys",
+    "ann_recall_check",
+    "ann_topk_lsh",
+    "asof_join_quotes",
+    "bigram_pmi",
+    "bloom_decontaminate_check",
     "refined_pipeline",
 ]
 

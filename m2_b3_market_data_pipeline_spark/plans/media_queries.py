@@ -182,6 +182,92 @@ def decoded_phash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decoded_pjpeg_check",
+    oracle="""
+WITH ids AS (
+    SELECT doc_id, abs(doc_id) AS hid
+    FROM documents WHERE doc_id IS NOT NULL
+),
+law AS (
+    SELECT doc_id, 128 + 2 * ((hid * 11 + 5) % 32) AS v FROM ids
+)
+SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(0 AS BIGINT) AS phash64,
+       CAST(CASE WHEN v // 16 = 8  THEN 1.0 ELSE 0.0 END AS DOUBLE) AS hist_8,
+       CAST(CASE WHEN v // 16 = 9  THEN 1.0 ELSE 0.0 END AS DOUBLE) AS hist_9,
+       CAST(CASE WHEN v // 16 = 10 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS hist_10,
+       CAST(CASE WHEN v // 16 = 11 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS hist_11
+FROM law ORDER BY doc_id
+""",
+)
+def decoded_pjpeg_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG's differential oracle gate (r14, closing r13
+    verdict item 1): per doc a SOLID 16x16 gray raster with the law
+    v = 128 + 2*((|doc_id|*11 + 5) mod 32) — every v is even, so the
+    quantized DC (8*(v-128)/16 = (v-128)/2) is an exact integer and
+    the whole ten-scan successive-approximation ladder (DC first scan
+    at Al=1, spectral-selection AC scans, AC refinement with EOB runs,
+    the Huffman-free DC refinement) reconstructs every pixel EXACTLY.
+    The payload rotates by |doc_id| mod 2 between the single-component
+    grayscale script (6 scans, non-interleaved DC) and the 4:2:0 color
+    script (10 scans, interleaved DC + per-component AC scans), so
+    both Annex G scan-order paths are hash-checked. The oracle
+    recomputes width/height, phash64 = 0 (solid frames tie every cell
+    to the mean) and the one lit luma-histogram bin (v // 16 in 8..11;
+    256/256 = 1.0 is an exact double) straight from the law — it never
+    sees a single encoded byte, so any asymmetry anywhere in the
+    progressive encode -> multi-scan decode -> IDCT -> color-convert ->
+    featurize chain breaks the hash match."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        DecodedImage,
+        decoded_image_features,
+        encode_image,
+    )
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id").isNotNull())
+    )
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                hid = abs(int(i))
+                v = 128 + 2 * ((hid * 11 + 5) % 32)
+                img = DecodedImage(
+                    16, 16, np.full((16, 16, 3), v, np.uint8).tobytes()
+                )
+                if hid % 2:
+                    payloads.append(
+                        encode_image(img, "pjpeg", quality=50, subsample=(2, 2))
+                    )
+                else:
+                    payloads.append(
+                        encode_image(img, "pjpeg", quality=50, gray=True)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    wrapped = docs.mapInPandas(synth, "doc_id bigint, content binary")
+    feats = decoded_image_features(wrapped)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "phash64",
+        F.col("luma_hist")[8].alias("hist_8"),
+        F.col("luma_hist")[9].alias("hist_9"),
+        F.col("luma_hist")[10].alias("hist_10"),
+        F.col("luma_hist")[11].alias("hist_11"),
+    )
+
+
+@register(
     "decoded_video_check",
     oracle="""
 WITH ids AS (
