@@ -131,8 +131,12 @@ def test_png_fail_loud_variants():
         _decode_png(_make_png(4, 4, _grad, interlace=1))
     with pytest.raises(ValueError, match="8-bit"):
         _decode_png(_make_png(4, 4, _grad, depth=16))
-    with pytest.raises(ValueError, match="color_type"):
-        _decode_png(_make_png(4, 4, _grad, ctype=3))  # palette
+    # ctype=3 became a real decode leg in r14; a palette stream
+    # WITHOUT its PLTE still fails loud, and unknown color types too
+    with pytest.raises(ValueError, match="PLTE"):
+        _decode_png(_make_png(4, 4, _grad, ctype=3))
+    with pytest.raises(ValueError, match="color type"):
+        _decode_png(_make_png(4, 4, _grad, ctype=7))
     with pytest.raises(ValueError):
         _decode_png(good[:40])  # truncated mid-chunk
     bad = bytearray(good)

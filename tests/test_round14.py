@@ -135,3 +135,171 @@ def test_jpeg_non_divisor_sampling_factors_raise_explicitly():
     payload[comp1_hv] = 0x21  # Cb: h=2, v=1 -> 3 % 2 != 0
     with pytest.raises(ValueError, match="non-divisor"):
         _decode_jpeg(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# PNG palette / grayscale legs (r13 verdict item 3)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunks(chunks) -> bytes:
+    """Independent minimal PNG writer for the decode tests (never the
+    production encoder): list of (cid, body) -> full stream."""
+    import zlib
+
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    for cid, body in chunks:
+        out += struct.pack(">I", len(body)) + cid + body
+        out += struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def _pack_bits(samples: np.ndarray, depth: int) -> bytes:
+    """MSB-first bit packing of one scanline's samples at depth."""
+    bits = []
+    for s in samples:
+        for b in range(depth - 1, -1, -1):
+            bits.append((int(s) >> b) & 1)
+    while len(bits) % 8:
+        bits.append(0)
+    return np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+
+
+def _pixels(img) -> np.ndarray:
+    return np.frombuffer(img.pixels, dtype=np.uint8).reshape(
+        img.height, img.width, 3
+    )
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_png_grayscale_depths_decode_exact(depth):
+    """Color type 0 at every legal sub-16 depth: samples scale to
+    8-bit by the exact 255/(2^d-1) factor and replicate to RGB."""
+    import zlib
+
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import _decode_png
+
+    w, h = 13, 5  # odd width exercises the sub-byte row padding
+    maxv = (1 << depth) - 1
+    samples = np.array(
+        [[(3 * x + 5 * y) % (maxv + 1) for x in range(w)] for y in range(h)]
+    )
+    raw = b"".join(b"\x00" + _pack_bits(samples[y], depth) for y in range(h))
+    payload = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)),
+        (b"IDAT", zlib.compress(raw)),
+        (b"IEND", b""),
+    ])
+    img = _decode_png(payload)
+    expect = (samples * (255 // maxv)).astype(np.uint8)
+    got = _pixels(img)
+    assert np.array_equal(got[:, :, 0], expect)
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])
+    assert np.array_equal(got[:, :, 1], got[:, :, 2])
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_png_palette_depths_decode_exact(depth):
+    import zlib
+
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import _decode_png
+
+    w, h = 9, 4
+    n = 1 << depth
+    pal = np.array(
+        [[(i * 37) % 256, (i * 59) % 256, (i * 83) % 256] for i in range(n)],
+        dtype=np.uint8,
+    )
+    samples = np.array(
+        [[(x + 2 * y) % n for x in range(w)] for y in range(h)]
+    )
+    raw = b"".join(b"\x00" + _pack_bits(samples[y], depth) for y in range(h))
+    payload = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)),
+        (b"PLTE", pal.tobytes()),
+        (b"IDAT", zlib.compress(raw)),
+        (b"IEND", b""),
+    ])
+    img = _decode_png(payload)
+    assert np.array_equal(_pixels(img), pal[samples])
+
+
+def test_png_gray_alpha_type4_drops_alpha():
+    import zlib
+
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import _decode_png
+
+    w, h = 6, 3
+    g = np.array([[(x * 40 + y * 7) % 256 for x in range(w)] for y in range(h)],
+                 dtype=np.uint8)
+    rows = b"".join(
+        b"\x00" + np.stack(
+            [g[y], np.full(w, 200, np.uint8)], axis=1
+        ).tobytes()
+        for y in range(h)
+    )
+    payload = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 4, 0, 0, 0)),
+        (b"IDAT", zlib.compress(rows)),
+        (b"IEND", b""),
+    ])
+    img = _decode_png(payload)
+    assert np.array_equal(_pixels(img)[:, :, 0], g)
+
+
+def test_png_gray_and_palette_encoder_roundtrips():
+    """The production png-gray / png-pal write paths invert the new
+    decode legs exactly — the property the phash gate's six-format
+    rotation rests on."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage,
+        _decode_png,
+        encode_image,
+    )
+
+    xg, yg = np.meshgrid(np.arange(16), np.arange(16))
+    v = ((7 * xg + 13 * yg) % 256).astype(np.uint8)
+    gray = np.repeat(v[:, :, None], 3, axis=2)
+    img = DecodedImage(16, 16, gray.tobytes())
+    for fmt in ("png-gray", "png-pal"):
+        out = _decode_png(encode_image(img, fmt))
+        assert out.pixels == img.pixels, fmt
+    # a colorful raster is palette-expressible but NOT gray
+    rgb = np.stack([v, v.T, 255 - v], axis=2).astype(np.uint8)
+    cimg = DecodedImage(16, 16, rgb.tobytes())
+    assert _decode_png(encode_image(cimg, "png-pal")).pixels == cimg.pixels
+    with pytest.raises(ValueError, match="r == g == b"):
+        encode_image(cimg, "png-gray")
+
+
+def test_png_palette_fail_loud_variants():
+    import zlib
+
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import _decode_png
+
+    w, h = 4, 2
+    samples = np.full((h, w), 5, dtype=np.uint8)  # beyond a 4-entry PLTE
+    raw = b"".join(b"\x00" + samples[y].tobytes() for y in range(h))
+    pal4 = bytes(range(12))
+    payload = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)),
+        (b"PLTE", pal4),
+        (b"IDAT", zlib.compress(raw)),
+        (b"IEND", b""),
+    ])
+    with pytest.raises(ValueError, match="beyond PLTE"):
+        _decode_png(payload)
+    no_plte = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)),
+        (b"IDAT", zlib.compress(raw)),
+        (b"IEND", b""),
+    ])
+    with pytest.raises(ValueError, match="missing PLTE"):
+        _decode_png(no_plte)
+    sixteen_bit = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)),
+        (b"IDAT", zlib.compress(raw)),
+        (b"IEND", b""),
+    ])
+    with pytest.raises(ValueError):
+        _decode_png(sixteen_bit)
