@@ -1583,6 +1583,8 @@ def decoded_video_frame_features(
                 try:
                     if payload[:6] in (b"GIF87a", b"GIF89a"):
                         fps, frames = _parse_gif(payload)  # animated GIF
+                    elif payload[4:8] == b"ftyp":  # ISO-BMFF (r14)
+                        fps, frames = _parse_mp4(payload)
                     else:
                         fps, frames = _parse_avi(payload)
                 except (NotImplementedError, ValueError):
@@ -2296,6 +2298,328 @@ def encode_video_mjpeg(
     ))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_MP4_UNITY_MATRIX = (
+    b"\x00\x01\x00\x00" + b"\x00" * 4 * 2
+    + b"\x00" * 4 + b"\x00\x01\x00\x00" + b"\x00" * 4
+    + b"\x00" * 4 * 2 + b"\x40\x00\x00\x00"
+)
+
+
+def _mp4_boxes(data: bytes, pos: int, end: int):
+    """ISO-BMFF box iterator (ISO/IEC 14496-12 §4.2): yields
+    (type, body_start, body_end). Handles 64-bit largesize (size == 1)
+    and to-end boxes (size == 0); malformed sizes raise ValueError."""
+    import struct
+
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", data, pos)
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated ISO-BMFF largesize box")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"bad ISO-BMFF box size {size} at {pos}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _parse_mp4_tables(data: bytes) -> dict:
+    """Quarantine boundary + ISO-BMFF box walk for the first video
+    track (r13 verdict item 2: real video corpora are MP4): ftyp
+    check, moov -> trak(tkhd dims) -> mdia(mdhd timescale, hdlr
+    'vide') -> minf/stbl sample tables — stsd (codec fourcc), stts
+    (durations -> fps), stsz/stsc/stco|co64 (per-sample byte extents),
+    stss (sync samples). Returns {width, height, fps, codec,
+    n_samples, samples: [(offset, size)], keyframes: [1-based sample
+    numbers]} without touching a single sample byte — the metadata
+    layer is independent of whether the codec is decodable here."""
+    import struct
+
+    try:
+        return _parse_mp4_tables_inner(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed ISO-BMFF stream: {exc}") from exc
+
+
+def _parse_mp4_tables_inner(data: bytes) -> dict:
+    import struct
+
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (MP4) payload")
+    moov = None
+    for btype, b0, b1 in _mp4_boxes(data, 0, len(data)):
+        if btype == b"moov":
+            moov = (b0, b1)
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+    for btype, t0, t1 in _mp4_boxes(data, *moov):
+        if btype != b"trak":
+            continue
+        info = _mp4_video_track(data, t0, t1)
+        if info is not None:
+            return info
+    raise ValueError("MP4 has no parseable video track")
+
+
+def _mp4_video_track(data: bytes, t0: int, t1: int) -> dict | None:
+    """One trak box -> sample map, or None when it isn't a video
+    track. Container boxes (mdia/minf/stbl) descend recursively; leaf
+    full-box layouts follow 14496-12 §8 (both version 0 and 1 where
+    they differ)."""
+    import struct
+
+    width = height = None
+    timescale = 0
+    handler = None
+    codec = None
+    stts: list[tuple[int, int]] = []
+    uniform_size = 0
+    sizes: list[int] | None = None
+    chunk_offsets: list[int] | None = None
+    stsc: list[tuple[int, int]] = []
+    keyframes: list[int] | None = None
+
+    def walk(p0: int, p1: int) -> None:
+        nonlocal width, height, timescale, handler, codec
+        nonlocal stts, uniform_size, sizes, chunk_offsets, stsc, keyframes
+        for btype, b0, b1 in _mp4_boxes(data, p0, p1):
+            if btype in (b"mdia", b"minf", b"stbl"):
+                walk(b0, b1)
+            elif btype == b"tkhd":
+                ver = data[b0]
+                off = b0 + (88 if ver == 1 else 76)
+                wfix, hfix = struct.unpack_from(">II", data, off)
+                width, height = wfix >> 16, hfix >> 16
+            elif btype == b"mdhd":
+                ver = data[b0]
+                (timescale,) = struct.unpack_from(
+                    ">I", data, b0 + (20 if ver == 1 else 12)
+                )
+            elif btype == b"hdlr":
+                handler = data[b0 + 8 : b0 + 12]
+            elif btype == b"stsd":
+                (n_entries,) = struct.unpack_from(">I", data, b0 + 4)
+                if n_entries >= 1 and b0 + 16 <= b1:
+                    codec = data[b0 + 12 : b0 + 16]
+            elif btype == b"stts":
+                (n,) = struct.unpack_from(">I", data, b0 + 4)
+                stts = [
+                    struct.unpack_from(">II", data, b0 + 8 + 8 * i)
+                    for i in range(n)
+                ]
+            elif btype == b"stsz":
+                uniform_size, n = struct.unpack_from(">II", data, b0 + 4)
+                if uniform_size == 0:
+                    sizes = list(
+                        struct.unpack_from(f">{n}I", data, b0 + 12)
+                    )
+                else:
+                    sizes = [uniform_size] * n
+            elif btype == b"stsc":
+                (n,) = struct.unpack_from(">I", data, b0 + 4)
+                stsc = [
+                    struct.unpack_from(">III", data, b0 + 8 + 12 * i)[:2]
+                    for i in range(n)
+                ]
+            elif btype in (b"stco", b"co64"):
+                (n,) = struct.unpack_from(">I", data, b0 + 4)
+                fmt = ">I" if btype == b"stco" else ">Q"
+                step = 4 if btype == b"stco" else 8
+                chunk_offsets = [
+                    struct.unpack_from(fmt, data, b0 + 8 + step * i)[0]
+                    for i in range(n)
+                ]
+            elif btype == b"stss":
+                (n,) = struct.unpack_from(">I", data, b0 + 4)
+                keyframes = [
+                    struct.unpack_from(">I", data, b0 + 8 + 4 * i)[0]
+                    for i in range(n)
+                ]
+
+    walk(t0, t1)
+    if handler != b"vide":
+        return None
+    if not (width and height and timescale and stts and sizes
+            and chunk_offsets and stsc):
+        raise ValueError("MP4 video track missing sample tables")
+    n_samples = len(sizes)
+    # expand stsc: chunk i (1-based) carries the samples-per-chunk of
+    # the entry with the greatest first_chunk <= i (14496-12 §8.7.4)
+    samples: list[tuple[int, int]] = []
+    si = 0
+    for i, base in enumerate(chunk_offsets):
+        spc = 0
+        for first_chunk, per_chunk in stsc:
+            if first_chunk <= i + 1:
+                spc = per_chunk
+        off = base
+        for _ in range(spc):
+            if si >= n_samples:
+                break
+            sz = sizes[si]
+            if off + sz > len(data):
+                raise ValueError("MP4 sample extent past end of stream")
+            samples.append((off, sz))
+            off += sz
+            si += 1
+    if si != n_samples:
+        raise ValueError(
+            f"MP4 sample map covers {si} of {n_samples} samples"
+        )
+    total_dur = sum(c * d for c, d in stts)
+    fps = timescale * n_samples / total_dur if total_dur else 0.0
+    return {
+        "width": width,
+        "height": height,
+        "fps": fps,
+        "codec": codec,
+        "n_samples": n_samples,
+        "samples": samples,
+        "keyframes": keyframes if keyframes is not None
+        else list(range(1, n_samples + 1)),
+    }
+
+
+def _parse_mp4(data: bytes) -> tuple[float, list[DecodedImage]]:
+    """ISO-BMFF video decode -> (fps, frames): the `_parse_mp4_tables`
+    box walk locates every sample's byte extent; samples then decode
+    through the stdlib chain (`decode_image` sniffs the magic — an
+    MJPEG-in-MP4 sample is a complete JPEG stream, baseline or
+    progressive). Codec bitstreams the chain can't read (H.264 etc.)
+    raise from decode_image — fail loud, never guess pixels; the
+    metadata walk itself stays available via mp4_video_meta."""
+    info = _parse_mp4_tables(data)
+    frames = [
+        decode_image(data[off : off + sz]) for off, sz in info["samples"]
+    ]
+    if not frames:
+        raise ValueError("MP4 contains no video samples")
+    return info["fps"], frames
+
+
+def mp4_video_meta(data: bytes) -> dict:
+    """Metadata-only MP4 probe (dims, fps, frame count, codec fourcc,
+    keyframe sample numbers) — the box-walk layer a 100 TB crawl
+    pipeline runs BEFORE deciding whether to decode: no sample bytes
+    are read, so it prices at container-header cost even for codecs
+    the stdlib chain can't decode."""
+    info = _parse_mp4_tables(data)
+    return {
+        "width": info["width"],
+        "height": info["height"],
+        "fps": info["fps"],
+        "codec": (info["codec"] or b"????").decode("latin-1"),
+        "n_frames": info["n_samples"],
+        "keyframes": info["keyframes"],
+    }
+
+
+def encode_video_mp4(
+    frames: list,
+    *,
+    fps: float = 10.0,
+    quality: int = 90,
+    keyframe_every: int = 1,
+) -> bytes:
+    """Video WRITE path #2 (r14): a minimal ISO-BMFF/MP4 container of
+    MJPEG samples ('jpeg' VisualSampleEntry; every sample a complete
+    baseline JPEG from `_encode_jpeg_baseline`) — the inverse of
+    `_parse_mp4`. Layout ftyp + mdat + moov with one video track:
+    mvhd/tkhd/mdhd at timescale 1000, stts one run, stsc one
+    chunk-run, stsz per-sample sizes, stco one chunk at the mdat
+    payload offset, stss every ``keyframe_every``-th sample. All
+    frames must share dimensions (one sample entry)."""
+    import struct
+
+    if not frames:
+        raise ValueError("encode_video_mp4 needs at least one frame")
+    if fps <= 0:
+        raise ValueError("encode_video_mp4 needs fps > 0")
+    w, h = frames[0].width, frames[0].height
+    if any((f.width, f.height) != (w, h) for f in frames):
+        raise ValueError("all MP4 frames must share dimensions")
+    payloads = [_encode_jpeg_baseline(f, quality=quality) for f in frames]
+    n = len(payloads)
+    timescale = 1000
+    delta = max(int(round(timescale / fps)), 1)
+    duration = n * delta
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def full(btype: bytes, body: bytes, *, ver: int = 0,
+             flags: int = 0) -> bytes:
+        return box(btype, bytes([ver]) + flags.to_bytes(3, "big") + body)
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = box(b"mdat", b"".join(payloads))
+    data_offset = len(ftyp) + 8  # first sample byte, absolute
+
+    mvhd = full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + b"\x00" * 10 + _MP4_UNITY_MATRIX + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = full(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+        + _MP4_UNITY_MATRIX + struct.pack(">II", w << 16, h << 16),
+        flags=7,  # enabled | in_movie | in_preview
+    )
+    mdhd = full(
+        b"mdhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    )
+    hdlr = full(
+        b"hdlr",
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12
+        + b"MJPEG video\x00",
+    )
+    sample_entry = (
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved + dref index
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0) + struct.pack(">H", 1)  # frame_count 1
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+    )
+    stsd = full(b"stsd", struct.pack(">I", 1) + box(b"jpeg", sample_entry))
+    stts = full(b"stts", struct.pack(">III", 1, n, delta))
+    stsc = full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stsz = full(
+        b"stsz",
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(p)) for p in payloads),
+    )
+    stco = full(b"stco", struct.pack(">II", 1, data_offset))
+    keys = list(range(1, n + 1, max(keyframe_every, 1)))
+    stss = full(
+        b"stss",
+        struct.pack(">I", len(keys))
+        + b"".join(struct.pack(">I", k) for k in keys),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + stss)
+    dref = full(b"dref", struct.pack(">I", 1) + full(b"url ", b"", flags=1))
+    minf = box(
+        b"minf",
+        full(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+        + box(b"dinf", dref) + stbl,
+    )
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
 
 
 def _gif_lzw_decode(data: bytes, min_code: int, expected: int) -> bytearray:

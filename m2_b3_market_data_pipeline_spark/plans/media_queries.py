@@ -291,11 +291,16 @@ ORDER BY i.doc_id, frame_idx
 )
 def decoded_video_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The VIDEO container + JPEG decoder's differential oracle gate
-    (r13): per doc a 4-frame MJPEG AVI whose frame k is SOLID gray
+    (r13; container rotation widened r14): per doc a 4-frame MJPEG
+    video whose frame k is SOLID gray
     v(i, k) = 128 + 2*((|doc_id|*5 + 3k) mod 32) — every v is even, so
     the frame's DC (8*(v-128)) is divisible by the Q50 Annex-K quant
     step 16 and the lossy roundtrip is analytically EXACT: decoded
-    luma == v on every pixel. The production
+    luma == v on every pixel. The CONTAINER rotates by |doc_id| mod 2
+    between RIFF/AVI (``encode_video_mjpeg`` / ``_parse_avi``) and
+    ISO-BMFF MP4 (``encode_video_mp4`` / ``_parse_mp4`` — the r14 box
+    walk: moov/trak/mdia/stbl sample tables to per-sample byte
+    extents), so both container walks are hash-checked. The production
     ``decoded_video_frame_features`` then emits per-frame rows whose
     mean_luma equals the law, phash64 is 0 (solid frames tie every
     cell to the mean), fps/dims/frame-count pin the container walk.
@@ -307,6 +312,7 @@ def decoded_video_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         DecodedImage,
         decoded_video_frame_features,
         encode_video_mjpeg,
+        encode_video_mp4,
     )
 
     docs = (
@@ -329,9 +335,8 @@ def decoded_video_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     for k in range(4)
                 ]
-                payloads.append(
-                    encode_video_mjpeg(frames, fps=10.0, quality=50)
-                )
+                writer = encode_video_mp4 if hid % 2 else encode_video_mjpeg
+                payloads.append(writer(frames, fps=10.0, quality=50))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
 
     wrapped = docs.mapInPandas(synth, "doc_id bigint, content binary")
