@@ -110,6 +110,11 @@ TEST_PINNED: dict[str, str] = {
     # jsonl parser paths are additionally pinned by tests/test_formats.py
     "csv_roundtrip": "orc_roundtrip",
     "jsonl_roundtrip": "orc_roundtrip",
+    # byte-domain feature stand-in (r14: budget for the progressive-
+    # JPEG newborn decoded_pjpeg_check): same mapInPandas plumbing as
+    # the decoded-domain gate that rotates; the byte-level fallback
+    # math stays pinned by tests/test_text_multimodal.py
+    "multimodal_features": "decoded_phash_check",
 }
 
 # Flagship reference pipeline: in the window EVERY round, last slot (its
