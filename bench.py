@@ -272,12 +272,23 @@ def main() -> None:
     #   peers ran 3.6x; clamp to the r6 recorded 0.39 (the newest
     #   fast-window round on record — trigram's pre-floor 0.81 record
     #   was set in that same window).
+    # Round 14 (r13 verdict item 3, idle-window A/B in
+    # tools/ab_bench_drifters.py, table in BASELINE.md "Round-14
+    # drifter adjudication"): the two composites whose r03-era
+    # best-knowns PRE-DATE the adjudicated r7 minhash-stage floor
+    # (minhash_dedup itself is clamped 0.77 -> 1.03 below) clamp to
+    # the floored form's recorded-round min — corpus_pipeline r08
+    # 1.42, dedup_clusters r07 2.84. With these floors both normalize
+    # to <= 1.0 against the same-session window controls; the other
+    # five r13 drifters normalized to 0.90-1.14 with no clamp at all.
     REBASED_FLOOR = {
         "boilerplate_frac": 1.09,
         "dsir_weights": 1.17,
         "trigram_lm_score": 1.08,
         "minhash_dedup": 1.03,
         "centroid_assign": 0.39,
+        "corpus_pipeline": 1.42,
+        "dedup_clusters": 2.84,
     }
     for q, floor_t in REBASED_FLOOR.items():
         if q in best_known:

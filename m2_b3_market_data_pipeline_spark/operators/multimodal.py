@@ -1395,6 +1395,49 @@ def _decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     return sample_rate, channels, samples
 
 
+def encode_audio_wav(
+    samples: list,
+    *,
+    sample_rate: int = 8000,
+    channels: int = 1,
+    bits: int = 16,
+) -> bytes:
+    """Audio WRITE path (r14): a PCM RIFF/WAVE container inverting
+    ``_decode_wav`` exactly — 16-bit signed little-endian or 8-bit
+    unsigned (samples recentred by +128 per the spec, the exact
+    inverse of the decoder's -128). ``samples`` are channel-
+    interleaved signed ints; out-of-range values raise rather than
+    wrap (never corrupt audio silently). The test-vector generator
+    for ``decoded_wav_check``, the audio leg's differential gate."""
+    import struct
+
+    n = len(samples)
+    if n == 0 or n % max(channels, 1):
+        raise ValueError("sample count must be a positive multiple of channels")
+    if bits == 16:
+        if any(not (-32768 <= s <= 32767) for s in samples):
+            raise ValueError("16-bit WAV sample out of range")
+        raw = struct.pack(f"<{n}h", *samples)
+    elif bits == 8:
+        if any(not (-128 <= s <= 127) for s in samples):
+            raise ValueError("8-bit WAV sample out of range")
+        raw = bytes(s + 128 for s in samples)
+    else:
+        raise ValueError(f"only 8/16-bit PCM WAV supported (bits={bits})")
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+        + (b"\x00" if len(raw) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 DECODED_AUDIO_SCHEMA = (
     "doc_id bigint, sample_rate int, channels int, n_samples bigint, "
     "frame_idx int, rms double"

@@ -184,6 +184,70 @@ def decoded_phash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decoded_wav_check",
+    oracle="""
+WITH ids AS (
+    SELECT doc_id, abs(doc_id) AS hid
+    FROM documents WHERE doc_id IS NOT NULL
+),
+k AS (SELECT unnest(generate_series(0, 63)) AS i),
+s AS (
+    SELECT doc_id, i, ((hid * 13 + 7 * i) % 201) - 100 AS v
+    FROM ids, k
+),
+fr AS (
+    SELECT doc_id, CAST(i // 4 AS INT) AS frame_idx, SUM(v * v) AS ss
+    FROM s GROUP BY doc_id, i // 4
+)
+SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+       CAST(64 AS BIGINT) AS n_samples, frame_idx,
+       sqrt(ss / 4.0) AS rms
+FROM fr ORDER BY doc_id, frame_idx
+""",
+)
+def decoded_wav_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO leg's differential oracle gate (r14 — image and
+    video got theirs in r13): per doc a 64-sample mono PCM WAV with
+    the sample law s(i, k) = ((|doc_id|*13 + 7k) mod 201) - 100,
+    serialized by the production ``encode_audio_wav`` writer rotating
+    |doc_id| mod 2 between 16-bit signed and 8-bit unsigned PCM (the
+    8-bit leg exercises the +-128 recentring pair), decoded back by
+    ``_decode_wav`` inside the production ``decoded_frame_energy``,
+    which emits 16 per-frame RMS rows. Exactness: 64 samples / 16
+    frames = 4-sample windows, so RMS = sqrt(exact-int sum / 4.0) —
+    division by a power of two then one IEEE sqrt, bit-identical in
+    both engines. The oracle computes everything straight from the
+    law, never seeing a container byte: any fmt-chunk, recentring,
+    interleave, or window-assignment asymmetry breaks the hash."""
+    from ..operators.multimodal import decoded_frame_energy, encode_audio_wav
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id").isNotNull())
+    )
+
+    def synth(it):
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for i in pdf["doc_id"]:
+                hid = abs(int(i))
+                samples = [((hid * 13 + 7 * k) % 201) - 100 for k in range(64)]
+                payloads.append(
+                    encode_audio_wav(
+                        samples, sample_rate=8000, channels=1,
+                        bits=16 if hid % 2 else 8,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
+
+    wrapped = docs.mapInPandas(synth, "doc_id bigint, content binary")
+    return decoded_frame_energy(wrapped, frames=16)
+
+
+@register(
     "decoded_pjpeg_check",
     oracle="""
 WITH ids AS (
