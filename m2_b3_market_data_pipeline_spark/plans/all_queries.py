@@ -156,12 +156,16 @@ from .registry import ORACLES, QUERIES
 # not fail the suite; regenerating the list next round bumps it.
 CHECK_PRIORITY_BASIS_ROUND = 13
 CHECK_PRIORITY: list[str] = [
-    # --- Round 14 window, generated (basis r13): one newborn leads
+    # --- Round 14 window, generated (basis r13): two newborns lead
     # (decoded_pjpeg_check — progressive JPEG's differential oracle
-    # gate, closing the r13 verdict's top item), then pure rotation:
-    # the r10-era rows at age 4 oldest-first alphabetical-within-round,
-    # anchor last. Budget: 191 rotating / 49 slots = 3.9 rounds.
+    # gate, closing the r13 verdict's top item; decoded_wav_check —
+    # the audio leg's real-decode gate), then pure rotation: the
+    # r10-era rows at age 4 oldest-first alphabetical-within-round,
+    # anchor last. Budget: 188 rotating / 49 slots = 3.8 rounds
+    # (multimodal_features and audio_frame_energy demoted to the
+    # test-pinned tier to pay for the newborns).
     "decoded_pjpeg_check",
+    "decoded_wav_check",
     "trending_daily",
     "value_histogram",
     "window_distribution",
@@ -169,7 +173,6 @@ CHECK_PRIORITY: list[str] = [
     "zscore_anomalies",
     "approx_distinct_check",
     "approx_quantile_check",
-    "audio_frame_energy",
     "balanced_sample",
     "boilerplate_frac",
     "cluster_size_histogram",

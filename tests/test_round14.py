@@ -303,3 +303,65 @@ def test_png_palette_fail_loud_variants():
     ])
     with pytest.raises(ValueError):
         _decode_png(sixteen_bit)
+
+
+# ---------------------------------------------------------------------------
+# WAV write path + the audio decode gate (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_encode_audio_wav_roundtrips_both_widths():
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        _decode_wav,
+        encode_audio_wav,
+    )
+
+    samples = [((13 * k) % 201) - 100 for k in range(64)]
+    for bits in (8, 16):
+        rate, ch, got = _decode_wav(
+            encode_audio_wav(samples, sample_rate=8000, channels=1, bits=bits)
+        )
+        assert (rate, ch) == (8000, 1)
+        assert got == samples, bits
+    # stereo interleave survives
+    inter = [v for k in range(32) for v in (k - 16, 16 - k)]
+    rate, ch, got = encode_and_back = _decode_wav(
+        encode_audio_wav(inter, sample_rate=44100, channels=2, bits=16)
+    )
+    assert (rate, ch, got) == (44100, 2, inter)
+
+
+def test_encode_audio_wav_fail_loud():
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        encode_audio_wav,
+    )
+
+    with pytest.raises(ValueError, match="out of range"):
+        encode_audio_wav([200], bits=8)
+    with pytest.raises(ValueError, match="out of range"):
+        encode_audio_wav([40000], bits=16)
+    with pytest.raises(ValueError, match="multiple of channels"):
+        encode_audio_wav([1, 2, 3], channels=2)
+    with pytest.raises(ValueError, match="8/16-bit"):
+        encode_audio_wav([0], bits=24)
+
+
+def test_decoded_wav_check_law_matches_by_hand(spark):
+    """One doc_id computed by hand pins the gate's law end to end:
+    16 frames of 4 samples, rms = sqrt(exact int sum / 4.0)."""
+    import math
+
+    from m2_b3_market_data_pipeline_spark.plans.media_queries import (
+        decoded_wav_check,
+    )
+
+    rows = decoded_wav_check(spark, "/root/testdata/sf0.001").orderBy(
+        "doc_id", "frame_idx"
+    ).limit(16).collect()
+    hid = abs(rows[0].doc_id)
+    samples = [((hid * 13 + 7 * k) % 201) - 100 for k in range(64)]
+    for r in rows:
+        lo, hi = r.frame_idx * 4, r.frame_idx * 4 + 4
+        expect = math.sqrt(sum(s * s for s in samples[lo:hi]) / 4.0)
+        assert r.rms == expect
+        assert (r.sample_rate, r.channels, r.n_samples) == (8000, 1, 64)

@@ -115,6 +115,13 @@ TEST_PINNED: dict[str, str] = {
     # the decoded-domain gate that rotates; the byte-level fallback
     # math stays pinned by tests/test_text_multimodal.py
     "multimodal_features": "decoded_phash_check",
+    # byte-domain audio stand-in (r14: budget for the decoded_wav_check
+    # newborn — the audio leg's real-decode gate with the same
+    # frame-window assignment and fan-out shape on DECODED samples).
+    # Rep = frame_dedup, the rotating composite over the same
+    # byte-window stand-in machinery (attach_binary + fixed windows);
+    # the decoded-domain twin rotates from r14 on its own row.
+    "audio_frame_energy": "frame_dedup",
 }
 
 # Flagship reference pipeline: in the window EVERY round, last slot (its
