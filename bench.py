@@ -41,7 +41,6 @@ from m2_b3_market_data_pipeline_spark.session import get_spark, sf_dir
 HEADLINE = [
     "refined_pipeline",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_region_revenue",
     "window_rank",
     "resample_ohlc",
@@ -74,7 +73,6 @@ HEADLINE = [
     # 10 for the capture cap — 0.58-0.67s; the partsupp family keeps
     # q2/q9/q20 + the TPC-H core reps, the sketch family keeps
     # approx_distinct_check, and all three keep green correctness rows)
-    "q2_partsupp",
     "q9_partsupp",
     "q20_partsupp",
     "approx_distinct_check",
@@ -177,6 +175,14 @@ HEADLINE = [
     # bench exists for sf-scaling evidence, which they don't carry)
     "decoded_phash_check",
     "decoded_video_check",
+    # round-14 gates: progressive JPEG (the ten-scan Annex G ladder)
+    # and the audio leg's real WAV decode; q3_shipping_priority
+    # (0.77s) and q2_partsupp (0.84s) rotate out per the
+    # family-duplicate policy — the TPC-H core keeps q1/q5 + q9/q21
+    # and the partsupp family keeps q9/q20_partsupp, all with green
+    # correctness rows; historical numbers persist in BENCH_r*.json
+    "decoded_pjpeg_check",
+    "decoded_wav_check",
 ]
 
 
