@@ -2037,6 +2037,7 @@ def _encode_jpeg_progressive(
     subsample: tuple = (1, 1),
     gray: bool = False,
     max_scans: int | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive JPEG encode (ITU T.81 SOF2, Annex G): the SAME
     `_jpeg_plan` quantized blocks as the baseline writer, serialized
@@ -2089,24 +2090,27 @@ def _encode_jpeg_progressive(
     for cid, ch, cv, tq in comps:
         sof += bytes([cid, (ch << 4) | cv, tq])
     out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     # max_scans truncates the script AFTER the DC scan (a legal,
     # coarse progressive stream — how browsers render mid-download);
     # tests use it to pin that partially-refined streams still decode
     for kind, cis, ss, se, ah, al in script[:max_scans]:
+        ri = restart_interval
         if kind == "dc_first":
-            toks = _ptoks_dc_first(blocks, comps, cis, geom, al)
+            toks = _ptoks_dc_first(blocks, comps, cis, geom, al, ri)
             tbl_class = 0
         elif kind == "dc_refine":
-            toks = _ptoks_dc_refine(blocks, comps, cis, geom, al)
+            toks = _ptoks_dc_refine(blocks, comps, cis, geom, al, ri)
             tbl_class = 0
         elif kind == "ac_first":
             toks = _ptoks_ac_first(blocks[cis[0]], geom["true_dims"][cis[0]],
-                                   ss, se, al)
+                                   ss, se, al, ri)
             tbl_class = 1
         else:
             toks = _ptoks_ac_refine(blocks[cis[0]], geom["true_dims"][cis[0]],
-                                    ss, se, al)
+                                    ss, se, al, ri)
             tbl_class = 1
         freq: dict[int, int] = {}
         for t in toks:
@@ -2128,8 +2132,11 @@ def _encode_jpeg_progressive(
             if t[0] == 0:
                 length, code = codes[t[1]]
                 wtr.put(code, length)
-            else:
+            elif t[0] == 1:
                 wtr.put(t[1], t[2])
+            else:  # restart boundary: byte-align, emit RSTn
+                wtr.flush()
+                wtr.buf += bytes([0xFF, 0xD0 + t[1]])
         wtr.flush()
         out += wtr.buf
     out += b"\xff\xd9"
@@ -2141,10 +2148,11 @@ def _encode_jpeg_progressive(
 # Huffman code assignment, so each scan tallies then emits.
 
 
-def _ptoks_dc_first(blocks, comps, cis, geom, al) -> list:
+def _ptoks_dc_first(blocks, comps, cis, geom, al, restart=0) -> list:
     """T.81 G.1.2.1: DC first scan — diffs of the point-transformed
     (arithmetic >> Al) DC values, interleaved MCU order when ns > 1,
-    raster order over true dims for a single-component scan."""
+    raster order over true dims for a single-component scan. Restart
+    boundaries reset the predictors (decoder twin: maybe_restart)."""
     toks = []
     preds = {ci: 0 for ci in cis}
 
@@ -2157,28 +2165,48 @@ def _ptoks_dc_first(blocks, comps, cis, geom, al) -> list:
         if t:
             toks.append((1, diff if diff >= 0 else diff + (1 << t) - 1, t))
 
-    _pscan_blocks(blocks, comps, cis, geom, one)
+    def boundary(k):
+        toks.append((2, k))
+        for ci in cis:
+            preds[ci] = 0
+
+    _pscan_blocks(blocks, comps, cis, geom, one,
+                  restart=restart, boundary=boundary)
     return toks
 
 
-def _ptoks_dc_refine(blocks, comps, cis, geom, al) -> list:
+def _ptoks_dc_refine(blocks, comps, cis, geom, al, restart=0) -> list:
     """T.81 G.1.2.1: DC refinement — one raw bit per block (bit Al of
     the arithmetic-shifted DC); no Huffman symbols at all."""
     toks = []
     _pscan_blocks(
         blocks, comps, cis, geom,
         lambda ci, zz: toks.append((1, (int(zz[0]) >> al) & 1, 1)),
+        restart=restart, boundary=lambda k: toks.append((2, k)),
     )
     return toks
 
 
-def _pscan_blocks(blocks, comps, cis, geom, fn) -> None:
+def _pscan_blocks(blocks, comps, cis, geom, fn, *, restart=0,
+                  boundary=None) -> None:
     """Visit blocks in the scan order the decoder expects: interleaved
     MCU order over MCU-padded dims (ns > 1), else raster order over
-    the component's true block dims."""
+    the component's true block dims. With ``restart`` > 0, call
+    ``boundary(rst_index)`` before every restart-interval-th UNIT
+    (MCU when interleaved, block otherwise) — the same cadence the
+    decoder's maybe_restart consumes RSTn markers at."""
+    rst = 0
+
+    def unit_gate(m):
+        nonlocal rst
+        if restart and m and m % restart == 0:
+            boundary(rst & 7)
+            rst += 1
+
     if len(cis) > 1:
         mcux, mcuy = geom["mcux"], geom["mcuy"]
         for m in range(mcux * mcuy):
+            unit_gate(m)
             my, mx = divmod(m, mcux)
             for ci in cis:
                 _cid, ch, cv, _tq = comps[ci]
@@ -2189,15 +2217,18 @@ def _pscan_blocks(blocks, comps, cis, geom, fn) -> None:
         ci = cis[0]
         bh, bw = geom["true_dims"][ci]
         for b in range(bh * bw):
+            unit_gate(b)
             fn(ci, blocks[ci][b // bw, b % bw])
 
 
-def _ptoks_ac_first(comp_blocks, dims, ss, se, al) -> list:
+def _ptoks_ac_first(comp_blocks, dims, ss, se, al, restart=0) -> list:
     """T.81 G.1.2.2: AC first scan over one component's true block
-    dims — run/size with EOBn codes batching all-zero bands."""
+    dims — run/size with EOBn codes batching all-zero bands. EOB runs
+    never span a restart boundary (flushed before each RSTn)."""
     toks = []
     bh, bw = dims
     eobrun = 0
+    rst = 0
 
     def flush():
         nonlocal eobrun
@@ -2209,6 +2240,10 @@ def _ptoks_ac_first(comp_blocks, dims, ss, se, al) -> list:
             eobrun = 0
 
     for b in range(bh * bw):
+        if restart and b and b % restart == 0:
+            flush()
+            toks.append((2, rst & 7))
+            rst += 1
         zz = comp_blocks[b // bw, b % bw]
         run = 0
         for k in range(ss, se + 1):
@@ -2233,15 +2268,17 @@ def _ptoks_ac_first(comp_blocks, dims, ss, se, al) -> list:
     return toks
 
 
-def _ptoks_ac_refine(comp_blocks, dims, ss, se, al) -> list:
+def _ptoks_ac_refine(comp_blocks, dims, ss, se, al, restart=0) -> list:
     """T.81 G.1.2.3: AC refinement scan — newly-nonzero coefficients
     (|v| >> Al == 1) emit (run<<4)|1 + sign; already-nonzero ones emit
     buffered correction bits, flushed positionally after each emitted
     symbol so the decoder's advance walk reads them in order; trailing
-    zero runs fold into EOB runs whose correction bits ride along."""
+    zero runs fold into EOB runs whose correction bits ride along (and
+    are flushed before each restart boundary — runs never span one)."""
     toks = []
     bh, bw = dims
     eobrun = 0
+    rst = 0
     pending: list = []  # correction bits buffered across the EOB run
 
     def flush():
@@ -2256,6 +2293,10 @@ def _ptoks_ac_refine(comp_blocks, dims, ss, se, al) -> list:
         pending.clear()
 
     for b in range(bh * bw):
+        if restart and b and b % restart == 0:
+            flush()
+            toks.append((2, rst & 7))
+            rst += 1
         zz = comp_blocks[b // bw, b % bw]
         vals = [int(zz[k]) for k in range(ss, se + 1)]
         ts = [abs(v) >> al for v in vals]

@@ -145,3 +145,19 @@ def test_mixed_band_progressive_scan_rejected():
     payload[payload.index(b"\xff\xc0") + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive"):
         _decode_jpeg(bytes(payload))
+
+
+@pytest.mark.parametrize("ri", [1, 3, 7])
+def test_progressive_restart_intervals_match_no_dri(ri):
+    """DRI restart markers inside progressive scans (RSTn every ri
+    MCUs/blocks, DC predictors AND EOB runs reset, runs never spanning
+    a boundary) must decode to the identical pixels of the marker-free
+    stream — in every scan kind, color and grayscale."""
+    rgb = _rgb(40, 24, seed=100 + ri)
+    img = DecodedImage(40, 24, rgb.tobytes())
+    for kwargs in ({"subsample": (2, 2)}, {"gray": True}):
+        plain = _decode_jpeg(_encode_jpeg_progressive(img, **kwargs))
+        with_dri = _decode_jpeg(
+            _encode_jpeg_progressive(img, restart_interval=ri, **kwargs)
+        )
+        assert plain.pixels == with_dri.pixels, (ri, kwargs)
