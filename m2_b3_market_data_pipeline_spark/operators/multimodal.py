@@ -762,20 +762,34 @@ _JPEG_SOF_UNSUPPORTED = {
 }
 
 
-def _jpeg_huffman_table(counts: bytes, symbols: bytes) -> dict:
+def _jpeg_huffman_table(counts: bytes, symbols: bytes) -> tuple:
     """Canonical Huffman table from a DHT segment's BITS/HUFFVAL lists
-    (ITU T.81 Annex C): {(code_length, code): symbol}. Codes assign
-    in symbol order within each length, doubling between lengths."""
-    table = {}
+    (ITU T.81 Annex C), in decode-ready form: ``(lut, exact)`` where
+    ``lut[b]`` is the ``(symbol, code_length)`` resolved by the 8-bit
+    prefix ``b`` for every code of <= 8 bits (length 0 = no short
+    code starts with that byte), and ``exact`` is the full
+    {(code_length, code): symbol} map the 9-16-bit tail falls back
+    to. Codes assign in symbol order within each length, doubling
+    between lengths. The LUT turns the common case (short codes
+    dominate any real JPEG stream) into ONE list index instead of up
+    to 16 per-bit dict probes — entropy decode is the family's priced
+    bottleneck (SCALE.md §24), so the constant matters."""
+    exact = {}
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
-            table[(length, code)] = symbols[k]
+            exact[(length, code)] = symbols[k]
             code += 1
             k += 1
         code <<= 1
-    return table
+    lut = [(0, 0)] * 256
+    for (length, c), sym in exact.items():
+        if length <= 8:
+            base = c << (8 - length)
+            for i in range(1 << (8 - length)):
+                lut[base + i] = (sym, length)
+    return lut, exact
 
 
 class _JpegBitReader:
@@ -809,8 +823,13 @@ class _JpegBitReader:
                 return False
         else:
             self.pos += 1
-        self.bitbuf = (self.bitbuf << 8) | b
+        # keep only the UNREAD low nbits: without the mask, consumed
+        # bits accumulate forever and bitbuf becomes a multi-kilobit
+        # Python integer whose every shift is O(scan length) — the
+        # single biggest constant in the priced entropy decode
         self.nbits += 8
+        self.bitbuf = (((self.bitbuf << 8) | b)
+                       & ((1 << self.nbits) - 1))
         return True
 
     def read_bit(self) -> int:
@@ -820,16 +839,31 @@ class _JpegBitReader:
         return (self.bitbuf >> self.nbits) & 1
 
     def receive(self, t: int) -> int:
-        v = 0
+        if t == 0:
+            return 0
+        while self.nbits < t and self._fill():
+            pass
+        if self.nbits >= t:  # whole field in the buffer: one shift
+            self.nbits -= t
+            return (self.bitbuf >> self.nbits) & ((1 << t) - 1)
+        v = 0  # segment tail: bit-by-bit (raises on true exhaustion)
         for _ in range(t):
             v = (v << 1) | self.read_bit()
         return v
 
-    def decode_huffman(self, table: dict) -> int:
-        code = 0
+    def decode_huffman(self, table: tuple) -> int:
+        lut, exact = table
+        while self.nbits < 8 and self._fill():
+            pass
+        if self.nbits >= 8:  # fast path: resolve by the 8-bit prefix
+            sym, length = lut[(self.bitbuf >> (self.nbits - 8)) & 0xFF]
+            if length:
+                self.nbits -= length
+                return sym
+        code = 0  # 9-16-bit codes, or a segment tail under 8 bits
         for length in range(1, 17):
             code = (code << 1) | self.read_bit()
-            sym = table.get((length, code))
+            sym = exact.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("invalid JPEG Huffman code (no match in 16 bits)")
@@ -2717,16 +2751,25 @@ def _gif_lzw_decode(data: bytes, min_code: int, expected: int) -> bytearray:
     end = clear + 1
     out = bytearray()
     bitpos = 0
-    nbits = len(data) * 8
+    n_bytes = len(data)
+    nbits = n_bytes * 8
 
     def read(width: int) -> int:
+        # LSB-first field read via a 3-byte window (codes are <= 12
+        # bits, spanning at most 3 bytes) — one shift+mask instead of
+        # a per-bit loop; LZW is the GIF family's priced bottleneck
+        # (SCALE.md §24)
         nonlocal bitpos
         if bitpos + width > nbits:
             raise ValueError("truncated GIF LZW stream")
-        v = 0
-        for i in range(width):
-            v |= ((data[bitpos >> 3] >> (bitpos & 7)) & 1) << i
-            bitpos += 1
+        i = bitpos >> 3
+        acc = data[i]
+        if i + 1 < n_bytes:
+            acc |= data[i + 1] << 8
+            if i + 2 < n_bytes:
+                acc |= data[i + 2] << 16
+        v = (acc >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
         return v
 
     table: list[bytes] = []
