@@ -689,21 +689,29 @@ def _decode_png(data: bytes) -> DecodedImage:
             )
         elif ftype == 2:  # Up
             recon = (line + prior) & 0xFF
-        elif ftype == 3:  # Average
-            recon = line.copy()
+        elif ftype == 3:  # Average — serial through recon[x - bpp], so
+            # a plain-int list loop (bytes indexing + Python ints) runs
+            # ~10x the numpy-scalar-indexing form; converted back once
+            raw = rows[y, 1:].tobytes()
+            pr = prior.tolist()
+            rec = [0] * stride
             for x in range(stride):
-                left = recon[x - bpp] if x >= bpp else 0
-                recon[x] = (recon[x] + (left + prior[x]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            recon = line.copy()
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (raw[x] + ((left + pr[x]) >> 1)) & 0xFF
+            recon = np.asarray(rec, dtype=np.int64)
+        elif ftype == 4:  # Paeth — same serial dependence, same form
+            raw = rows[y, 1:].tobytes()
+            pr = prior.tolist()
+            rec = [0] * stride
             for x in range(stride):
-                a = recon[x - bpp] if x >= bpp else 0
-                b = prior[x]
-                c = prior[x - bpp] if x >= bpp else 0
+                a = rec[x - bpp] if x >= bpp else 0
+                b = pr[x]
+                c = pr[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                recon[x] = (recon[x] + pred) & 0xFF
+                rec[x] = (raw[x] + pred) & 0xFF
+            recon = np.asarray(rec, dtype=np.int64)
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = recon
