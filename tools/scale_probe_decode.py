@@ -43,7 +43,7 @@ def _build_payload(doc_id: int, fmt: str) -> bytes:
     v = ((doc_id * 31 + 7 * xg + 13 * yg) % 256).astype(np.uint8)
     rgb = np.repeat(v[:, :, None], 3, axis=2)
     img = DecodedImage(32, 32, rgb.tobytes())
-    if fmt == "jpeg":
+    if fmt in ("jpeg", "pjpeg"):
         return encode_image(img, fmt, quality=85, subsample=(2, 2))
     return encode_image(img, fmt)
 
@@ -60,11 +60,11 @@ def main() -> None:
 
     spark = get_spark("scale-probe-decode")
     base_n = 5000
-    fmts = ("bmp", "ppm", "png", "jpeg", "gif")
+    fmts = ("bmp", "ppm", "png", "jpeg", "gif", "pjpeg")
     scratch = tempfile.mkdtemp(prefix="decode_probe_")
     try:
         rows = [
-            (i, fmts[i % 5], _build_payload(i, fmts[i % 5]))
+            (i, fmts[i % len(fmts)], _build_payload(i, fmts[i % len(fmts)]))
             for i in range(base_n)
         ]
         base = spark.createDataFrame(
@@ -115,10 +115,12 @@ def main() -> None:
                 )
             corpus.unpersist()
 
-        # video: MJPEG AVIs, 4 frames each, 1/10th the doc count
+        # video: MJPEG, 4 frames each, 1/10th the doc count — the
+        # container rotates AVI/MP4 like the decoded_video_check gate
         from m2_b3_market_data_pipeline_spark.operators.multimodal import (
             DecodedImage,
             encode_video_mjpeg,
+            encode_video_mp4,
         )
 
         xg, yg = np.meshgrid(np.arange(32), np.arange(32))
@@ -134,7 +136,8 @@ def main() -> None:
                         32, 32, np.repeat(v[:, :, None], 3, axis=2).tobytes()
                     )
                 )
-            vids.append((i, encode_video_mjpeg(frames, quality=85)))
+            writer = encode_video_mp4 if i % 2 else encode_video_mjpeg
+            vids.append((i, writer(frames, quality=85)))
         vdf = spark.createDataFrame(
             vids, "doc_id bigint, content binary"
         ).repartition(32).persist()
@@ -147,7 +150,7 @@ def main() -> None:
         )
         dt = time.time() - t0
         print(
-            f"video     mjpeg: {nv:7d} avis ({got['n']} frames) {dt:7.1f}s "
+            f"video avi+mp4: {nv:7d} vids ({got['n']} frames) {dt:7.1f}s "
             f"{got['n'] / dt:9.0f} frames/s"
         )
     finally:
