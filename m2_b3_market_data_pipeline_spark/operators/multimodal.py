@@ -599,8 +599,10 @@ def _decode_png(data: bytes) -> DecodedImage:
     defilters (Sub/Up/Average/Paeth) run over numpy rows — filters
     operate on BYTES with the spec's floor(bits-per-pixel/8) >= 1
     back-distance, so sub-byte images filter at distance 1.
-    Interlaced (Adam7) and 16-bit variants raise ValueError — fail
-    loud, never guess pixels.
+    16-bit samples (types 0/2/4/6) reduce to their high byte — the
+    standard 8-bit rendering, exact for v*257-expanded streams.
+    Interlaced (Adam7) raises ValueError — fail loud, never guess
+    pixels.
 
     Filter vectorization: None and Up are whole-row numpy ops; Sub is
     a per-channel cumulative sum; Average and Paeth carry an intra-row
@@ -644,15 +646,16 @@ def _decode_png(data: bytes) -> DecodedImage:
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"unknown PNG color type {ctype}")
-    if ctype in (2, 4, 6) and depth != 8:
-        raise ValueError(
-            f"only 8-bit PNG supported for color type {ctype} "
-            f"(depth={depth}; 16-bit not supported)"
-        )
-    if ctype in (0, 3) and depth not in (1, 2, 4, 8):
+    if ctype in (2, 4, 6) and depth not in (8, 16):
         raise ValueError(
             f"bad PNG depth {depth} for color type {ctype}"
         )
+    if ctype in (0, 3) and depth not in (1, 2, 4, 8, 16):
+        raise ValueError(
+            f"bad PNG depth {depth} for color type {ctype}"
+        )
+    if ctype == 3 and depth == 16:
+        raise ValueError("palette PNG cannot be 16-bit (spec)")
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     if comp != 0 or filt != 0 or interlace != 0:
@@ -716,6 +719,13 @@ def _decode_png(data: bytes) -> DecodedImage:
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = recon
         prior = recon.astype(np.int64)
+    if depth == 16:
+        # 16-bit samples reduce to their high byte (the standard 8-bit
+        # rendering; the v -> v*257 = (v<<8)|v expansion inverts
+        # exactly, which is what the png-16 write path emits). The
+        # FILTERS above already ran at the 16-bit bpp back-distance.
+        out = np.ascontiguousarray(out[:, 0::2])
+        depth = 8
     if ctype == 2:
         return DecodedImage(width, height, out.tobytes())
     if ctype == 6:
@@ -1739,7 +1749,7 @@ def encode_image(img: DecodedImage, fmt: str, **kwargs) -> bytes:
             "<IHHI", 54 + len(pix), 0, 0, 54
         ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
         return header + bytes(pix)
-    if fmt in ("png", "png-gray", "png-pal"):
+    if fmt in ("png", "png-gray", "png-pal", "png-16"):
         def chunk(cid: bytes, body: bytes) -> bytes:
             return (
                 struct.pack(">I", len(body)) + cid + body
@@ -1747,8 +1757,17 @@ def encode_image(img: DecodedImage, fmt: str, **kwargs) -> bytes:
             )
 
         extra = b""
+        depth = 8
         if fmt == "png":
             ctype, rows = 2, rgb
+        elif fmt == "png-16":
+            # truecolor at 16 bits/sample: v -> v*257 = (v<<8)|v, the
+            # exact expansion whose high byte inverts losslessly
+            ctype, depth = 2, 16
+            wide = rgb.astype(np.uint16) * 257
+            rows = wide.reshape(h, -1).byteswap().view(np.uint8).reshape(
+                h, -1
+            )  # big-endian sample order per the spec
         elif fmt == "png-gray":
             # color type 0 requires a true gray raster (r == g == b);
             # anything else would silently drop chroma — fail instead
@@ -1769,7 +1788,7 @@ def encode_image(img: DecodedImage, fmt: str, **kwargs) -> bytes:
                 )
             ctype, rows = 3, idx.astype(np.uint8).reshape(h, w)
             extra = chunk(b"PLTE", colors.astype(np.uint8).tobytes())
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
         raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
         return (
             b"\x89PNG\r\n\x1a\n"

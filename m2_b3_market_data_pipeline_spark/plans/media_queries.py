@@ -129,9 +129,10 @@ def decoded_phash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     widened r14): per doc, a 16x16 gray raster with the analytic
     pixel law v(x, y) = (|doc_id|*31 + 7x + 13y) mod 256 is
     serialized by ``encode_image`` into a format rotating by
-    |doc_id| mod 6 (BMP / PPM / truecolor PNG / GIF / grayscale PNG
-    color type 0 / palette PNG color type 3 — gray rasters are both
-    gray- and palette-expressible, so every leg is lossless),
+    |doc_id| mod 7 (BMP / PPM / truecolor PNG / GIF / grayscale PNG
+    color type 0 / palette PNG color type 3 / 16-bit PNG whose v*257
+    expansion reduces back exactly — gray rasters are gray- and
+    palette-expressible, so every leg is lossless),
     decoded back through the REAL
     ``decode_image`` chain inside ``decoded_image_features``, and the
     production 64-bit average-hash + luma-histogram bins come out.
@@ -159,7 +160,9 @@ def decoded_phash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         xg, yg = np.meshgrid(np.arange(16), np.arange(16))
-        fmts = ("bmp", "ppm", "png", "gif", "png-gray", "png-pal")
+        fmts = (
+            "bmp", "ppm", "png", "gif", "png-gray", "png-pal", "png-16",
+        )
         for pdf in it:
             payloads = []
             for i in pdf["doc_id"]:
@@ -167,7 +170,7 @@ def decoded_phash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v = ((hid * 31 + 7 * xg + 13 * yg) % 256).astype(np.uint8)
                 rgb = np.repeat(v[:, :, None], 3, axis=2)
                 img = DecodedImage(16, 16, rgb.tobytes())
-                payloads.append(encode_image(img, fmts[hid % 6]))
+                payloads.append(encode_image(img, fmts[hid % 7]))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
 
     wrapped = docs.mapInPandas(synth, "doc_id bigint, content binary")

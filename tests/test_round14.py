@@ -365,3 +365,104 @@ def test_decoded_wav_check_law_matches_by_hand(spark):
         expect = math.sqrt(sum(s * s for s in samples[lo:hi]) / 4.0)
         assert r.rms == expect
         assert (r.sample_rate, r.channels, r.n_samples) == (8000, 1, 64)
+
+
+# ---------------------------------------------------------------------------
+# 16-bit PNG leg (r14 second wave)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_16bit_rgb_filtered_decodes_exact(ftype):
+    """16-bit truecolor with every filter type, via the INDEPENDENT
+    writer: samples are v*257 expansions, filters run at the 6-byte
+    back-distance, and the high-byte reduction recovers the original
+    8-bit raster exactly."""
+    import zlib
+
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import _decode_png
+
+    w, h = 7, 5
+    rng = np.random.default_rng(ftype + 40)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    wide = (rgb.astype(np.int64) * 257).reshape(h, -1)
+    raw16 = np.zeros((h, w * 6), dtype=np.int64)
+    raw16[:, 0::2] = wide >> 8
+    raw16[:, 1::2] = wide & 0xFF
+    bpp, stride = 6, w * 6
+    rows = []
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        line = raw16[y]
+        if ftype == 0:
+            f = line
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
+            f = (line - left) & 0xFF
+        elif ftype == 2:
+            f = (line - prior) & 0xFF
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
+            f = (line - ((left + prior) // 2)) & 0xFF
+        else:
+            a = np.concatenate([np.zeros(bpp, np.int64), line[:-bpp]])
+            c = np.concatenate([np.zeros(bpp, np.int64), prior[:-bpp]])
+            b = prior
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a,
+                            np.where(pb <= pc, b, c))
+            f = (line - pred) & 0xFF
+        rows.append(bytes([ftype]) + f.astype(np.uint8).tobytes())
+        prior = line
+    payload = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)),
+        (b"IDAT", zlib.compress(b"".join(rows))),
+        (b"IEND", b""),
+    ])
+    img = _decode_png(payload)
+    assert np.array_equal(_pixels(img), rgb), ftype
+
+
+def test_png_16bit_grayscale_and_palette_reject():
+    import zlib
+
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import _decode_png
+
+    w, h = 5, 3
+    g = np.array([[(40 * x + 9 * y) % 256 for x in range(w)]
+                  for y in range(h)], dtype=np.int64)
+    wide = g * 257
+    raw = b"".join(
+        b"\x00" + np.stack([wide[y] >> 8, wide[y] & 0xFF], axis=1)
+        .astype(np.uint8).tobytes()
+        for y in range(h)
+    )
+    payload = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)),
+        (b"IDAT", zlib.compress(raw)),
+        (b"IEND", b""),
+    ])
+    img = _decode_png(payload)
+    assert np.array_equal(_pixels(img)[:, :, 0], g.astype(np.uint8))
+    pal16 = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 3, 0, 0, 0)),
+        (b"PLTE", bytes(range(12))),
+        (b"IDAT", zlib.compress(raw)),
+        (b"IEND", b""),
+    ])
+    with pytest.raises(ValueError, match="cannot be 16-bit"):
+        _decode_png(pal16)
+
+
+def test_png_16_production_roundtrip():
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage,
+        _decode_png,
+        encode_image,
+    )
+
+    rng = np.random.default_rng(99)
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    img = DecodedImage(16, 16, rgb.tobytes())
+    assert _decode_png(encode_image(img, "png-16")).pixels == img.pixels
