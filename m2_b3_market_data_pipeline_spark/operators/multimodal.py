@@ -1072,8 +1072,13 @@ def _decode_jpeg_inner(data: bytes) -> DecodedImage:
                 raise ValueError("JPEG SOS before SOF")
             if geom is None:
                 geom = _jpeg_geometry(frame)
+                # plain nested lists during entropy decode: the scan
+                # loops mutate single coefficients, where Python-int
+                # list ops run ~5x numpy scalar indexing (the same
+                # lesson as the PNG defilters); numpy takes over at
+                # the batched dequant/IDCT below
                 coefs = [
-                    np.zeros((pbh, pbw, 64), dtype=np.int32)
+                    [[[0] * 64 for _ in range(pbw)] for _ in range(pbh)]
                     for (pbh, pbw, _bh, _bw) in geom["blocks"]
                 ]
                 preds = [0] * len(frame[2])
@@ -1122,8 +1127,9 @@ def _decode_jpeg_inner(data: bytes) -> DecodedImage:
     for ci, (_cid, h, v, tq) in enumerate(comps):
         if tq not in quant:
             raise ValueError(f"JPEG references missing quant table {tq}")
-        pbh, pbw = coefs[ci].shape[:2]
-        dq = coefs[ci].astype(np.float64) * quant[tq][None, None, :]
+        arr = np.asarray(coefs[ci], dtype=np.float64)
+        pbh, pbw = arr.shape[:2]
+        dq = arr * quant[tq][None, None, :]
         nat = np.empty_like(dq)
         nat[:, :, order] = dq  # dezigzag every block at once
         blocks = nat.reshape(pbh, pbw, 8, 8)
@@ -1283,7 +1289,7 @@ def _jpeg_decode_scan(
                 for by in range(cv):
                     for bx in range(ch):
                         decode_block(
-                            arr[my * cv + by, mx * ch + bx],
+                            arr[my * cv + by][mx * ch + bx],
                             ci,
                             dc_tbl,
                             ac_tbl,
@@ -1294,7 +1300,7 @@ def _jpeg_decode_scan(
         arr = coefs[ci]
         for b in range(bh * bw):
             maybe_restart(b)
-            decode_block(arr[b // bw, b % bw], ci, dc_tbl, ac_tbl)
+            decode_block(arr[b // bw][b % bw], ci, dc_tbl, ac_tbl)
 
     # advance to the next marker: skip stuffed FF00 pairs and any
     # trailing pad bits; leave pos at the 0xFF of a real marker
