@@ -1440,10 +1440,14 @@ def _decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
     audio_fmt, channels, sample_rate, _brate, _align, bits = fmt
+    if audio_fmt == 7 and bits == 8:  # G.711 mu-law (r14)
+        return sample_rate, channels, [_ulaw2linear(b) for b in raw]
+    if audio_fmt == 6 and bits == 8:  # G.711 A-law (r14)
+        return sample_rate, channels, [_alaw2linear(b) for b in raw]
     if audio_fmt != 1 or bits not in (8, 16):
         raise ValueError(
-            f"only uncompressed 8/16-bit PCM supported (fmt={audio_fmt}, "
-            f"bits={bits})"
+            f"only PCM 8/16-bit and G.711 u-law/A-law supported "
+            f"(fmt={audio_fmt}, bits={bits})"
         )
     if bits == 16:
         n = len(raw) // 2
@@ -1453,30 +1457,107 @@ def _decode_wav(data: bytes) -> tuple[int, int, list[int]]:
     return sample_rate, channels, samples
 
 
+def _ulaw2linear(b: int) -> int:
+    """ITU-T G.711 mu-law expansion (the public-spec integer form):
+    codeword byte -> 16-bit linear sample. Bias 0x84, 3-bit segment,
+    4-bit mantissa; max magnitude 32124."""
+    u = (~b) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _linear2ulaw(s: int) -> int:
+    """G.711 mu-law compression: linear -> codeword. Canonical
+    segment search; clips past +-32635 per the spec. Inverts
+    `_ulaw2linear` exactly on every canonical codeword (0x7F, the
+    non-canonical negative zero, re-encodes as 0xFF — pinned)."""
+    sign = 0x80 if s < 0 else 0
+    if s < 0:
+        s = -s
+    s = min(s, 32635) + 0x84
+    seg = 7
+    for i in range(8):
+        if s < (0x100 << i):
+            seg = i
+            break
+    return (~(sign | (seg << 4) | ((s >> (seg + 3)) & 0x0F))) & 0xFF
+
+
+def _alaw2linear(b: int) -> int:
+    """ITU-T G.711 A-law expansion: codeword -> linear (sign bit SET
+    means positive, even bits inverted by the 0x55 mask)."""
+    a = b ^ 0x55
+    seg = (a >> 4) & 0x07
+    q = a & 0x0F
+    if seg == 0:
+        t = (q << 4) + 8
+    elif seg == 1:
+        t = (q << 4) + 0x108
+    else:
+        t = ((q << 4) + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def _linear2alaw(s: int) -> int:
+    """G.711 A-law compression: inverts `_alaw2linear` exactly on all
+    256 codewords (A-law has no double-zero — pinned in tests)."""
+    sign = 0x80 if s >= 0 else 0
+    if s < 0:
+        s = -s
+    s = min(s, 32767)
+    if s >= 0x100:
+        seg = 1
+        v = s >> 8
+        while v > 1 and seg < 7:
+            v >>= 1
+            seg += 1
+        q = (s >> (seg + 3)) & 0x0F
+    else:
+        seg = 0
+        q = s >> 4
+    return (sign | (seg << 4) | q) ^ 0x55
+
+
 def encode_audio_wav(
     samples: list,
     *,
     sample_rate: int = 8000,
     channels: int = 1,
     bits: int = 16,
+    encoding: str = "pcm",
 ) -> bytes:
-    """Audio WRITE path (r14): a PCM RIFF/WAVE container inverting
-    ``_decode_wav`` exactly — 16-bit signed little-endian or 8-bit
-    unsigned (samples recentred by +128 per the spec, the exact
-    inverse of the decoder's -128). ``samples`` are channel-
-    interleaved signed ints; out-of-range values raise rather than
-    wrap (never corrupt audio silently). The test-vector generator
-    for ``decoded_wav_check``, the audio leg's differential gate."""
+    """Audio WRITE path (r14): a RIFF/WAVE container inverting
+    ``_decode_wav`` exactly. ``encoding="pcm"``: 16-bit signed
+    little-endian or 8-bit unsigned (samples recentred by +128 per
+    the spec, the exact inverse of the decoder's -128);
+    ``"ulaw"``/``"alaw"``: G.711 companded 8-bit (WAVE format codes
+    7/6) — linear samples compress through `_linear2ulaw` /
+    `_linear2alaw`, which invert the decoder's expanders exactly on
+    every canonical codeword value (lossy quantization otherwise, as
+    the codec defines). ``samples`` are channel-interleaved signed
+    ints; out-of-range PCM values raise rather than wrap (never
+    corrupt audio silently). The test-vector generator for
+    ``decoded_wav_check``, the audio leg's differential gate."""
     import struct
 
     n = len(samples)
     if n == 0 or n % max(channels, 1):
         raise ValueError("sample count must be a positive multiple of channels")
-    if bits == 16:
+    if encoding == "ulaw":
+        fmt_code, bits = 7, 8
+        raw = bytes(_linear2ulaw(int(s)) for s in samples)
+    elif encoding == "alaw":
+        fmt_code, bits = 6, 8
+        raw = bytes(_linear2alaw(int(s)) for s in samples)
+    elif encoding != "pcm":
+        raise ValueError(f"unsupported WAV encoding {encoding!r}")
+    elif bits == 16:
+        fmt_code = 1
         if any(not (-32768 <= s <= 32767) for s in samples):
             raise ValueError("16-bit WAV sample out of range")
         raw = struct.pack(f"<{n}h", *samples)
     elif bits == 8:
+        fmt_code = 1
         if any(not (-128 <= s <= 127) for s in samples):
             raise ValueError("8-bit WAV sample out of range")
         raw = bytes(s + 128 for s in samples)
@@ -1484,7 +1565,7 @@ def encode_audio_wav(
         raise ValueError(f"only 8/16-bit PCM WAV supported (bits={bits})")
     block_align = channels * bits // 8
     fmt = struct.pack(
-        "<HHIIHH", 1, channels, sample_rate,
+        "<HHIIHH", fmt_code, channels, sample_rate,
         sample_rate * block_align, block_align, bits,
     )
     body = (

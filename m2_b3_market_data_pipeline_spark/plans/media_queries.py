@@ -194,9 +194,35 @@ WITH ids AS (
     FROM documents WHERE doc_id IS NOT NULL
 ),
 k AS (SELECT unnest(generate_series(0, 63)) AS i),
-s AS (
-    SELECT doc_id, i, ((hid * 13 + 7 * i) % 201) - 100 AS v
+law AS (
+    SELECT doc_id, hid, i,
+           ((hid * 13 + 7 * i) % 201) - 100 AS pcm,
+           ((hid * 13 + 7 * i) % 256) AS b
     FROM ids, k
+),
+cw AS (
+    SELECT *,
+           255 - (CASE WHEN b = 127 THEN 255 ELSE b END) AS u2,
+           xor(b, 85) AS ba
+    FROM law
+),
+ex AS (
+    SELECT *,
+           ((u2 % 16) * 8 + 132) * (1 << ((u2 // 16) % 8)) AS ut,
+           CASE WHEN ((ba // 16) % 8) = 0 THEN (ba % 16) * 16 + 8
+                WHEN ((ba // 16) % 8) = 1 THEN (ba % 16) * 16 + 264
+                ELSE ((ba % 16) * 16 + 264)
+                     * (1 << (((ba // 16) % 8) - 1)) END AS at
+    FROM cw
+),
+s AS (
+    SELECT doc_id, i,
+           CASE hid % 4
+                WHEN 2 THEN CASE WHEN u2 >= 128 THEN 132 - ut
+                                 ELSE ut - 132 END
+                WHEN 3 THEN CASE WHEN ba >= 128 THEN at ELSE -at END
+                ELSE pcm END AS v
+    FROM ex
 ),
 fr AS (
     SELECT doc_id, CAST(i // 4 AS INT) AS frame_idx, SUM(v * v) AS ss
@@ -210,17 +236,25 @@ FROM fr ORDER BY doc_id, frame_idx
 )
 def decoded_wav_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The AUDIO leg's differential oracle gate (r14 — image and
-    video got theirs in r13): per doc a 64-sample mono PCM WAV with
-    the sample law s(i, k) = ((|doc_id|*13 + 7k) mod 201) - 100,
-    serialized by the production ``encode_audio_wav`` writer rotating
-    |doc_id| mod 2 between 16-bit signed and 8-bit unsigned PCM (the
-    8-bit leg exercises the +-128 recentring pair), decoded back by
+    video got theirs in r13; rotation widened to four encodings the
+    same round): per doc a 64-sample mono WAV serialized by the
+    production ``encode_audio_wav`` writer rotating |doc_id| mod 4 —
+    8-bit unsigned PCM (the +-128 recentring pair), 16-bit signed
+    PCM, G.711 mu-law (format 7), G.711 A-law (format 6). The PCM
+    legs carry the law s(k) = ((hid*13 + 7k) mod 201) - 100; the
+    companded legs derive their linear samples from the codeword law
+    c(k) = (hid*13 + 7k) mod 256 through the G.711 expansion
+    formulas written out INLINE here (and again, independently, in
+    the oracle SQL) — because every sample is exactly a codeword
+    value, the production compress->expand pair must reproduce it
+    bit-exactly (the mu-law negative-zero 0x7F remaps to its
+    canonical 0xFF twin on both sides). Decode runs through
     ``_decode_wav`` inside the production ``decoded_frame_energy``,
-    which emits 16 per-frame RMS rows. Exactness: 64 samples / 16
-    frames = 4-sample windows, so RMS = sqrt(exact-int sum / 4.0) —
-    division by a power of two then one IEEE sqrt, bit-identical in
-    both engines. The oracle computes everything straight from the
-    law, never seeing a container byte: any fmt-chunk, recentring,
+    emitting 16 per-frame RMS rows. Exactness: 4-sample windows make
+    RMS = sqrt(exact-int sum / 4.0) — division by a power of two
+    then one IEEE sqrt, bit-identical in both engines. The oracle
+    computes everything straight from the laws, never seeing a
+    container byte: any fmt-chunk, recentring, companding-table,
     interleave, or window-assignment asymmetry breaks the hash."""
     from ..operators.multimodal import decoded_frame_energy, encode_audio_wav
 
@@ -230,6 +264,18 @@ def decoded_wav_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id").isNotNull())
     )
 
+    def ulaw_val(c: int) -> int:
+        c = 255 if c == 127 else c
+        u = 255 - c
+        t = ((u % 16) * 8 + 132) << ((u // 16) % 8)
+        return 132 - t if u >= 128 else t - 132
+
+    def alaw_val(c: int) -> int:
+        a = c ^ 85
+        seg, q = (a // 16) % 8, a % 16
+        t = (q * 16 + 8) if seg == 0 else (q * 16 + 264) << max(seg - 1, 0)
+        return t if a >= 128 else -t
+
     def synth(it):
         import pandas as pd
 
@@ -237,11 +283,20 @@ def decoded_wav_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for i in pdf["doc_id"]:
                 hid = abs(int(i))
-                samples = [((hid * 13 + 7 * k) % 201) - 100 for k in range(64)]
+                leg = hid % 4
+                if leg in (0, 1):
+                    samples = [
+                        ((hid * 13 + 7 * k) % 201) - 100 for k in range(64)
+                    ]
+                    kw = {"bits": 8 if leg == 0 else 16}
+                else:
+                    law = [(hid * 13 + 7 * k) % 256 for k in range(64)]
+                    fn = ulaw_val if leg == 2 else alaw_val
+                    samples = [fn(c) for c in law]
+                    kw = {"encoding": "ulaw" if leg == 2 else "alaw"}
                 payloads.append(
                     encode_audio_wav(
-                        samples, sample_rate=8000, channels=1,
-                        bits=16 if hid % 2 else 8,
+                        samples, sample_rate=8000, channels=1, **kw
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})

@@ -466,3 +466,47 @@ def test_png_16_production_roundtrip():
     rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
     img = DecodedImage(16, 16, rgb.tobytes())
     assert _decode_png(encode_image(img, "png-16")).pixels == img.pixels
+
+
+def test_g711_reference_anchors_and_codeword_identity():
+    """G.711 expanders pinned to public reference values (mu-law 0x00
+    -> -32124, 0xFF -> 0; A-law 0xD5 -> +8) and the compressors invert
+    them on every canonical codeword: all 256 for A-law; 255/256 for
+    mu-law (0x7F is the non-canonical negative zero and re-encodes as
+    its canonical twin 0xFF)."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        _alaw2linear,
+        _linear2alaw,
+        _linear2ulaw,
+        _ulaw2linear,
+    )
+
+    assert _ulaw2linear(0x00) == -32124
+    assert _ulaw2linear(0x80) == 32124
+    assert _ulaw2linear(0xFF) == 0
+    assert _alaw2linear(0xD5) == 8
+    assert _alaw2linear(0x55) == -8
+    assert [c for c in range(256)
+            if _linear2ulaw(_ulaw2linear(c)) != c] == [0x7F]
+    assert _linear2ulaw(_ulaw2linear(0x7F)) == 0xFF
+    assert all(_linear2alaw(_alaw2linear(c)) == c for c in range(256))
+
+
+def test_g711_wav_container_roundtrips():
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        _alaw2linear,
+        _decode_wav,
+        _ulaw2linear,
+        encode_audio_wav,
+    )
+
+    us = [_ulaw2linear(c) for c in range(256) if c != 0x7F]
+    rate, ch, got = _decode_wav(encode_audio_wav(us, encoding="ulaw"))
+    assert (rate, ch, got) == (8000, 1, us)
+    asamp = [_alaw2linear(c) for c in range(256)]
+    rate, ch, got = _decode_wav(
+        encode_audio_wav(asamp, sample_rate=44100, encoding="alaw")
+    )
+    assert (rate, ch, got) == (44100, 1, asamp)
+    with pytest.raises(ValueError, match="encoding"):
+        encode_audio_wav([0], encoding="gsm")
