@@ -91,9 +91,13 @@ def _decode_bmp(data: bytes) -> DecodedImage:
     the one raster format `struct` alone can parse, which cracks the
     container block on real decode (r11 verdict item 6: PIL will never
     appear here). Handles bottom-up (positive height, the common case)
-    and top-down (negative height) layouts and the 4-byte row padding;
-    everything else (palettes, RLE, 16/32bpp, V4/V5 extras beyond the
-    core fields) raises ValueError — fail loud, never guess pixels."""
+    and top-down (negative height) layouts and the 4-byte row padding.
+    Round 14 widened the bpp coverage to the other common real-world
+    layouts: 32-bit BI_RGB (BGRx, the padding byte dropped) and 8-bit
+    palettized (BGRx color-table lookup, the layout screenshots and
+    icons ship in). RLE compression, 1/4/16bpp, and V4/V5 extras
+    beyond the core fields raise ValueError — fail loud, never guess
+    pixels."""
     import struct
 
     if len(data) < 54 or data[:2] != b"BM":
@@ -105,29 +109,43 @@ def _decode_bmp(data: bytes) -> DecodedImage:
     width, height = struct.unpack_from("<ii", data, 18)
     _planes, bpp = struct.unpack_from("<HH", data, 26)
     (compression,) = struct.unpack_from("<I", data, 30)
-    if bpp != 24 or compression != 0:
+    (clr_used,) = struct.unpack_from("<I", data, 46)
+    if bpp not in (8, 24, 32) or compression != 0:
         raise ValueError(
-            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"only 8/24/32-bit uncompressed BMP supported (bpp={bpp}, "
             f"compression={compression})"
         )
     if width <= 0 or height == 0:
         raise ValueError(f"degenerate BMP dimensions {width}x{height}")
     top_down = height < 0
     h = abs(height)
-    row_size = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+    row_size = (width * (bpp // 8) + 3) & ~3  # rows pad to 4 bytes
     if data_offset + row_size * h > len(data):
         raise ValueError("truncated BMP pixel data")
     import numpy as np
 
     raw = np.frombuffer(
         data, dtype=np.uint8, count=row_size * h, offset=data_offset
-    ).reshape(h, row_size)[:, : width * 3]
+    ).reshape(h, row_size)[:, : width * (bpp // 8)]
     if not top_down:
         raw = raw[::-1]  # bottom-up rows flip to top-down
-    # BMP stores BGR: reverse the channel axis (vectorized — a
-    # per-pixel Python loop here is the decode hot path at 100 TB)
-    rgb = raw.reshape(h, width, 3)[:, :, ::-1]
-    return DecodedImage(width, h, rgb.tobytes())
+    if bpp == 8:  # palettized: BGRx color table follows the info header
+        n_colors = clr_used or 256
+        pal_at = 14 + hdr_size
+        if pal_at + 4 * n_colors > data_offset:
+            raise ValueError("BMP color table overruns pixel data")
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=4 * n_colors, offset=pal_at
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRx -> RGB
+        idx = raw.reshape(h, width)
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("BMP pixel index beyond color table")
+        return DecodedImage(width, h, pal[idx].tobytes())
+    # BMP stores BGR(x): reverse the channel axis and drop the 32-bit
+    # padding byte (vectorized — a per-pixel Python loop here is the
+    # decode hot path at 100 TB)
+    rgb = raw.reshape(h, width, bpp // 8)[:, :, :3][:, :, ::-1]
+    return DecodedImage(width, h, np.ascontiguousarray(rgb).tobytes())
 
 
 def decode_image(data: bytes) -> DecodedImage:
@@ -1836,6 +1854,38 @@ def encode_image(img: DecodedImage, fmt: str, **kwargs) -> bytes:
             "<IHHI", 54 + len(pix), 0, 0, 54
         ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
         return header + bytes(pix)
+    if fmt == "bmp-32":  # BGRx rows (32-bit BI_RGB), no row padding needed
+        bgrx = np.zeros((h, w, 4), dtype=np.uint8)
+        bgrx[:, :, :3] = rgb[:, :, ::-1]
+        pix = b"".join(bgrx[y].tobytes() for y in reversed(range(h)))
+        header = b"BM" + struct.pack(
+            "<IHHI", 54 + len(pix), 0, 0, 54
+        ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(pix), 0, 0, 0, 0)
+        return header + pix
+    if fmt == "bmp-pal":  # 8-bit palettized, honest <=256-unique bound
+        flat = rgb.reshape(-1, 3)
+        colors, idx = np.unique(flat, axis=0, return_inverse=True)
+        if colors.shape[0] > 256:
+            raise ValueError(
+                f"bmp-pal needs <= 256 unique colors ({colors.shape[0]} "
+                "found); quantization is a modeling choice this engine "
+                "won't make silently"
+            )
+        n = colors.shape[0]
+        table = np.zeros((n, 4), dtype=np.uint8)
+        table[:, :3] = colors[:, ::-1]  # RGB -> BGRx
+        rows = idx.astype(np.uint8).reshape(h, w)
+        row_size = (w + 3) & ~3
+        pix = bytearray()
+        for y in reversed(range(h)):
+            pix += rows[y].tobytes() + b"\x00" * (row_size - w)
+        data_offset = 54 + 4 * n
+        header = b"BM" + struct.pack(
+            "<IHHI", data_offset + len(pix), 0, 0, data_offset
+        ) + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(pix), 0, 0, n, 0
+        )
+        return header + table.tobytes() + bytes(pix)
     if fmt in ("png", "png-gray", "png-pal", "png-16"):
         def chunk(cid: bytes, body: bytes) -> bytes:
             return (

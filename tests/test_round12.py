@@ -385,11 +385,12 @@ def test_bmp_decode_exact_pixels():
 
     with _pytest.raises(ValueError, match="not a BMP"):
         _decode_bmp(b"JUNK" * 20)
-    with _pytest.raises(ValueError, match="24-bit"):
+    with _pytest.raises(ValueError, match="8/24/32-bit"):
         import struct
 
+        # 16bpp stays unsupported (r14 widened coverage to 8/24/32)
         bad = bytearray(_make_bmp(2, 2, lambda x, y: (0, 0, 0)))
-        struct.pack_into("<H", bad, 28, 32)  # claim 32bpp
+        struct.pack_into("<H", bad, 28, 16)
         _decode_bmp(bytes(bad))
     with _pytest.raises(ValueError, match="truncated"):
         _decode_bmp(_make_bmp(4, 4, lambda x, y: (0, 0, 0))[:-8])

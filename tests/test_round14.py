@@ -510,3 +510,68 @@ def test_g711_wav_container_roundtrips():
     assert (rate, ch, got) == (44100, 1, asamp)
     with pytest.raises(ValueError, match="encoding"):
         encode_audio_wav([0], encoding="gsm")
+
+
+# ---------------------------------------------------------------------------
+# BMP 32-bit / 8-bit-palette legs (r14 second wave)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_32bit_and_palette_roundtrip_and_independent_layout():
+    """Production write paths invert the widened decoder; an
+    independently hand-packed 32-bit payload (top-down, junk in the
+    x byte) pins the BGRx layout without trusting the writer."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage,
+        _decode_bmp,
+        encode_image,
+    )
+
+    rng = np.random.default_rng(8)
+    rgb = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)
+    img = DecodedImage(3, 5, rgb.tobytes())
+    assert _decode_bmp(encode_image(img, "bmp-32")).pixels == img.pixels
+    xg, yg = np.meshgrid(np.arange(8), np.arange(8))
+    v = ((5 * xg + 11 * yg) % 256).astype(np.uint8)
+    gimg = DecodedImage(8, 8, np.repeat(v[:, :, None], 3, axis=2).tobytes())
+    assert _decode_bmp(encode_image(gimg, "bmp-pal")).pixels == gimg.pixels
+    # hand-packed 32bpp, NEGATIVE height (top-down), x byte = 0xEE
+    w, h = 2, 2
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            r, g, b = rgb[y % 5, x % 3]
+            px += bytes([b, g, r, 0xEE])
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(px),
+                       0, 0, 0, 0)
+    out = _decode_bmp(hdr + bytes(px))
+    got = np.frombuffer(out.pixels, np.uint8).reshape(h, w, 3)
+    for y in range(h):
+        for x in range(w):
+            assert tuple(got[y, x]) == tuple(rgb[y % 5, x % 3])
+
+
+def test_bmp_palette_fail_loud():
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage,
+        _decode_bmp,
+        encode_image,
+    )
+
+    # index beyond the declared color table
+    w, h = 4, 2
+    n = 4
+    table = bytes(16)
+    row_size = (w + 3) & ~3
+    pix = bytes([7] * row_size) * h  # index 7 >= 4 colors
+    hdr = b"BM" + struct.pack("<IHHI", 54 + 16 + len(pix), 0, 0, 54 + 16)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(pix),
+                       0, 0, n, 0)
+    with pytest.raises(ValueError, match="beyond color table"):
+        _decode_bmp(hdr + table + pix)
+    # a colorful raster with > 256 uniques refuses bmp-pal
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="256 unique"):
+        encode_image(DecodedImage(32, 32, rgb.tobytes()), "bmp-pal")
