@@ -185,9 +185,11 @@ def decode_image(data: bytes) -> DecodedImage:
         return _decode_jpeg(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return _decode_tiff(data)
     raise NotImplementedError(
         "no decoder for this payload: PIL absent and not an uncompressed "
-        "24-bit BMP / binary PPM / 8-bit PNG / JPEG / GIF — "
+        "BMP / binary PPM / PNG / JPEG / GIF / TIFF — "
         "byte-level features apply (deterministic_features)"
     )
 
@@ -568,6 +570,124 @@ def frame_dedup(
         .filter(F.col("n_docs") >= min_docs)
         .orderBy(hash_col)
     )
+
+
+def _decode_tiff(data: bytes) -> DecodedImage:
+    """Quarantine boundary for `_decode_tiff_inner` (same contract as
+    the JPEG/GIF/MP4 wrappers: malformed streams surface as
+    ValueError, never struct.error/IndexError)."""
+    import struct
+
+    try:
+        return _decode_tiff_inner(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed TIFF stream: {exc}") from exc
+
+
+def _decode_tiff_inner(data: bytes) -> DecodedImage:
+    """Pure-stdlib baseline TIFF decode (r14): both byte orders
+    (II little-endian / MM big-endian), first-IFD walk over the core
+    tags, uncompressed strips, 8-bit samples. Photometric 2 (RGB,
+    extra samples/alpha dropped), 1 (BlackIsZero grayscale), 0
+    (WhiteIsZero, inverted), and 3 (palette via the 16-bit-per-channel
+    ColorMap, reduced >>8) are supported — the scanned-document /
+    export formats a crawl corpus actually contains. Compression
+    (LZW/PackBits/CCITT/JPEG-in-TIFF), 16-bit samples, tiled layout,
+    and planar configuration 2 raise ValueError — fail loud, never
+    guess pixels."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 8 or data[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF payload")
+    e = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(e + "I", data, 4)
+    if ifd_off + 2 > len(data):
+        raise ValueError("truncated TIFF IFD")
+    (n_entries,) = struct.unpack_from(e + "H", data, ifd_off)
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4}
+    tags: dict[int, tuple] = {}
+    for i in range(n_entries):
+        at = ifd_off + 2 + 12 * i
+        if at + 12 > len(data):
+            raise ValueError("truncated TIFF IFD entry")
+        tag, typ, cnt = struct.unpack_from(e + "HHI", data, at)
+        size = type_size.get(typ)
+        if size is None:  # RATIONAL etc.: not needed for the core tags
+            continue
+        total = size * cnt
+        if total <= 4:
+            off = at + 8
+        else:
+            (off,) = struct.unpack_from(e + "I", data, at + 8)
+        if off + total > len(data):
+            raise ValueError("TIFF tag data past end of stream")
+        if typ == 3:
+            tags[tag] = struct.unpack_from(f"{e}{cnt}H", data, off)
+        elif typ == 4:
+            tags[tag] = struct.unpack_from(f"{e}{cnt}I", data, off)
+        else:  # BYTE / ASCII
+            tags[tag] = tuple(data[off : off + cnt])
+
+    def first(tag: int, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    width, height = first(256), first(257)
+    if not width or not height:
+        raise ValueError("TIFF missing image dimensions")
+    comp = first(259, 1)
+    if comp != 1:
+        raise ValueError(
+            f"only uncompressed TIFF supported (compression={comp})"
+        )
+    if first(284, 1) != 1:
+        raise ValueError("planar-configuration-2 TIFF not supported")
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiled TIFF not supported")
+    photo = first(262)
+    spp = first(277, 1)
+    bits = tags.get(258, (8,) * spp)
+    if any(b != 8 for b in bits):
+        raise ValueError(f"only 8-bit TIFF samples supported (bits={bits})")
+    offsets, counts = tags.get(273), tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip layout (273/279)")
+    raw = bytearray()
+    for o, c in zip(offsets, counts):
+        if o + c > len(data):
+            raise ValueError("TIFF strip past end of stream")
+        raw += data[o : o + c]
+    need = width * height * spp
+    if len(raw) < need:
+        raise ValueError("truncated TIFF strip data")
+    a = np.frombuffer(bytes(raw), np.uint8, count=need).reshape(
+        height, width, spp
+    )
+    if photo == 2:
+        if spp < 3:
+            raise ValueError(f"TIFF RGB needs >= 3 samples (spp={spp})")
+        rgb = np.ascontiguousarray(a[:, :, :3])  # alpha/extra dropped
+    elif photo in (0, 1):
+        g = a[:, :, 0]
+        if photo == 0:  # WhiteIsZero
+            g = 255 - g
+        rgb = np.repeat(g[:, :, None], 3, axis=2)
+    elif photo == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) % 3:
+            raise ValueError("palette TIFF missing/odd ColorMap")
+        cm = (np.asarray(cmap, dtype=np.int64).reshape(3, -1) >> 8).astype(
+            np.uint8
+        )
+        idx = a[:, :, 0]
+        if int(idx.max(initial=0)) >= cm.shape[1]:
+            raise ValueError("TIFF palette index beyond ColorMap")
+        rgb = np.stack([cm[0][idx], cm[1][idx], cm[2][idx]], axis=2)
+    else:
+        raise ValueError(f"unsupported TIFF photometric {photo}")
+    return DecodedImage(width, height, rgb.tobytes())
 
 
 def _decode_ppm(data: bytes) -> DecodedImage:
@@ -1940,6 +2060,33 @@ def encode_image(img: DecodedImage, fmt: str, **kwargs) -> bytes:
         return _encode_jpeg_progressive(img, **kwargs)
     if fmt == "gif":
         return _encode_gif(img)
+    if fmt == "tiff":
+        # minimal little-endian baseline TIFF: one uncompressed RGB
+        # strip at offset 8, BitsPerSample array + IFD after it
+        px = rgb.tobytes()
+        pad = b"\x00" if len(px) & 1 else b""  # word-align what follows
+        bits_at = 8 + len(px) + len(pad)
+        ifd_at = bits_at + 6
+        short = lambda v: struct.pack("<HH", v, 0)  # noqa: E731
+        entries = [
+            (256, 3, 1, short(w)),
+            (257, 3, 1, short(h)),
+            (258, 3, 3, struct.pack("<I", bits_at)),
+            (259, 3, 1, short(1)),  # uncompressed
+            (262, 3, 1, short(2)),  # RGB
+            (273, 4, 1, struct.pack("<I", 8)),
+            (277, 3, 1, short(3)),
+            (278, 4, 1, struct.pack("<I", h)),
+            (279, 4, 1, struct.pack("<I", len(px))),
+        ]
+        ifd = struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            ifd += struct.pack("<HHI", tag, typ, cnt) + val
+        ifd += struct.pack("<I", 0)  # no next IFD
+        return (
+            b"II*\x00" + struct.pack("<I", ifd_at)
+            + px + pad + struct.pack("<HHH", 8, 8, 8) + ifd
+        )
     raise ValueError(f"unsupported image encode format {fmt!r}")
 
 

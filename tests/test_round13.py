@@ -129,8 +129,13 @@ def test_png_fail_loud_variants():
     good = _make_png(4, 4, _grad)
     with pytest.raises(ValueError, match="Adam7"):
         _decode_png(_make_png(4, 4, _grad, interlace=1))
-    with pytest.raises(ValueError, match="8-bit"):
+    # depth 16 became a real leg in r14 (a 16-claiming header over
+    # 8-bit-sized data now fails as truncated); illegal depths still
+    # fail on the depth check itself
+    with pytest.raises(ValueError, match="truncated"):
         _decode_png(_make_png(4, 4, _grad, depth=16))
+    with pytest.raises(ValueError, match="bad PNG depth"):
+        _decode_png(_make_png(4, 4, _grad, depth=12))
     # ctype=3 became a real decode leg in r14; a palette stream
     # WITHOUT its PLTE still fails loud, and unknown color types too
     with pytest.raises(ValueError, match="PLTE"):
@@ -222,10 +227,10 @@ def test_pil_decode_failure_falls_through_to_stdlib(monkeypatch):
     png = _make_png(5, 4, _grad)
     assert multimodal.decode_image(bmp).pixels == multimodal.decode_image(png).pixels
     with pytest.raises(NotImplementedError):
-        # TIFF magic: a real format no stdlib path reads (GIF89a, the
-        # example before r13's GIF decoder, now dispatches and raises
-        # ValueError for malformed bodies instead)
-        multimodal.decode_image(b"II*\x00 not a supported payload")
+        # WebP magic: a real format no stdlib path reads (GIF89a and
+        # II*\x00 TIFF, the examples before the r13/r14 decoders,
+        # now dispatch and raise ValueError for malformed bodies)
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_phash_and_histogram_accept_shared_luma():

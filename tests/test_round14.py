@@ -575,3 +575,175 @@ def test_bmp_palette_fail_loud():
     rgb = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
     with pytest.raises(ValueError, match="256 unique"):
         encode_image(DecodedImage(32, 32, rgb.tobytes()), "bmp-pal")
+
+
+# ---------------------------------------------------------------------------
+# Baseline TIFF (r14 second wave): both byte orders, strips, photometrics
+# ---------------------------------------------------------------------------
+
+
+def _make_tiff(entries_and_blobs, *, big_endian=False):
+    """Independent TIFF writer: hand-packed header + caller-supplied
+    IFD entries and external blobs. entries = list of (tag, type,
+    count, inline_bytes_or_('blob', idx)); blobs land after the IFD."""
+    e = ">" if big_endian else "<"
+    magic = b"MM\x00*" if big_endian else b"II*\x00"
+    entries, blobs = entries_and_blobs
+    ifd_at = 8
+    ifd_len = 2 + 12 * len(entries) + 4
+    blob_at = ifd_at + ifd_len
+    blob_offsets = []
+    for b in blobs:
+        blob_offsets.append(blob_at)
+        blob_at += len(b) + (len(b) & 1)
+    out = bytearray(magic + struct.pack(e + "I", ifd_at))
+    out += struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        out += struct.pack(e + "HHI", tag, typ, cnt)
+        if isinstance(val, tuple) and val[0] == "blob":
+            out += struct.pack(e + "I", blob_offsets[val[1]])
+        else:
+            out += val.ljust(4, b"\x00")
+    out += struct.pack(e + "I", 0)
+    for b in blobs:
+        out += b + (b"\x00" if len(b) & 1 else b"")
+    return bytes(out)
+
+
+@pytest.mark.parametrize("big_endian", [False, True])
+def test_tiff_rgb_multistrip_both_byte_orders(big_endian):
+    """RGB spread over TWO strips, dims/strip tables as SHORT/LONG
+    mixes, via the independent writer — in both byte orders (the
+    production writer only emits II, so MM is writer-independent)."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import _decode_tiff
+
+    e = ">" if big_endian else "<"
+    w, h = 5, 4
+    rng = np.random.default_rng(17 + big_endian)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    px = rgb.tobytes()
+    half = w * 3 * 2  # first two rows
+    strip1, strip2 = px[:half], px[half:]
+    short = lambda v: struct.pack(e + "H", v)  # noqa: E731
+    entries = [
+        (256, 3, 1, short(w)),
+        (257, 3, 1, short(h)),
+        (258, 3, 3, ("blob", 0)),
+        (259, 3, 1, short(1)),
+        (262, 3, 1, short(2)),
+        (273, 4, 2, ("blob", 1)),
+        (277, 3, 1, short(3)),
+        (278, 4, 1, struct.pack(e + "I", 2)),
+        (279, 4, 2, ("blob", 2)),
+    ]
+    bits = struct.pack(e + "HHH", 8, 8, 8)
+    # strip offset table points at blobs 3 and 4 — compute after layout
+    # trick: place offsets blob with placeholder, then fix up
+    blobs = [bits, b"\x00" * 8, struct.pack(e + "II", len(strip1), len(strip2)),
+             strip1, strip2]
+    payload = bytearray(_make_tiff((entries, blobs), big_endian=big_endian))
+    # find real strip locations: blobs are sequential after the IFD
+    ifd_len = 2 + 12 * len(entries) + 4
+    at = 8 + ifd_len
+    locs = []
+    for b in blobs:
+        locs.append(at)
+        at += len(b) + (len(b) & 1)
+    struct.pack_into(e + "II", payload, locs[1], locs[3], locs[4])
+    img = _decode_tiff(bytes(payload))
+    assert (img.width, img.height) == (w, h)
+    assert np.array_equal(_pixels(img), rgb)
+
+
+def test_tiff_grayscale_both_polarities_and_palette():
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import _decode_tiff
+
+    w, h = 6, 3
+    g = np.array([[(x * 37 + y * 11) % 256 for x in range(w)]
+                  for y in range(h)], dtype=np.uint8)
+    short = lambda v: struct.pack("<H", v)  # noqa: E731
+    for photo in (1, 0):
+        entries = [
+            (256, 3, 1, short(w)), (257, 3, 1, short(h)),
+            (259, 3, 1, short(1)), (262, 3, 1, short(photo)),
+            (273, 4, 1, ("blob", 0)), (277, 3, 1, short(1)),
+            (279, 4, 1, struct.pack("<I", w * h)),
+        ]
+        payload = bytearray(_make_tiff((entries, [g.tobytes()])))
+        ifd_len = 2 + 12 * len(entries) + 4
+        struct.pack_into("<I", payload, 8 + 2 + 12 * 4 + 8, 8 + ifd_len)
+        img = _decode_tiff(bytes(payload))
+        expect = g if photo == 1 else (255 - g)
+        assert np.array_equal(_pixels(img)[:, :, 0], expect), photo
+    # palette: 16-bit ColorMap channels reduce >> 8
+    n = 16
+    cm = np.arange(3 * n, dtype=np.int64).reshape(3, n) * 997 % 65536
+    idx = np.array([[(x + y) % n for x in range(w)] for y in range(h)],
+                   dtype=np.uint8)
+    entries = [
+        (256, 3, 1, short(w)), (257, 3, 1, short(h)),
+        (259, 3, 1, short(1)), (262, 3, 1, short(3)),
+        (273, 4, 1, ("blob", 0)), (277, 3, 1, short(1)),
+        (279, 4, 1, struct.pack("<I", w * h)),
+        (320, 3, 3 * n, ("blob", 1)),
+    ]
+    cmap_bytes = struct.pack(f"<{3 * n}H", *cm.reshape(-1))
+    payload = bytearray(_make_tiff((entries, [idx.tobytes(), cmap_bytes])))
+    ifd_len = 2 + 12 * len(entries) + 4
+    blob0_at = 8 + ifd_len
+    struct.pack_into("<I", payload, 8 + 2 + 12 * 4 + 8, blob0_at)
+    img = _decode_tiff(bytes(payload))
+    got = _pixels(img)
+    expect = np.stack(
+        [(cm[c] >> 8).astype(np.uint8)[idx] for c in range(3)], axis=2
+    )
+    assert np.array_equal(got, expect)
+
+
+def test_tiff_production_roundtrip_and_dispatch():
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage,
+        decode_image,
+        encode_image,
+    )
+
+    rng = np.random.default_rng(23)
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    img = DecodedImage(16, 16, rgb.tobytes())
+    assert decode_image(encode_image(img, "tiff")).pixels == img.pixels
+
+
+def test_tiff_fail_loud_and_fuzz():
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage,
+        _decode_tiff,
+        decode_image,
+        encode_image,
+    )
+
+    rng = np.random.default_rng(29)
+    rgb = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    base = bytearray(encode_image(DecodedImage(8, 8, rgb.tobytes()), "tiff"))
+    with pytest.raises(ValueError, match="not a TIFF"):
+        _decode_tiff(b"XX\x00\x00 junk")
+    lzw = bytearray(base)
+    # compression tag value: find entry 259 and set value to 5 (LZW)
+    # entries start at ifd+2; locate by tag scan
+    import struct as _s
+    (ifd_at,) = _s.unpack_from("<I", lzw, 4)
+    (n,) = _s.unpack_from("<H", lzw, ifd_at)
+    for i in range(n):
+        at = ifd_at + 2 + 12 * i
+        tag, = _s.unpack_from("<H", lzw, at)
+        if tag == 259:
+            _s.pack_into("<H", lzw, at + 8, 5)
+    with pytest.raises(ValueError, match="compression"):
+        _decode_tiff(bytes(lzw))
+    for i in range(1, 300):
+        flipped = bytearray(base)
+        flipped[(i * 7919) % len(flipped)] ^= 0xFF
+        for payload in (bytes(flipped), bytes(base[: (i * 131) % len(base)])):
+            try:
+                decode_image(payload)
+            except (ValueError, NotImplementedError):
+                pass
