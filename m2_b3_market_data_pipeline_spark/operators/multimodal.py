@@ -8,18 +8,22 @@ only place Python touches bytes, and it touches them one Arrow batch at
 a time, never one row at a time.
 
 The container has no image/audio libraries. Since round 12 the decode
-step is REAL regardless: pure-stdlib parsers for uncompressed 24-bit
-BMP (``_decode_bmp``), binary PPM (``_decode_ppm``), PCM WAV
-(``_decode_wav``) and — round 13 — non-interlaced 8-bit RGB/RGBA PNG
-(``_decode_png``, stdlib zlib + the four row defilters), JPEG —
-baseline sequential AND (round 14) progressive with successive
-approximation (``_decode_jpeg``, ITU T.81 incl. Annex G: Huffman
-entropy decode + matrix IDCT + chroma upsample), and the RIFF/AVI
-video container
+step is REAL regardless: pure-stdlib parsers for BMP (``_decode_bmp``
+— 24/32-bit and 8-bit palettized), binary PPM (``_decode_ppm``), WAV
+(``_decode_wav`` — 8/16-bit PCM plus, round 14, G.711 mu-law/A-law),
+PNG (``_decode_png``, stdlib zlib + the four row defilters; round 14
+adds grayscale/palette/gray+alpha color types, sub-byte depths, and
+16-bit high-byte reduction), JPEG — baseline sequential AND (round
+14) progressive with successive approximation (``_decode_jpeg``, ITU
+T.81 incl. Annex G: Huffman entropy decode + matrix IDCT + chroma
+upsample), baseline TIFF (``_decode_tiff`` — both byte orders,
+strips, photometrics 0-3), the RIFF/AVI video container
 (``_parse_avi`` — MJPEG frames ride the JPEG decoder, '00db' frames
-the DIB layout), and GIF87a/89a (``_parse_gif``: LZW, palettes,
-interlace, animation compositing with transparency + disposal) sit
-behind the PIL import-try, and the decoded-domain
+the DIB layout), the ISO-BMFF/MP4 container (``_parse_mp4`` box walk
+-> sample tables -> MJPEG sample decode; ``mp4_video_meta`` for the
+metadata-only probe), and GIF87a/89a (``_parse_gif``: LZW, palettes,
+interlace, animation compositing with transparency + disposal). All
+sit behind the PIL import-try, and the decoded-domain
 featurizers (``decoded_image_features`` — phash/luma over decoded
 pixels; ``decoded_frame_energy`` — per-frame RMS over decoded samples;
 ``decoded_video_frame_features`` — per-frame phash over decoded video
