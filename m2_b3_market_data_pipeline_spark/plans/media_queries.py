@@ -420,11 +420,14 @@ def decoded_video_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     v(i, k) = 128 + 2*((|doc_id|*5 + 3k) mod 32) — every v is even, so
     the frame's DC (8*(v-128)) is divisible by the Q50 Annex-K quant
     step 16 and the lossy roundtrip is analytically EXACT: decoded
-    luma == v on every pixel. The CONTAINER rotates by |doc_id| mod 2
-    between RIFF/AVI (``encode_video_mjpeg`` / ``_parse_avi``) and
+    luma == v on every pixel. The CONTAINER rotates by |doc_id| mod 3
+    between RIFF/AVI (``encode_video_mjpeg`` / ``_parse_avi``),
     ISO-BMFF MP4 (``encode_video_mp4`` / ``_parse_mp4`` — the r14 box
     walk: moov/trak/mdia/stbl sample tables to per-sample byte
-    extents), so both container walks are hash-checked. The production
+    extents), and ANIMATED GIF (``encode_video_gif`` / ``_parse_gif``
+    — the lossless palette leg: solid frames are 1-color, fps=10 is
+    delay 10cs exactly), so all three container walks + the animation
+    compositing path are hash-checked. The production
     ``decoded_video_frame_features`` then emits per-frame rows whose
     mean_luma equals the law, phash64 is 0 (solid frames tie every
     cell to the mean), fps/dims/frame-count pin the container walk.
@@ -435,6 +438,7 @@ def decoded_video_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
         DecodedImage,
         decoded_video_frame_features,
+        encode_video_gif,
         encode_video_mjpeg,
         encode_video_mp4,
     )
@@ -459,8 +463,14 @@ def decoded_video_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     for k in range(4)
                 ]
-                writer = encode_video_mp4 if hid % 2 else encode_video_mjpeg
-                payloads.append(writer(frames, fps=10.0, quality=50))
+                leg = hid % 3
+                if leg == 2:  # lossless palette leg, no quality knob
+                    payloads.append(encode_video_gif(frames, fps=10.0))
+                else:
+                    writer = (
+                        encode_video_mp4 if leg else encode_video_mjpeg
+                    )
+                    payloads.append(writer(frames, fps=10.0, quality=50))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
 
     wrapped = docs.mapInPandas(synth, "doc_id bigint, content binary")

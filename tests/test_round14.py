@@ -747,3 +747,45 @@ def test_tiff_fail_loud_and_fuzz():
                 decode_image(payload)
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_animated_gif_writer_lossless_and_through_featurizer(spark):
+    """encode_video_gif inverts _parse_gif exactly for
+    palette-expressible frames and matches the AVI/MP4 features
+    through the Spark featurizer (the video gate's third container
+    leg)."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage,
+        _parse_gif,
+        decoded_video_frame_features,
+        encode_video_gif,
+        encode_video_mjpeg,
+    )
+
+    frames = [
+        DecodedImage(16, 16, bytes([128 + 2 * ((3 * k + 5) % 32)]) * 768)
+        for k in range(3)
+    ]
+    fps, got = _parse_gif(encode_video_gif(frames, fps=25.0))
+    assert fps == 25.0
+    assert [f.pixels for f in got] == [f.pixels for f in frames]
+    with pytest.raises(ValueError, match="256 unique"):
+        import numpy as _np
+        rng = _np.random.default_rng(1)
+        big = [DecodedImage(
+            32, 32, rng.integers(0, 256, (32, 32, 3), dtype=_np.uint8
+                                 ).tobytes())
+               for _ in range(2)]
+        encode_video_gif(big)
+    rows = [
+        (1, encode_video_mjpeg(frames, fps=10.0, quality=50)),
+        (2, encode_video_gif(frames, fps=10.0)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = decoded_video_frame_features(df).orderBy(
+        "doc_id", "frame_idx"
+    ).collect()
+    avi, gif = out[:3], out[3:]
+    for a, g in zip(avi, gif):
+        assert (a.mean_luma, a.phash64, a.fps) == (g.mean_luma, g.phash64,
+                                                   g.fps)
