@@ -729,29 +729,119 @@ def _decode_ppm(data: bytes) -> DecodedImage:
     return DecodedImage(width, height, bytes(px))
 
 
-def _decode_png(data: bytes) -> DecodedImage:
-    """Pure-stdlib PNG decode, non-interlaced: truecolor (color type
-    2 = RGB, 6 = RGBA, 8-bit), and — round 14, closing r13 verdict
-    item 3 — grayscale (type 0 at depths 1/2/4/8), gray+alpha (type
-    4, 8-bit) and PALETTE (type 3 at depths 1/2/4/8 with PLTE).
-    Alpha is dropped (straight RGB, no compositing); sub-byte depths
-    unpack MSB-first per the spec and grayscale samples scale to
-    8-bit by the exact 255/(2^d-1) integer factor. stdlib ``zlib``
-    inflates the concatenated IDAT stream, then the four row
-    defilters (Sub/Up/Average/Paeth) run over numpy rows — filters
-    operate on BYTES with the spec's floor(bits-per-pixel/8) >= 1
-    back-distance, so sub-byte images filter at distance 1.
-    16-bit samples (types 0/2/4/6) reduce to their high byte — the
-    standard 8-bit rendering, exact for v*257-expanded streams.
-    Interlaced (Adam7) raises ValueError — fail loud, never guess
-    pixels.
+# Adam7 pass geometry (PNG spec §8.2): (x0, y0, dx, dy) per pass.
+# Pass p covers pixels (x0 + i*dx, y0 + j*dy); a pass whose width or
+# height rounds to zero contributes NO bytes to the IDAT stream.
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_defilter(raw: bytes, offset: int, height: int, stride: int,
+                  bpp: int):
+    """Defilter one PNG sub-image (the whole raster, or one Adam7
+    pass — each pass filters independently with its own scanlines and
+    a zeroed prior row) from the inflated IDAT stream at ``offset``.
+    Returns the reconstructed ``(height, stride)`` uint8 array.
 
     Filter vectorization: None and Up are whole-row numpy ops; Sub is
     a per-channel cumulative sum; Average and Paeth carry an intra-row
     serial dependence through recon[x - bpp] (spec-mandated) and run
-    as a per-pixel-column loop over numpy channel vectors — rows
-    stay Arrow-batch-local either way, so the decode cost is
-    per-payload, not per-task-serial, at 100 TB."""
+    as plain-int list loops (~10x numpy scalar indexing) — rows stay
+    Arrow-batch-local either way, so the decode cost is per-payload,
+    not per-task-serial, at 100 TB."""
+    import numpy as np
+
+    need = (stride + 1) * height
+    if len(raw) - offset < need:
+        raise ValueError("truncated PNG scanline data")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=need, offset=offset)
+    rows = rows.reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 1:  # Sub: per-channel cumsum
+            if stride % bpp:
+                raise ValueError("PNG stride not divisible by bpp")
+            recon = (
+                np.cumsum(line.reshape(stride // bpp, bpp), axis=0)
+                .reshape(stride)
+                & 0xFF
+            )
+        elif ftype == 2:  # Up
+            recon = (line + prior) & 0xFF
+        elif ftype == 3:  # Average — serial through recon[x - bpp]
+            rawline = rows[y, 1:].tobytes()
+            pr = prior.tolist()
+            rec = [0] * stride
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rawline[x] + ((left + pr[x]) >> 1)) & 0xFF
+            recon = np.asarray(rec, dtype=np.int64)
+        elif ftype == 4:  # Paeth — same serial dependence, same form
+            rawline = rows[y, 1:].tobytes()
+            pr = prior.tolist()
+            rec = [0] * stride
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = pr[x]
+                c = pr[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rawline[x] + pred) & 0xFF
+            recon = np.asarray(rec, dtype=np.int64)
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = recon
+        prior = recon.astype(np.int64)
+    return out
+
+
+def _png_samples(out, width: int, channels: int, depth: int):
+    """Defiltered byte rows -> ``(h, width, channels)`` uint8 sample
+    grid: 16-bit samples reduce to their high byte (the standard 8-bit
+    rendering, exact for v*257-expanded streams), sub-byte depths
+    unpack MSB-first per the spec (channels == 1 there — only color
+    types 0/3 allow depths < 8)."""
+    import numpy as np
+
+    h = out.shape[0]
+    if depth == 16:
+        out = np.ascontiguousarray(out[:, 0::2])
+        depth = 8
+    if depth == 8:
+        return out[:, : width * channels].reshape(h, width, channels)
+    bits = np.unpackbits(out, axis=1)[:, : width * depth]
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    samples = bits.reshape(h, width, depth).astype(np.int64) @ weights
+    return samples.astype(np.uint8).reshape(h, width, 1)
+
+
+def _decode_png(data: bytes) -> DecodedImage:
+    """Pure-stdlib PNG decode: truecolor (color type 2 = RGB, 6 =
+    RGBA, 8-bit), and — round 14, closing r13 verdict item 3 —
+    grayscale (type 0 at depths 1/2/4/8), gray+alpha (type 4, 8-bit)
+    and PALETTE (type 3 at depths 1/2/4/8 with PLTE), each in BOTH
+    progressive layouts: interlace 0 (sequential) and interlace 1
+    (Adam7 — seven independently-filtered sub-images scattered back
+    onto the (x0 + i*dx, y0 + j*dy) grid per spec §8.2, empty passes
+    contributing no bytes).
+    Alpha is dropped (straight RGB, no compositing); sub-byte depths
+    unpack MSB-first per the spec and grayscale samples scale to
+    8-bit by the exact 255/(2^d-1) integer factor. stdlib ``zlib``
+    inflates the concatenated IDAT stream, then the four row
+    defilters (Sub/Up/Average/Paeth) run over numpy rows
+    (``_png_defilter``) — filters operate on BYTES with the spec's
+    floor(bits-per-pixel/8) >= 1 back-distance, so sub-byte images
+    filter at distance 1.
+    16-bit samples (types 0/2/4/6) reduce to their high byte — the
+    standard 8-bit rendering, exact for v*257-expanded streams."""
     import struct
     import zlib
 
@@ -800,102 +890,59 @@ def _decode_png(data: bytes) -> DecodedImage:
         raise ValueError("palette PNG cannot be 16-bit (spec)")
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    if comp != 0 or filt != 0 or interlace != 0:
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG scheme (compression={comp}, filter={filt}, "
-            f"interlace={interlace}; Adam7 not supported)"
+            f"interlace={interlace})"
         )
     if width <= 0 or height <= 0:
         raise ValueError(f"degenerate PNG dimensions {width}x{height}")
     bpp = max(1, channels * depth // 8)  # filter back-distance, bytes
-    stride = (width * channels * depth + 7) // 8
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
-    if len(raw) < (stride + 1) * height:
-        raise ValueError("truncated PNG scanline data")
-    rows = np.frombuffer(raw, dtype=np.uint8, count=(stride + 1) * height)
-    rows = rows.reshape(height, stride + 1)
-    out = np.zeros((height, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.int64)
-    for y in range(height):
-        ftype = int(rows[y, 0])
-        line = rows[y, 1:].astype(np.int64)
-        if ftype == 0:  # None
-            recon = line
-        elif ftype == 1:  # Sub: per-channel cumsum
-            if stride % bpp:
-                raise ValueError("PNG stride not divisible by bpp")
-            recon = (
-                np.cumsum(line.reshape(stride // bpp, bpp), axis=0)
-                .reshape(stride)
-                & 0xFF
-            )
-        elif ftype == 2:  # Up
-            recon = (line + prior) & 0xFF
-        elif ftype == 3:  # Average — serial through recon[x - bpp], so
-            # a plain-int list loop (bytes indexing + Python ints) runs
-            # ~10x the numpy-scalar-indexing form; converted back once
-            raw = rows[y, 1:].tobytes()
-            pr = prior.tolist()
-            rec = [0] * stride
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (raw[x] + ((left + pr[x]) >> 1)) & 0xFF
-            recon = np.asarray(rec, dtype=np.int64)
-        elif ftype == 4:  # Paeth — same serial dependence, same form
-            raw = rows[y, 1:].tobytes()
-            pr = prior.tolist()
-            rec = [0] * stride
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = pr[x]
-                c = pr[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (raw[x] + pred) & 0xFF
-            recon = np.asarray(rec, dtype=np.int64)
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
-        out[y] = recon
-        prior = recon.astype(np.int64)
-    if depth == 16:
-        # 16-bit samples reduce to their high byte (the standard 8-bit
-        # rendering; the v -> v*257 = (v<<8)|v expansion inverts
-        # exactly, which is what the png-16 write path emits). The
-        # FILTERS above already ran at the 16-bit bpp back-distance.
-        out = np.ascontiguousarray(out[:, 0::2])
-        depth = 8
+    if interlace == 0:
+        stride = (width * channels * depth + 7) // 8
+        out = _png_defilter(raw, 0, height, stride, bpp)
+        samples = _png_samples(out, width, channels, depth)
+    else:  # Adam7: seven sub-images, each filtered from its own prior
+        samples = np.zeros((height, width, channels), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass: zero bytes in the stream
+            pstride = (pw * channels * depth + 7) // 8
+            out = _png_defilter(raw, offset, ph, pstride, bpp)
+            offset += (pstride + 1) * ph
+            samples[y0::dy, x0::dx] = _png_samples(out, pw, channels, depth)
     if ctype == 2:
-        return DecodedImage(width, height, out.tobytes())
+        return DecodedImage(
+            width, height, np.ascontiguousarray(samples).tobytes()
+        )
     if ctype == 6:
-        rgb = out.reshape(height, width, 4)[:, :, :3].copy()
+        rgb = np.ascontiguousarray(samples[:, :, :3])
         return DecodedImage(width, height, rgb.tobytes())
     if ctype == 4:  # gray + alpha: replicate gray, drop alpha
-        g = out.reshape(height, width, 2)[:, :, 0]
+        g = samples[:, :, 0]
         return DecodedImage(
             width, height, np.repeat(g[:, :, None], 3, axis=2).tobytes()
         )
-    # types 0 / 3: one sample per pixel, possibly sub-byte (MSB first)
-    if depth == 8:
-        samples = out[:, :width]
-    else:
-        bits = np.unpackbits(out, axis=1)[:, : width * depth]
-        weights = 1 << np.arange(depth - 1, -1, -1)
-        samples = (
-            bits.reshape(height, width, depth).astype(np.int64) @ weights
-        )
     if ctype == 0:  # grayscale: exact scale to 8-bit, replicate
-        g = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        g = (
+            samples[:, :, 0].astype(np.int64)
+            * (255 // ((1 << min(depth, 8)) - 1))
+        ).astype(np.uint8)
         return DecodedImage(
             width, height, np.repeat(g[:, :, None], 3, axis=2).tobytes()
         )
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
-    if int(samples.max(initial=0)) >= pal.shape[0]:
+    idx = samples[:, :, 0].astype(np.int64)
+    if int(idx.max(initial=0)) >= pal.shape[0]:
         raise ValueError("PNG palette index beyond PLTE")
-    return DecodedImage(width, height, pal[samples].tobytes())
+    return DecodedImage(width, height, pal[idx].tobytes())
 
 
 # JPEG stream position k -> row-major index into the 8x8 block
@@ -2010,25 +2057,25 @@ def encode_image(img: DecodedImage, fmt: str, **kwargs) -> bytes:
             "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(pix), 0, 0, n, 0
         )
         return header + table.tobytes() + bytes(pix)
-    if fmt in ("png", "png-gray", "png-pal", "png-16"):
+    if fmt in ("png", "png-i", "png-gray", "png-pal", "png-16"):
         def chunk(cid: bytes, body: bytes) -> bytes:
             return (
                 struct.pack(">I", len(body)) + cid + body
                 + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
             )
 
+        # interlace: 'png-i' is the rotation-facing Adam7 truecolor
+        # name; the kwarg interlaces ANY of the png family variants
+        interlaced = bool(kwargs.pop("interlace", False)) or fmt == "png-i"
         extra = b""
         depth = 8
-        if fmt == "png":
-            ctype, rows = 2, rgb
+        if fmt in ("png", "png-i"):
+            ctype, pix = 2, rgb  # (h, w, 3)
         elif fmt == "png-16":
             # truecolor at 16 bits/sample: v -> v*257 = (v<<8)|v, the
             # exact expansion whose high byte inverts losslessly
             ctype, depth = 2, 16
-            wide = rgb.astype(np.uint16) * 257
-            rows = wide.reshape(h, -1).byteswap().view(np.uint8).reshape(
-                h, -1
-            )  # big-endian sample order per the spec
+            pix = rgb.astype(np.uint16) * 257  # (h, w, 3) uint16
         elif fmt == "png-gray":
             # color type 0 requires a true gray raster (r == g == b);
             # anything else would silently drop chroma — fail instead
@@ -2037,7 +2084,7 @@ def encode_image(img: DecodedImage, fmt: str, **kwargs) -> bytes:
                 and np.array_equal(rgb[:, :, 1], rgb[:, :, 2])
             ):
                 raise ValueError("png-gray requires r == g == b pixels")
-            ctype, rows = 0, rgb[:, :, 0]
+            ctype, pix = 0, rgb[:, :, :1]  # (h, w, 1)
         else:  # png-pal: color type 3, honest <=256-unique constraint
             flat = rgb.reshape(-1, 3)
             colors, idx = np.unique(flat, axis=0, return_inverse=True)
@@ -2047,10 +2094,32 @@ def encode_image(img: DecodedImage, fmt: str, **kwargs) -> bytes:
                     f"({colors.shape[0]} found); quantization is a "
                     "modeling choice this engine won't make silently"
                 )
-            ctype, rows = 3, idx.astype(np.uint8).reshape(h, w)
+            ctype, pix = 3, idx.astype(np.uint8).reshape(h, w, 1)
             extra = chunk(b"PLTE", colors.astype(np.uint8).tobytes())
-        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
-        raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+
+        def pack(sub) -> bytes:
+            # one sub-image (whole raster, or one Adam7 pass) as
+            # filter-0 scanlines; 16-bit samples big-endian per spec
+            if depth == 16:
+                return b"".join(
+                    b"\x00" + sub[y].astype(">u2").tobytes()
+                    for y in range(sub.shape[0])
+                )
+            return b"".join(
+                b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])
+            )
+
+        if interlaced:  # Adam7: empty passes contribute zero bytes
+            raw = b"".join(
+                pack(pix[y0::dy, x0::dx])
+                for x0, y0, dx, dy in _PNG_ADAM7
+                if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0
+            )
+        else:
+            raw = pack(pix)
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlaced else 0
+        )
         return (
             b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", ihdr)

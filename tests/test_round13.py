@@ -127,8 +127,14 @@ def test_png_fail_loud_variants():
     from m2_b3_market_data_pipeline_spark.operators.multimodal import _decode_png
 
     good = _make_png(4, 4, _grad)
-    with pytest.raises(ValueError, match="Adam7"):
+    # Adam7 became a real decode leg late in r14 — a header claiming
+    # interlace=1 over sequentially-laid-out scanlines (what this
+    # helper emits) now fails loud mid-pass (a data byte lands in a
+    # filter-type slot, or the stream runs short), never guesses
+    with pytest.raises(ValueError):
         _decode_png(_make_png(4, 4, _grad, interlace=1))
+    with pytest.raises(ValueError, match="unsupported PNG scheme"):
+        _decode_png(_make_png(4, 4, _grad, interlace=2))
     # depth 16 became a real leg in r14 (a 16-claiming header over
     # 8-bit-sized data now fails as truncated); illegal depths still
     # fail on the depth check itself

@@ -789,3 +789,200 @@ def test_animated_gif_writer_lossless_and_through_featurizer(spark):
     for a, g in zip(avi, gif):
         assert (a.mean_luma, a.phash64, a.fps) == (g.mean_luma, g.phash64,
                                                    g.fps)
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlace (the last PNG structural fail-loud, closed late r14)
+# ---------------------------------------------------------------------------
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+@pytest.mark.parametrize("size", [(1, 1), (3, 2), (5, 7), (8, 8), (9, 10),
+                                  (16, 16), (33, 17), (1, 9), (9, 1)])
+def test_png_adam7_writer_roundtrips_all_variants(size):
+    """Every PNG family variant (truecolor 8/16-bit, grayscale,
+    palette) roundtrips pixel-exact through the Adam7 write path at
+    sizes that exercise empty passes (w or h below the pass origin)
+    and ragged pass widths."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage, _decode_png, encode_image,
+    )
+
+    w, h = size
+    rng = np.random.RandomState(w * 100 + h)
+    rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    img = DecodedImage(w, h, rgb.tobytes())
+    assert _decode_png(encode_image(img, "png-i")).pixels == img.pixels
+    assert _decode_png(
+        encode_image(img, "png-16", interlace=True)
+    ).pixels == img.pixels
+    g = np.repeat(rng.randint(0, 256, size=(h, w, 1), dtype=np.uint8),
+                  3, axis=2)
+    gimg = DecodedImage(w, h, g.tobytes())
+    assert _decode_png(
+        encode_image(gimg, "png-gray", interlace=True)
+    ).pixels == gimg.pixels
+    pal = (rng.randint(0, 6, size=(h, w, 3)) * 42).astype(np.uint8)
+    pimg = DecodedImage(w, h, pal.tobytes())
+    assert _decode_png(
+        encode_image(pimg, "png-pal", interlace=True)
+    ).pixels == pimg.pixels
+
+
+def _interlaced_stream(samples: np.ndarray, depth: int, ctype: int,
+                       plte: bytes | None = None) -> bytes:
+    """Independent Adam7 PNG builder (filter 0 rows, never the
+    production encoder): ``samples`` is (h, w) single-channel."""
+    import zlib
+
+    h, w = samples.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = samples[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + (
+                _pack_bits(row, depth) if depth < 8
+                else row.astype(np.uint8).tobytes()
+            )
+    chunks = [(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1))]
+    if plte is not None:
+        chunks.append((b"PLTE", plte))
+    chunks += [(b"IDAT", zlib.compress(bytes(raw))), (b"IEND", b"")]
+    return _png_chunks(chunks)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_adam7_subbyte_grayscale_independent_fixture(depth):
+    """Sub-byte Adam7 grayscale built by an INDEPENDENT test muxer
+    (per-pass MSB-first bit packing, pass rows pad to a byte boundary
+    at the pass's own width) decodes to the exact 255/(2^d-1)-scaled
+    raster — the writer can't vouch for itself here."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    w, h = 11, 6
+    rng = np.random.RandomState(depth)
+    samples = rng.randint(0, 1 << depth, size=(h, w)).astype(np.int64)
+    img = _decode_png(_interlaced_stream(samples, depth, 0))
+    want = (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    got = _pixels(img)
+    assert np.array_equal(got[:, :, 0], want)
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])
+
+
+def test_png_adam7_palette_independent_fixture():
+    """Depth-4 Adam7 palette PNG from the independent muxer."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    w, h = 9, 9
+    rng = np.random.RandomState(9)
+    idx = rng.randint(0, 16, size=(h, w)).astype(np.int64)
+    plte = bytes(range(48))  # 16 entries
+    img = _decode_png(_interlaced_stream(idx, 4, 3, plte))
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(16, 3)
+    assert np.array_equal(_pixels(img), pal[idx])
+
+
+def test_png_adam7_filtered_passes_decode_exact():
+    """Adam7 with REAL per-row filters (cycling 0..4 inside each
+    pass, prior row zeroed at every pass boundary per spec): each
+    pass defilters independently."""
+    import zlib
+
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    w, h = 13, 12
+    rng = np.random.RandomState(42)
+    rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = rgb[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        prior = [0] * (sub.shape[1] * 3)
+        for yy in range(sub.shape[0]):
+            line = sub[yy].reshape(-1).astype(int).tolist()
+            ftype = yy % 5
+            filt = [0] * len(line)
+            for i in range(len(line)):
+                a = filt_a = line[i - 3] if i >= 3 else 0
+                b = prior[i]
+                c = prior[i - 3] if i >= 3 else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = filt_a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (filt_a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (a if (pa <= pb and pa <= pc)
+                            else (b if pb <= pc else c))
+                filt[i] = (line[i] - pred) & 0xFF
+            raw += bytes([ftype]) + bytes(filt)
+            prior = line
+    stream = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)),
+        (b"IDAT", zlib.compress(bytes(raw))),
+        (b"IEND", b""),
+    ])
+    assert np.array_equal(_pixels(_decode_png(stream)), rgb)
+
+
+def test_png_adam7_fail_loud():
+    """Truncated pass data and out-of-range interlace methods stay
+    inside the ValueError quarantine contract."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage, _decode_png, encode_image,
+    )
+
+    rng = np.random.RandomState(0)
+    rgb = rng.randint(0, 256, size=(10, 10, 3), dtype=np.uint8)
+    img = DecodedImage(10, 10, rgb.tobytes())
+    good = encode_image(img, "png-i")
+    # re-deflate a prefix of the scanline stream: pass 7 goes missing
+    import zlib
+    i = good.index(b"IDAT")
+    (size,) = struct.unpack_from(">I", good, i - 4)
+    raw = zlib.decompress(good[i + 4 : i + 4 + size])
+    # rebuild with the last 40 scanline bytes dropped
+    short = _png_chunks([
+        (b"IHDR", struct.pack(">IIBBBBB", 10, 10, 8, 2, 0, 0, 1)),
+        (b"IDAT", zlib.compress(raw[:-40])),
+        (b"IEND", b""),
+    ])
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_png(short)
+
+
+def test_png_adam7_through_featurizer_matches_sequential_twin(spark):
+    """End-to-end through Spark mapInPandas: the SAME image shipped
+    interlaced (png-i) and sequential (png) produces identical
+    decoded-domain features — layout-transparent above the parser."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage, decoded_image_features, encode_image,
+    )
+
+    rng = np.random.RandomState(14)
+    rgb = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    img = DecodedImage(16, 16, rgb.tobytes())
+    rows = [(1, encode_image(img, "png")), (2, encode_image(img, "png-i"))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = decoded_image_features(df).orderBy("doc_id").collect()
+    assert out[0].phash64 == out[1].phash64
+    assert out[0].luma_hist == out[1].luma_hist
+    assert (out[0].width, out[0].height) == (out[1].width, out[1].height)
