@@ -300,6 +300,48 @@ def decoded_image_features(
     )
 
 
+def rebalance_for_decode(
+    df: DataFrame,
+    *,
+    binary_col: str = "content",
+    heavy_bytes: int = 4 << 20,
+    heavy_partitions: int | None = None,
+) -> DataFrame:
+    """Heavy-tail payload rebalance ahead of the decode featurizers
+    (r13 verdict item 8). ``decoded_image_features`` /
+    ``decoded_video_frame_features`` inherit upstream partitioning;
+    a real crawl corpus has a long payload-size tail (a few giant
+    images per shard, usually CLUSTERED — same host, same fetch
+    batch), and one partition holding several giants straggles its
+    whole ``mapInPandas`` stage: decode cost is per-BYTE, not
+    per-row, and a single payload can't be split.
+
+    The fix is a two-path split, priced for 100 TB: rows whose
+    payload is >= ``heavy_bytes`` are ROUND-ROBIN repartitioned
+    (``repartition(n)`` with no column — hash-by-id could still park
+    two giants together; round-robin assigns a CLUMPED tail to
+    consecutive partitions, exactly one giant per task, and bounds an
+    already-spread tail at ceil(per-source-partition count) plus the
+    start-offset overlap) so each lands in its own task; everything
+    else (the overwhelming byte majority) passes through with NO
+    shuffle — the union just concatenates the two legs' partition
+    lists. Shuffle cost is therefore proportional to the heavy TAIL's
+    bytes only, never the corpus. NULL payloads ride the light leg
+    (``length(NULL)`` is NULL, which fails both predicates unless
+    routed explicitly) so row-preservation holds for the featurizers'
+    own null filter to act on."""
+    size = F.length(F.col(binary_col))
+    heavy = df.filter(size >= F.lit(heavy_bytes))
+    light = df.filter(
+        (size < F.lit(heavy_bytes)) | F.col(binary_col).isNull()
+    )
+    if heavy_partitions is None:
+        heavy_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    return light.unionByName(heavy.repartition(heavy_partitions))
+
+
 def deterministic_features(data: bytes, bins: int = FEATURE_BINS) -> list[float]:
     """Deterministic stand-in for a decoded-content featurizer: a
     normalized histogram of byte values. Keeps the full pipeline

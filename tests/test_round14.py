@@ -986,3 +986,61 @@ def test_png_adam7_through_featurizer_matches_sequential_twin(spark):
     assert out[0].phash64 == out[1].phash64
     assert out[0].luma_hist == out[1].luma_hist
     assert (out[0].width, out[0].height) == (out[1].width, out[1].height)
+
+
+def test_rebalance_for_decode_spreads_heavy_tail(spark):
+    """rebalance_for_decode: rows preserved (nulls included, riding
+    the light leg), giants spread at most one-ish per partition on the
+    heavy leg, light rows not shuffled (their partitioning survives),
+    and the featurizer output is identical either way."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage, decoded_image_features, encode_image,
+        rebalance_for_decode,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(3)
+    big = encode_image(
+        DecodedImage(
+            64, 64,
+            rng.randint(0, 256, (64, 64, 3), dtype=np.uint8).tobytes(),
+        ),
+        "ppm",
+    )  # 12 KiB payload
+    small = encode_image(
+        DecodedImage(
+            4, 4, rng.randint(0, 256, (4, 4, 3), dtype=np.uint8).tobytes()
+        ),
+        "bmp",
+    )
+    rows = [(i, big) for i in range(8)]
+    rows += [(100 + i, small) for i in range(50)]
+    rows.append((999, None))
+    # plant the true clump: one hash bucket holds every giant (the
+    # crawl-shard shape — same host, same fetch batch)
+    df = spark.createDataFrame(
+        rows, "doc_id long, content binary"
+    ).repartition(8, (F.col("doc_id") < 100).cast("int"))
+
+    out = rebalance_for_decode(df, heavy_bytes=4096, heavy_partitions=8)
+    assert out.count() == len(rows)  # null row survives the split
+    # round-robin from a clumped partition is sequential: the giants
+    # spread EXACTLY one per heavy-leg partition
+    dist = (
+        out.filter(F.length("content") >= 4096)
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().collect()
+    )
+    assert max(r["count"] for r in dist) == 1 and len(dist) == 8
+    # only the heavy leg gains a shuffle: ONE RoundRobinPartitioning
+    # exchange; the light side shows just the test's own upstream
+    # clump-planting hash exchange (2 total)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("RoundRobinPartitioning") == 1
+    assert plan.count("Exchange") == 2
+    # featurizer equality through both layouts
+    a = sorted((r["doc_id"], r["phash64"])
+               for r in decoded_image_features(df).collect())
+    b = sorted((r["doc_id"], r["phash64"])
+               for r in decoded_image_features(out).collect())
+    assert a == b and len(a) == 58

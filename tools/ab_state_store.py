@@ -63,6 +63,9 @@ def run_provider(spark, provider: str, waves, schema, work: str) -> dict:
     ckpt = os.path.join(work, "ckpt")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass", PROVIDERS[provider])
 
+    state_rows = [0, 0]  # dedup rows, window rows (last progress wins)
+    state_mem = [0]      # provider-reported memoryUsedBytes, summed
+
     def drain():
         stream = (
             spark.readStream.schema(schema)
@@ -86,6 +89,20 @@ def run_provider(spark, provider: str, waves, schema, work: str) -> dict:
             .start()
         )
         q.awaitTermination(600)
+        # ladder metrics (r13 verdict item 7): per-operator state rows
+        # + the provider's own memory figure from the LAST progress of
+        # the wave (numRowsTotal is a point-in-time total, not a sum)
+        ops = []
+        for p in reversed(q.recentProgress):
+            if p and p.get("stateOperators"):
+                ops = p["stateOperators"]
+                break
+        if ops:
+            state_rows[0] = ops[0].get("numRowsTotal", 0)
+            state_rows[1] = (
+                ops[1].get("numRowsTotal", 0) if len(ops) > 1 else 0
+            )
+            state_mem[0] = sum(o.get("memoryUsedBytes", 0) for o in ops)
 
     input_rows = 0
     t0 = time.time()
@@ -100,18 +117,128 @@ def run_provider(spark, provider: str, waves, schema, work: str) -> dict:
          round(r["total"] or 0.0, 6))
         for r in result.collect()
     )
+    state_dir = os.path.join(ckpt, "state")
+    disk = 0
+    for root, _dirs, files in os.walk(state_dir):
+        for f in files:
+            try:
+                disk += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
     return {
         "provider": provider,
         "input_rows": input_rows,
         "wall_s": round(wall, 1),
         "out_rows": len(rows),
+        "state_rows_dedup": state_rows[0],
+        "state_rows_window": state_rows[1],
+        "state_memory_bytes": state_mem[0],
+        "state_disk_bytes": disk,
         "_rows": rows,
     }
 
 
+def run_provider_join(spark, provider: str, waves, schema, work: str) -> dict:
+    """Same A/B for the third built-in stateful op the ladder needs:
+    a watermarked stream-stream INTERVAL join (left = even event_ids,
+    right = odd, joined on user_id with r.ts in [l.ts, l.ts + 30 min]
+    — the click->conversion shape). Both sides buffer state inside
+    the watermark horizon, which is exactly the store pressure a
+    100 TB join carries."""
+    left_dir = os.path.join(work, "in_l")
+    right_dir = os.path.join(work, "in_r")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", PROVIDERS[provider]
+    )
+    state_mem = [0]
+    state_rows = [0]
+
+    def drain():
+        l = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(left_dir)
+            .withWatermark("ts", "2 days")
+            .select(
+                F.col("event_id").alias("l_id"),
+                F.col("user_id").alias("l_user"),
+                F.col("ts").alias("l_ts"),
+            )
+        )
+        r = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(right_dir)
+            .withWatermark("ts", "2 days")
+            .select(
+                F.col("event_id").alias("r_id"),
+                F.col("user_id").alias("r_user"),
+                F.col("ts").alias("r_ts"),
+                F.col("value").alias("r_value"),
+            )
+        )
+        joined = l.join(
+            r,
+            (F.col("l_user") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.awaitTermination(1200)
+        for p in reversed(q.recentProgress):
+            if p and p.get("stateOperators"):
+                ops = p["stateOperators"]
+                state_rows[0] = sum(o.get("numRowsTotal", 0) for o in ops)
+                state_mem[0] = sum(o.get("memoryUsedBytes", 0) for o in ops)
+                break
+
+    input_rows = 0
+    t0 = time.time()
+    for i, w in enumerate(waves):
+        w.filter(F.col("event_id") % 2 == 0).write.parquet(f"{left_dir}/b{i}")
+        w.filter(F.col("event_id") % 2 == 1).write.parquet(f"{right_dir}/b{i}")
+        input_rows += w.count()
+        drain()
+    wall = time.time() - t0
+    result = spark.read.parquet(out)
+    agg = result.agg(
+        F.count("*").alias("n"), F.sum("r_value").alias("s")
+    ).collect()[0]
+    state_dir = os.path.join(ckpt, "state")
+    disk = 0
+    for root, _dirs, files in os.walk(state_dir):
+        for f in files:
+            try:
+                disk += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return {
+        "provider": provider,
+        "mode": "stream-stream-join",
+        "input_rows": input_rows,
+        "wall_s": round(wall, 1),
+        "out_rows": agg["n"],
+        "state_rows_total": state_rows[0],
+        "state_memory_bytes": state_mem[0],
+        "state_disk_bytes": disk,
+        "_rows": (agg["n"], round(float(agg["s"] or 0.0), 4)),
+    }
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else f"{REPO}/.scale/sf1"
-    n_waves = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    argv = [a for a in sys.argv[1:] if a != "--join"]
+    join_mode = "--join" in sys.argv[1:]
+    sf_dir = argv[0] if len(argv) > 0 else f"{REPO}/.scale/sf1"
+    n_waves = int(argv[1]) if len(argv) > 1 else 4
     from m2_b3_market_data_pipeline_spark.plans.registry import load
     from m2_b3_market_data_pipeline_spark.session import get_spark
 
@@ -136,11 +263,12 @@ def main() -> None:
         waves.append(own)
     schema = src.schema
 
+    runner = run_provider_join if join_mode else run_provider
     recs = []
     for provider in PROVIDERS:
         work = tempfile.mkdtemp(prefix=f"ab-state-{provider}-")
         try:
-            recs.append(run_provider(spark, provider, waves, schema, work))
+            recs.append(runner(spark, provider, waves, schema, work))
         finally:
             shutil.rmtree(work, ignore_errors=True)
     same = recs[0]["_rows"] == recs[1]["_rows"]
