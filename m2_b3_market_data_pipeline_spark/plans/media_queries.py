@@ -82,9 +82,10 @@ def frame_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_dedup(frames)
 
 
-@register(
-    "decoded_phash_check",
-    oracle="""
+# The decode family's pixel-law oracle (shared by decoded_phash_check
+# and decoded_rebalanced_check — the rebalance operator is semantics-
+# neutral, so BOTH gates must hash to exactly this):
+_PHASH_LAW_ORACLE = """
 WITH ids AS (
     SELECT doc_id, abs(doc_id) AS hid
     FROM documents WHERE doc_id IS NOT NULL
@@ -122,34 +123,14 @@ SELECT i.doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
        ph.phash64, hist.hist_0, hist.hist_7, hist.hist_15
 FROM ids i JOIN ph USING (doc_id) JOIN hist USING (doc_id)
 ORDER BY i.doc_id
-""",
-)
-def decoded_phash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The decode family's DIFFERENTIAL oracle gate (r13; rotation
-    widened r14): per doc, a 16x16 gray raster with the analytic
-    pixel law v(x, y) = (|doc_id|*31 + 7x + 13y) mod 256 is
-    serialized by ``encode_image`` into a format rotating by
-    |doc_id| mod 11 (24-bit BMP / PPM / truecolor PNG / GIF /
-    grayscale PNG color type 0 / palette PNG color type 3 / 16-bit
-    PNG whose v*257 expansion reduces back exactly / 32-bit BGRx BMP
-    / 8-bit palettized BMP / baseline TIFF / Adam7-interlaced
-    truecolor PNG — gray rasters are gray- and palette-expressible,
-    so every leg is lossless),
-    decoded back through the REAL
-    ``decode_image`` chain inside ``decoded_image_features``, and the
-    production 64-bit average-hash + luma-histogram bins come out.
-    The oracle recomputes both straight from the pixel law — never
-    seeing a byte of any container — so any encoder/decoder asymmetry,
-    row-order flip, channel swap, padding bug, or phash drift breaks
-    the hash match. Exactness holds because at 16x16 every division
-    the featurizers perform is by a power of two (cell mean /4, grid
-    mean /256, histogram /256): both engines compare exact doubles.
-    gray pixels make luma == v exactly ((299+587+114)v // 1000)."""
-    from ..operators.multimodal import (
-        DecodedImage,
-        decoded_image_features,
-        encode_image,
-    )
+"""
+
+
+def _phash_law_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gates' shared payload synth: per doc, the 16x16 pixel-law
+    raster serialized into the |doc_id| mod 11 format rotation (see
+    decoded_phash_check's docstring) via mapInPandas."""
+    from ..operators.multimodal import DecodedImage, encode_image
 
     docs = (
         load(spark, sf_dir, "documents")
@@ -176,8 +157,10 @@ def decoded_phash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_image(img, fmts[hid % 11]))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
 
-    wrapped = docs.mapInPandas(synth, "doc_id bigint, content binary")
-    feats = decoded_image_features(wrapped)
+    return docs.mapInPandas(synth, "doc_id bigint, content binary")
+
+
+def _phash_feature_columns(feats: DataFrame) -> DataFrame:
     return feats.select(
         "doc_id",
         "width",
@@ -187,6 +170,60 @@ def decoded_phash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("luma_hist")[7].alias("hist_7"),
         F.col("luma_hist")[15].alias("hist_15"),
     )
+
+
+@register("decoded_phash_check", oracle=_PHASH_LAW_ORACLE)
+def decoded_phash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode family's DIFFERENTIAL oracle gate (r13; rotation
+    widened r14): per doc, a 16x16 gray raster with the analytic
+    pixel law v(x, y) = (|doc_id|*31 + 7x + 13y) mod 256 is
+    serialized by ``encode_image`` into a format rotating by
+    |doc_id| mod 11 (24-bit BMP / PPM / truecolor PNG / GIF /
+    grayscale PNG color type 0 / palette PNG color type 3 / 16-bit
+    PNG whose v*257 expansion reduces back exactly / 32-bit BGRx BMP
+    / 8-bit palettized BMP / baseline TIFF / Adam7-interlaced
+    truecolor PNG — gray rasters are gray- and palette-expressible,
+    so every leg is lossless),
+    decoded back through the REAL
+    ``decode_image`` chain inside ``decoded_image_features``, and the
+    production 64-bit average-hash + luma-histogram bins come out.
+    The oracle recomputes both straight from the pixel law — never
+    seeing a byte of any container — so any encoder/decoder asymmetry,
+    row-order flip, channel swap, padding bug, or phash drift breaks
+    the hash match. Exactness holds because at 16x16 every division
+    the featurizers perform is by a power of two (cell mean /4, grid
+    mean /256, histogram /256): both engines compare exact doubles.
+    gray pixels make luma == v exactly ((299+587+114)v // 1000)."""
+    from ..operators.multimodal import decoded_image_features
+
+    wrapped = _phash_law_payloads(spark, sf_dir)
+    return _phash_feature_columns(decoded_image_features(wrapped))
+
+
+@register("decoded_rebalanced_check", oracle=_PHASH_LAW_ORACLE)
+def decoded_rebalanced_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rebalance_for_decode``'s driver-oracle gate (late r14): the
+    SAME payload synth and pixel-law oracle as ``decoded_phash_check``,
+    but the two-path heavy-tail split runs between synth and decode
+    with ``heavy_bytes=700`` — a threshold chosen to genuinely divide
+    the rotation's payload population (BMP/TIFF/PPM/png-16 rasters at
+    16x16 sit above ~780 bytes, the compressed PNG/GIF legs below), so
+    BOTH legs carry real traffic. The operator is semantics-neutral by
+    contract (light rows pass through unshuffled, heavy rows
+    round-robin into their own partitions, nothing dropped or
+    duplicated); any row loss, duplication, or reorder-sensitivity in
+    the split breaks this hash against the SAME oracle SQL."""
+    from ..operators.multimodal import (
+        decoded_image_features,
+        rebalance_for_decode,
+    )
+
+    wrapped = rebalance_for_decode(
+        _phash_law_payloads(spark, sf_dir),
+        heavy_bytes=700,
+        heavy_partitions=8,
+    )
+    return _phash_feature_columns(decoded_image_features(wrapped))
 
 
 @register(
