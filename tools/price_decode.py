@@ -54,6 +54,7 @@ def main() -> None:
         "bmp": {},
         "ppm": {},
         "png": {},
+        "png-i": {},
         "png-pal": {},
         "gif": {},
         "jpeg": {"quality": 85, "subsample": (2, 2)},

@@ -60,7 +60,7 @@ def main() -> None:
 
     spark = get_spark("scale-probe-decode")
     base_n = 5000
-    fmts = ("bmp", "ppm", "png", "jpeg", "gif", "pjpeg")
+    fmts = ("bmp", "ppm", "png", "png-i", "jpeg", "gif", "pjpeg")
     scratch = tempfile.mkdtemp(prefix="decode_probe_")
     try:
         rows = [
