@@ -156,16 +156,19 @@ from .registry import ORACLES, QUERIES
 # not fail the suite; regenerating the list next round bumps it.
 CHECK_PRIORITY_BASIS_ROUND = 13
 CHECK_PRIORITY: list[str] = [
-    # --- Round 14 window, generated (basis r13): two newborns lead
-    # (decoded_pjpeg_check — progressive JPEG's differential oracle
-    # gate, closing the r13 verdict's top item; decoded_wav_check —
-    # the audio leg's real-decode gate), then pure rotation: the
-    # r10-era rows at age 4 oldest-first alphabetical-within-round,
-    # anchor last. Budget: 188 rotating / 49 slots = 3.8 rounds
-    # (multimodal_features and audio_frame_energy demoted to the
-    # test-pinned tier to pay for the newborns).
+    # --- Round 14 window, regenerated late-round (basis r13): THREE
+    # newborns lead (decoded_pjpeg_check — progressive JPEG's
+    # differential oracle gate, closing the r13 verdict's top item;
+    # decoded_wav_check — the audio leg's real-decode gate;
+    # decoded_rebalanced_check — the heavy-tail split's row-
+    # preservation gate), then pure rotation: the r10-era rows at age
+    # 4 oldest-first alphabetical-within-round, anchor last. Budget:
+    # 189 rotating / 49 slots = 3.9 rounds (multimodal_features and
+    # audio_frame_energy demoted to the test-pinned tier to pay for
+    # the newborns).
     "decoded_pjpeg_check",
     "decoded_wav_check",
+    "decoded_rebalanced_check",
     "trending_daily",
     "value_histogram",
     "window_distribution",
@@ -212,7 +215,6 @@ CHECK_PRIORITY: list[str] = [
     "ann_topk_lsh",
     "asof_join_quotes",
     "bigram_pmi",
-    "bloom_decontaminate_check",
     "refined_pipeline",
 ]
 
