@@ -235,8 +235,14 @@ def run_provider_join(spark, provider: str, waves, schema, work: str) -> dict:
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--join"]
-    join_mode = "--join" in sys.argv[1:]
+    argv = list(sys.argv[1:])
+    join_mode = "--join" in argv
+    argv = [a for a in argv if a != "--join"]
+    only_provider = None
+    if "--provider" in argv:
+        i = argv.index("--provider")
+        only_provider = argv[i + 1]
+        del argv[i : i + 2]
     sf_dir = argv[0] if len(argv) > 0 else f"{REPO}/.scale/sf1"
     n_waves = int(argv[1]) if len(argv) > 1 else 4
     from m2_b3_market_data_pipeline_spark.plans.registry import load
@@ -266,11 +272,18 @@ def main() -> None:
     runner = run_provider_join if join_mode else run_provider
     recs = []
     for provider in PROVIDERS:
+        if only_provider and provider != only_provider:
+            continue
         work = tempfile.mkdtemp(prefix=f"ab-state-{provider}-")
         try:
             recs.append(runner(spark, provider, waves, schema, work))
         finally:
             shutil.rmtree(work, ignore_errors=True)
+    if len(recs) == 1:  # --provider: a single-sided (e.g. survival) run
+        r = recs[0]
+        r.pop("_rows")
+        print(json.dumps(r))
+        sys.exit(0)
     same = recs[0]["_rows"] == recs[1]["_rows"]
     for r in recs:
         r.pop("_rows")
