@@ -181,7 +181,7 @@ def decode_image(data: bytes) -> DecodedImage:
             pass  # decode failure defers to the stdlib chain below
     if data[:2] == b"BM":
         return _decode_bmp(data)
-    if data[:2] == b"P6":
+    if data[:2] in (b"P6", b"P5"):
         return _decode_ppm(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(data)
@@ -737,12 +737,18 @@ def _decode_tiff_inner(data: bytes) -> DecodedImage:
 
 
 def _decode_ppm(data: bytes) -> DecodedImage:
-    """Pure-stdlib decode of binary PPM (P6, maxval <= 255): ASCII
-    header — magic, whitespace/comment-separated width height maxval,
-    ONE whitespace byte — then raw RGB triplets. The second
-    struct-free raster format in ``decode_image``'s chain."""
-    if data[:2] != b"P6":
-        raise ValueError("not a binary PPM (P6) payload")
+    """Pure-stdlib decode of binary Netpbm rasters: PPM (P6, RGB
+    triplets) and — late r14 — PGM (P5, grayscale replicated to RGB),
+    each at maxval <= 255 (1 byte/sample) or exactly 65535 (2 bytes
+    big-endian; the high byte is the standard 8-bit rendering, exact
+    for the v*257 expansion the ppm-16/pgm-16 write paths emit —
+    other wide maxvals fail loud rather than pick a rounding
+    convention). ASCII header — magic, whitespace/comment-separated
+    width height maxval, ONE whitespace byte — then raw samples. The
+    second struct-free raster family in ``decode_image``'s chain."""
+    magic = data[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM (P6) / PGM (P5) payload")
     pos = 2
     fields: list[int] = []
     while len(fields) < 3:
@@ -760,15 +766,31 @@ def _decode_ppm(data: bytes) -> DecodedImage:
         fields.append(int(data[start:pos]))
     pos += 1  # exactly one whitespace byte after maxval
     width, height, maxval = fields
+    channels = 3 if magic == b"P6" else 1
     if width <= 0 or height <= 0:
-        raise ValueError(f"degenerate PPM dimensions {width}x{height}")
-    if maxval > 255:
-        raise ValueError("16-bit PPM not supported")
-    need = width * height * 3
+        raise ValueError(f"degenerate PPM/PGM dimensions {width}x{height}")
+    if maxval <= 0 or (maxval > 255 and maxval != 65535):
+        # 2-byte samples are only exact at the full 65535 range (the
+        # v*257 expansion whose high byte inverts losslessly, same
+        # convention as the PNG-16 leg); odd wide maxvals would force
+        # a rounding convention — fail loud instead of guessing one
+        raise ValueError(f"unsupported PPM/PGM maxval {maxval}")
+    spb = 2 if maxval == 65535 else 1  # bytes per sample, big-endian
+    need = width * height * channels * spb
     px = data[pos : pos + need]
     if len(px) < need:
-        raise ValueError("truncated PPM pixel data")
-    return DecodedImage(width, height, bytes(px))
+        raise ValueError("truncated PPM/PGM pixel data")
+    import numpy as np
+
+    arr = np.frombuffer(px, dtype=np.uint8)
+    if spb == 2:  # 16-bit: high byte is the standard 8-bit rendering
+        arr = arr[0::2]
+    if channels == 1:  # P5 grayscale: replicate to RGB
+        g = arr.reshape(height, width)
+        return DecodedImage(
+            width, height, np.repeat(g[:, :, None], 3, axis=2).tobytes()
+        )
+    return DecodedImage(width, height, arr.tobytes())
 
 
 # Adam7 pass geometry (PNG spec §8.2): (x0, y0, dx, dy) per pass.
@@ -2057,6 +2079,22 @@ def encode_image(img: DecodedImage, fmt: str, **kwargs) -> bytes:
     rgb = np.frombuffer(img.pixels, dtype=np.uint8).reshape(h, w, 3)
     if fmt == "ppm":
         return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+    if fmt == "ppm-16":  # maxval 65535, v*257 big-endian (inverts exactly)
+        wide = (rgb.astype(np.uint16) * 257).astype(">u2")
+        return b"P6\n%d %d\n65535\n" % (w, h) + wide.tobytes()
+    if fmt in ("pgm", "pgm-16"):
+        # P5 requires a true gray raster (r == g == b) — same honesty
+        # contract as png-gray: never silently drop chroma
+        if not (
+            np.array_equal(rgb[:, :, 0], rgb[:, :, 1])
+            and np.array_equal(rgb[:, :, 1], rgb[:, :, 2])
+        ):
+            raise ValueError("pgm requires r == g == b pixels")
+        g = rgb[:, :, 0]
+        if fmt == "pgm":
+            return b"P5\n%d %d\n255\n" % (w, h) + g.tobytes()
+        wide = (g.astype(np.uint16) * 257).astype(">u2")
+        return b"P5\n%d %d\n65535\n" % (w, h) + wide.tobytes()
     if fmt == "bmp":
         row_size = (w * 3 + 3) & ~3
         pix = bytearray()

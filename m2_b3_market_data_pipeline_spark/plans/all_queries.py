@@ -163,9 +163,11 @@ CHECK_PRIORITY: list[str] = [
     # decoded_rebalanced_check — the heavy-tail split's row-
     # preservation gate), then pure rotation: the r10-era rows at age
     # 4 oldest-first alphabetical-within-round, anchor last. Budget:
-    # 189 rotating / 49 slots = 3.9 rounds (multimodal_features and
+    # 189 rotating / 49 slots = 3.86 rounds (multimodal_features and
     # audio_frame_energy demoted to the test-pinned tier to pay for
-    # the newborns).
+    # the newborns; headroom relaxed by one slot this round so
+    # decoded_rebalanced_check can earn its first direct row — r15
+    # flips it with decoded_phash_check, superset rotating).
     "decoded_pjpeg_check",
     "decoded_wav_check",
     "decoded_rebalanced_check",

@@ -128,7 +128,7 @@ ORDER BY i.doc_id
 
 def _phash_law_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The gates' shared payload synth: per doc, the 16x16 pixel-law
-    raster serialized into the |doc_id| mod 11 format rotation (see
+    raster serialized into the |doc_id| mod 13 format rotation (see
     decoded_phash_check's docstring) via mapInPandas."""
     from ..operators.multimodal import DecodedImage, encode_image
 
@@ -145,7 +145,7 @@ def _phash_law_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         xg, yg = np.meshgrid(np.arange(16), np.arange(16))
         fmts = (
             "bmp", "ppm", "png", "gif", "png-gray", "png-pal", "png-16",
-            "bmp-32", "bmp-pal", "tiff", "png-i",
+            "bmp-32", "bmp-pal", "tiff", "png-i", "pgm", "ppm-16",
         )
         for pdf in it:
             payloads = []
@@ -154,7 +154,7 @@ def _phash_law_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v = ((hid * 31 + 7 * xg + 13 * yg) % 256).astype(np.uint8)
                 rgb = np.repeat(v[:, :, None], 3, axis=2)
                 img = DecodedImage(16, 16, rgb.tobytes())
-                payloads.append(encode_image(img, fmts[hid % 11]))
+                payloads.append(encode_image(img, fmts[hid % 13]))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
 
     return docs.mapInPandas(synth, "doc_id bigint, content binary")
@@ -178,12 +178,13 @@ def decoded_phash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     widened r14): per doc, a 16x16 gray raster with the analytic
     pixel law v(x, y) = (|doc_id|*31 + 7x + 13y) mod 256 is
     serialized by ``encode_image`` into a format rotating by
-    |doc_id| mod 11 (24-bit BMP / PPM / truecolor PNG / GIF /
+    |doc_id| mod 13 (24-bit BMP / PPM / truecolor PNG / GIF /
     grayscale PNG color type 0 / palette PNG color type 3 / 16-bit
     PNG whose v*257 expansion reduces back exactly / 32-bit BGRx BMP
     / 8-bit palettized BMP / baseline TIFF / Adam7-interlaced
-    truecolor PNG — gray rasters are gray- and palette-expressible,
-    so every leg is lossless),
+    truecolor PNG / P5 grayscale PGM / 16-bit P6 PPM at maxval 65535
+    — gray rasters are gray- and palette-expressible, so every leg
+    is lossless),
     decoded back through the REAL
     ``decode_image`` chain inside ``decoded_image_features``, and the
     production 64-bit average-hash + luma-histogram bins come out.

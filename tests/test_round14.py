@@ -1044,3 +1044,71 @@ def test_rebalance_for_decode_spreads_heavy_tail(spark):
     b = sorted((r["doc_id"], r["phash64"])
                for r in decoded_image_features(out).collect())
     assert a == b and len(a) == 58
+
+
+# ---------------------------------------------------------------------------
+# Netpbm widening: P5 grayscale PGM + 16-bit P6/P5 at maxval 65535
+# ---------------------------------------------------------------------------
+
+
+def test_netpbm_pgm_and_16bit_roundtrips():
+    """ppm-16 / pgm / pgm-16 write paths invert through the decoder
+    exactly (16-bit samples are the v*257 expansion whose high byte
+    reduces losslessly, the png-16 convention); P5 replicates gray to
+    RGB; pgm refuses chroma."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage, decode_image, encode_image,
+    )
+
+    rng = np.random.RandomState(6)
+    for (w, h) in [(1, 1), (7, 5), (16, 16), (33, 17)]:
+        rgb = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        img = DecodedImage(w, h, rgb.tobytes())
+        assert decode_image(encode_image(img, "ppm-16")).pixels == img.pixels
+        g = np.repeat(rng.randint(0, 256, (h, w, 1), dtype=np.uint8),
+                      3, axis=2)
+        gimg = DecodedImage(w, h, g.tobytes())
+        assert decode_image(encode_image(gimg, "pgm")).pixels == gimg.pixels
+        assert decode_image(
+            encode_image(gimg, "pgm-16")
+        ).pixels == gimg.pixels
+    with pytest.raises(ValueError, match="r == g == b"):
+        encode_image(DecodedImage(1, 1, b"\x01\x02\x03"), "pgm")
+
+
+def test_netpbm_fail_loud_variants():
+    """Odd wide maxvals (a rounding convention we refuse to guess),
+    truncated 16-bit data, and short P5 rasters all stay ValueError."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        _decode_ppm,
+    )
+
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_ppm(b"P5\n3 3\n300\n" + b"\x00" * 18)
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_ppm(b"P6\n2 2\n1023\n" + b"\x00" * 24)
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_ppm(b"P6\n2 2\n0\n")
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 10)
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 3)
+    with pytest.raises(ValueError, match="payload"):
+        _decode_ppm(b"P4\n2 2\n")  # PBM bitmap: not a supported magic
+
+
+def test_netpbm_pgm_comment_and_independent_layout():
+    """An independently hand-built P5 stream (comment line in the
+    header, exact single whitespace after maxval) decodes to the
+    expected replicated-gray raster — the writer doesn't vouch for
+    itself."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        _decode_ppm,
+    )
+
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    payload = b"P5\n# a comment\n4 3\n255\n" + g.tobytes()
+    img = _decode_ppm(payload)
+    got = _pixels(img)
+    assert np.array_equal(got[:, :, 0], g)
+    assert np.array_equal(got[:, :, 0], got[:, :, 2])
