@@ -1,9 +1,15 @@
-"""Round-14 advice regressions: GIF quarantine boundary + resource
-bounds (r13 advice high/medium) and the JPEG non-divisor sampling
-guard (r13 advice low). Crafted payloads mirror the advice's verified
-reproducers: a truncated GCE, a 35-byte GIF claiming 8000x8000, and a
-max-dims header — all must surface as ValueError (the featurizers'
-quarantine net), never IndexError/struct.error/MemoryError."""
+"""Round-14 pins. First wave: the r13 advice regressions — GIF
+quarantine boundary + resource bounds (high/medium) and the JPEG
+non-divisor sampling guard (low); crafted payloads mirror the
+advice's verified reproducers (truncated GCE, a 35-byte GIF claiming
+8000x8000, a max-dims header), all surfacing as ValueError, never
+IndexError/struct.error/MemoryError. Then the round's decode
+widening: PNG palette/grayscale/16-bit legs, audio WAV write path +
+G.711, BMP 32-bit/palettized, baseline TIFF, animated-GIF writer.
+Late wave: Adam7 interlace (writer roundtrips, independent sub-byte
+and filtered-pass muxers, fail-loud, Spark featurizer equality), the
+heavy-tail rebalance operator (spread + single-exchange plan pins),
+and the Netpbm completion (P5 PGM, 16-bit PPM/PGM)."""
 
 from __future__ import annotations
 
