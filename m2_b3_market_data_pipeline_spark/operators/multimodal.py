@@ -155,9 +155,9 @@ def _decode_bmp(data: bytes) -> DecodedImage:
 def decode_image(data: bytes) -> DecodedImage:
     """Real decode. Chain: PIL when a container ships it (converted to
     the DecodedImage interface), else the pure-stdlib parsers for
-    uncompressed 24-bit BMP, binary PPM (P6), non-interlaced 8-bit
-    PNG (r13), and JPEG — baseline-sequential (r13) AND progressive
-    (r14) — EXERCISED in this container (round 12+; the decode step
+    uncompressed 24-bit BMP, the binary Netpbm trio (P6/P5/P4), PNG
+    (r13; Adam7 late r14), and JPEG — baseline-sequential (r13) AND
+    progressive (r14) — EXERCISED in this container (round 12+; the decode step
     is no longer stub-only).
     Anything no path can read raises NotImplementedError and the
     byte-level deterministic_features stand-in applies.
@@ -181,7 +181,7 @@ def decode_image(data: bytes) -> DecodedImage:
             pass  # decode failure defers to the stdlib chain below
     if data[:2] == b"BM":
         return _decode_bmp(data)
-    if data[:2] in (b"P6", b"P5"):
+    if data[:2] in (b"P6", b"P5", b"P4"):
         return _decode_ppm(data)
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(data)
@@ -193,7 +193,7 @@ def decode_image(data: bytes) -> DecodedImage:
         return _decode_tiff(data)
     raise NotImplementedError(
         "no decoder for this payload: PIL absent and not an uncompressed "
-        "BMP / binary PPM / PNG / JPEG / GIF / TIFF — "
+        "BMP / binary PPM-PGM-PBM / PNG / JPEG / GIF / TIFF — "
         "byte-level features apply (deterministic_features)"
     )
 
@@ -738,20 +738,26 @@ def _decode_tiff_inner(data: bytes) -> DecodedImage:
 
 def _decode_ppm(data: bytes) -> DecodedImage:
     """Pure-stdlib decode of binary Netpbm rasters: PPM (P6, RGB
-    triplets) and — late r14 — PGM (P5, grayscale replicated to RGB),
-    each at maxval <= 255 (1 byte/sample) or exactly 65535 (2 bytes
+    triplets), and — late r14, completing the trio — PGM (P5,
+    grayscale replicated to RGB) and PBM (P4, 1-bit bitmap: rows
+    byte-aligned MSB-first, spec polarity 1 = black). P6/P5 decode at
+    maxval <= 255 (1 byte/sample) or exactly 65535 (2 bytes
     big-endian; the high byte is the standard 8-bit rendering, exact
     for the v*257 expansion the ppm-16/pgm-16 write paths emit —
     other wide maxvals fail loud rather than pick a rounding
     convention). ASCII header — magic, whitespace/comment-separated
-    width height maxval, ONE whitespace byte — then raw samples. The
-    second struct-free raster family in ``decode_image``'s chain."""
+    width height [maxval], ONE whitespace byte — then raw samples.
+    The second struct-free raster family in ``decode_image``'s
+    chain."""
     magic = data[:2]
-    if magic not in (b"P6", b"P5"):
-        raise ValueError("not a binary PPM (P6) / PGM (P5) payload")
+    if magic not in (b"P6", b"P5", b"P4"):
+        raise ValueError(
+            "not a binary PPM (P6) / PGM (P5) / PBM (P4) payload"
+        )
     pos = 2
+    n_fields = 2 if magic == b"P4" else 3  # P4 has no maxval field
     fields: list[int] = []
-    while len(fields) < 3:
+    while len(fields) < n_fields:
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
         if pos < len(data) and data[pos : pos + 1] == b"#":  # comment
@@ -764,7 +770,25 @@ def _decode_ppm(data: bytes) -> DecodedImage:
         if pos == start:
             raise ValueError("truncated PPM header")
         fields.append(int(data[start:pos]))
-    pos += 1  # exactly one whitespace byte after maxval
+    pos += 1  # exactly one whitespace byte after the last header field
+    if magic == b"P4":  # 1-bit bitmap: rows pack MSB-first, byte-
+        # aligned per ROW; spec polarity 1 = black -> luma 0
+        width, height = fields
+        if width <= 0 or height <= 0:
+            raise ValueError(f"degenerate PBM dimensions {width}x{height}")
+        stride = (width + 7) // 8
+        need = stride * height
+        px = data[pos : pos + need]
+        if len(px) < need:
+            raise ValueError("truncated PBM pixel data")
+        import numpy as np
+
+        rows = np.frombuffer(px, dtype=np.uint8).reshape(height, stride)
+        bits = np.unpackbits(rows, axis=1)[:, :width]
+        g = ((1 - bits) * 255).astype(np.uint8)  # 1 = black
+        return DecodedImage(
+            width, height, np.repeat(g[:, :, None], 3, axis=2).tobytes()
+        )
     width, height, maxval = fields
     channels = 3 if magic == b"P6" else 1
     if width <= 0 or height <= 0:
@@ -2095,6 +2119,20 @@ def encode_image(img: DecodedImage, fmt: str, **kwargs) -> bytes:
             return b"P5\n%d %d\n255\n" % (w, h) + g.tobytes()
         wide = (g.astype(np.uint16) * 257).astype(">u2")
         return b"P5\n%d %d\n65535\n" % (w, h) + wide.tobytes()
+    if fmt == "pbm":
+        # P4 1-bit bitmap: only a strictly bi-level 0/255 gray raster
+        # is expressible — anything else would quantize silently
+        if not (
+            np.array_equal(rgb[:, :, 0], rgb[:, :, 1])
+            and np.array_equal(rgb[:, :, 1], rgb[:, :, 2])
+        ):
+            raise ValueError("pbm requires r == g == b pixels")
+        g = rgb[:, :, 0]
+        if not np.isin(g, (0, 255)).all():
+            raise ValueError("pbm requires strictly 0/255 pixels")
+        bits = (g == 0).astype(np.uint8)  # spec polarity: 1 = black
+        packed = np.packbits(bits, axis=1)  # per-row, byte-aligned
+        return b"P4\n%d %d\n" % (w, h) + packed.tobytes()
     if fmt == "bmp":
         row_size = (w * 3 + 3) & ~3
         pix = bytearray()

@@ -9,7 +9,7 @@ G.711, BMP 32-bit/palettized, baseline TIFF, animated-GIF writer.
 Late wave: Adam7 interlace (writer roundtrips, independent sub-byte
 and filtered-pass muxers, fail-loud, Spark featurizer equality), the
 heavy-tail rebalance operator (spread + single-exchange plan pins),
-and the Netpbm completion (P5 PGM, 16-bit PPM/PGM)."""
+and the Netpbm completion (P5 PGM, 16-bit PPM/PGM, P4 PBM)."""
 
 from __future__ import annotations
 
@@ -1099,8 +1099,10 @@ def test_netpbm_fail_loud_variants():
         _decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 10)
     with pytest.raises(ValueError, match="truncated"):
         _decode_ppm(b"P5\n2 2\n255\n" + b"\x00" * 3)
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_ppm(b"P4\n9 2\n\x00")  # PBM parses now; short data fails
     with pytest.raises(ValueError, match="payload"):
-        _decode_ppm(b"P4\n2 2\n")  # PBM bitmap: not a supported magic
+        _decode_ppm(b"P3\n2 2\n255\n")  # ASCII Netpbm: unsupported magic
 
 
 def test_netpbm_pgm_comment_and_independent_layout():
@@ -1118,3 +1120,26 @@ def test_netpbm_pgm_comment_and_independent_layout():
     got = _pixels(img)
     assert np.array_equal(got[:, :, 0], g)
     assert np.array_equal(got[:, :, 0], got[:, :, 2])
+
+
+def test_netpbm_pbm_bitmap_roundtrip_and_polarity():
+    """P4 1-bit bitmaps: MSB-first byte-aligned rows, spec polarity
+    1 = black (luma 0). Roundtrip through the pbm write path at a
+    non-multiple-of-8 width (row padding), plus an independent
+    hand-packed fixture; the writer refuses non-bi-level rasters."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage, _decode_ppm, decode_image, encode_image,
+    )
+
+    rng = np.random.RandomState(4)
+    for (w, h) in [(1, 1), (8, 3), (11, 5), (16, 16)]:
+        g = (rng.randint(0, 2, (h, w, 1), dtype=np.uint8) * 255)
+        img = DecodedImage(w, h, np.repeat(g, 3, axis=2).tobytes())
+        assert decode_image(encode_image(img, "pbm")).pixels == img.pixels
+    # independent fixture: 0b10100000 row at width 3 -> black white black
+    img = _decode_ppm(b"P4\n3 1\n\xa0")
+    assert _pixels(img)[0, :, 0].tolist() == [0, 255, 0]
+    with pytest.raises(ValueError, match="0/255"):
+        encode_image(DecodedImage(1, 1, b"\x80\x80\x80"), "pbm")
+    with pytest.raises(ValueError, match="r == g == b"):
+        encode_image(DecodedImage(1, 1, b"\x00\x00\xff"), "pbm")
