@@ -213,3 +213,44 @@ def test_lossless_and_wav_quarantine_under_deterministic_fuzz():
         flipped[(i * 7919) % len(flipped)] ^= 0xFF
         probe(_decode_wav, flipped)
         probe(_decode_wav, wav[: (i * 13) % len(wav)])
+
+
+def test_netpbm_trio_quarantine_under_deterministic_fuzz():
+    """The late-r14 Netpbm legs (P5 PGM, 16-bit PPM/PGM, P4 PBM)
+    under the same 300-point flip + truncation fuzz: decode or
+    ValueError/NotImplementedError, nothing else escapes the
+    quarantine net. Bit flips hitting the ASCII header mutate magic,
+    dimensions, and maxval arbitrarily — exactly the corrupt-crawl
+    shape the guards exist for."""
+    from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+        DecodedImage,
+        decode_image,
+        encode_image,
+    )
+
+    rng = np.random.RandomState(11)
+    gray = np.repeat(
+        rng.randint(0, 256, (16, 16, 1), dtype=np.uint8), 3, axis=2
+    )
+    gimg = DecodedImage(16, 16, gray.tobytes())
+    bilevel = np.repeat(
+        (rng.randint(0, 2, (16, 16, 1), dtype=np.uint8) * 255), 3, axis=2
+    )
+    bimg = DecodedImage(16, 16, bilevel.tobytes())
+    rgb = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    cimg = DecodedImage(16, 16, rgb.tobytes())
+
+    def probe(payload):
+        try:
+            decode_image(bytes(payload))
+        except (ValueError, NotImplementedError):
+            pass  # the quarantine contract
+
+    for img, fmt in ((gimg, "pgm"), (gimg, "pgm-16"), (cimg, "ppm-16"),
+                     (bimg, "pbm")):
+        base = bytearray(encode_image(img, fmt))
+        for i in range(1, 300):
+            flipped = bytearray(base)
+            flipped[(i * 7919) % len(flipped)] ^= 0xFF
+            probe(flipped)
+            probe(base[: (i * 131) % len(base)])
