@@ -306,6 +306,7 @@ def rebalance_for_decode(
     binary_col: str = "content",
     heavy_bytes: int = 4 << 20,
     heavy_partitions: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Heavy-tail payload rebalance ahead of the decode featurizers
     (r13 verdict item 8). ``decoded_image_features`` /
@@ -329,7 +330,21 @@ def rebalance_for_decode(
     bytes only, never the corpus. NULL payloads ride the light leg
     (``length(NULL)`` is NULL, which fails both predicates unless
     routed explicitly) so row-preservation holds for the featurizers'
-    own null filter to act on."""
+    own null filter to act on.
+
+    Row-preservation contract: the split is two FILTERS over the same
+    upstream, so the upstream is evaluated once per leg per action. A
+    DETERMINISTIC source (parquet scan, deterministic synth — the
+    shipped gate) sees identical payloads on both evaluations and the
+    two legs partition the rows exactly. A non-deterministic upstream
+    (e.g. a ``rand()``-derived payload) could place a row's length on
+    different sides of ``heavy_bytes`` across the two evaluations,
+    dropping or duplicating it — pass ``materialize=True`` there,
+    which localCheckpoints the input first (one extra materialization,
+    paid only when asked; the default stays the zero-copy single-
+    exchange plan the gate pins)."""
+    if materialize:
+        df = df.localCheckpoint(eager=False)
     size = F.length(F.col(binary_col))
     heavy = df.filter(size >= F.lit(heavy_bytes))
     light = df.filter(
@@ -2978,12 +2993,25 @@ def _parse_mp4_tables_inner(data: bytes) -> dict:
             moov = (b0, b1)
     if moov is None:
         raise ValueError("MP4 missing moov box")
+    first_err: ValueError | None = None
     for btype, t0, t1 in _mp4_boxes(data, *moov):
         if btype != b"trak":
             continue
-        info = _mp4_video_track(data, t0, t1)
+        # A broken vide trak (incomplete sample tables, overrunning
+        # leaf counts) must not doom a file whose NEXT trak is fine —
+        # multi-track files with one damaged track are common in crawl
+        # video. Record the first failure and keep scanning; fail loud
+        # only when no track parses (r14 advice).
+        try:
+            info = _mp4_video_track(data, t0, t1)
+        except ValueError as exc:
+            if first_err is None:
+                first_err = exc
+            continue
         if info is not None:
             return info
+    if first_err is not None:
+        raise first_err
     raise ValueError("MP4 has no parseable video track")
 
 
@@ -3004,6 +3032,16 @@ def _mp4_video_track(data: bytes, t0: int, t1: int) -> dict | None:
     chunk_offsets: list[int] | None = None
     stsc: list[tuple[int, int]] = []
     keyframes: list[int] | None = None
+
+    def need(start: int, per: int, n: int, end: int, name: str) -> None:
+        # A malformed entry count must not silently read bytes from
+        # the FOLLOWING box (struct.error only fires past end-of-file,
+        # far too late) — bound every leaf table against its own box
+        # end before unpacking (r14 advice).
+        if n < 0 or start + per * n > end:
+            raise ValueError(
+                f"MP4 {name} declares {n} entries overrunning its box"
+            )
 
     def walk(p0: int, p1: int) -> None:
         nonlocal width, height, timescale, handler, codec
@@ -3029,6 +3067,7 @@ def _mp4_video_track(data: bytes, t0: int, t1: int) -> dict | None:
                     codec = data[b0 + 12 : b0 + 16]
             elif btype == b"stts":
                 (n,) = struct.unpack_from(">I", data, b0 + 4)
+                need(b0 + 8, 8, n, b1, "stts")
                 stts = [
                     struct.unpack_from(">II", data, b0 + 8 + 8 * i)
                     for i in range(n)
@@ -3036,6 +3075,7 @@ def _mp4_video_track(data: bytes, t0: int, t1: int) -> dict | None:
             elif btype == b"stsz":
                 uniform_size, n = struct.unpack_from(">II", data, b0 + 4)
                 if uniform_size == 0:
+                    need(b0 + 12, 4, n, b1, "stsz")
                     sizes = list(
                         struct.unpack_from(f">{n}I", data, b0 + 12)
                     )
@@ -3043,6 +3083,7 @@ def _mp4_video_track(data: bytes, t0: int, t1: int) -> dict | None:
                     sizes = [uniform_size] * n
             elif btype == b"stsc":
                 (n,) = struct.unpack_from(">I", data, b0 + 4)
+                need(b0 + 8, 12, n, b1, "stsc")
                 stsc = [
                     struct.unpack_from(">III", data, b0 + 8 + 12 * i)[:2]
                     for i in range(n)
@@ -3051,12 +3092,14 @@ def _mp4_video_track(data: bytes, t0: int, t1: int) -> dict | None:
                 (n,) = struct.unpack_from(">I", data, b0 + 4)
                 fmt = ">I" if btype == b"stco" else ">Q"
                 step = 4 if btype == b"stco" else 8
+                need(b0 + 8, step, n, b1, btype.decode("ascii"))
                 chunk_offsets = [
                     struct.unpack_from(fmt, data, b0 + 8 + step * i)[0]
                     for i in range(n)
                 ]
             elif btype == b"stss":
                 (n,) = struct.unpack_from(">I", data, b0 + 4)
+                need(b0 + 8, 4, n, b1, "stss")
                 keyframes = [
                     struct.unpack_from(">I", data, b0 + 8 + 4 * i)[0]
                     for i in range(n)

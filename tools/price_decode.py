@@ -24,10 +24,11 @@ Usage: python tools/price_decode.py [n_images_per_cell]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-REPO = "/root/repo"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import numpy as np  # noqa: E402
