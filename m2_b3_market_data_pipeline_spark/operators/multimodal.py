@@ -191,10 +191,15 @@ def decode_image(data: bytes) -> DecodedImage:
         return _decode_gif(data)
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return _decode_tiff(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(data)
     raise NotImplementedError(
         "no decoder for this payload: PIL absent and not an uncompressed "
-        "BMP / binary PPM-PGM-PBM / PNG / JPEG / GIF / TIFF — "
-        "byte-level features apply (deterministic_features)"
+        "BMP / binary PPM-PGM-PBM / PNG / JPEG / GIF / TIFF / "
+        "lossless WebP — byte-level features apply "
+        "(deterministic_features)"
     )
 
 
@@ -645,17 +650,203 @@ def _decode_tiff(data: bytes) -> DecodedImage:
         raise ValueError(f"malformed TIFF stream: {exc}") from exc
 
 
+def _tiff_packbits_decode(data: bytes, expected: int) -> bytes:
+    """PackBits (TIFF 6 §9, compression 32773): control byte n —
+    0..127 copies the next n+1 literal bytes, 129..255 repeats the
+    next byte 257-n times, 128 is a no-op. Stops at ``expected``
+    output bytes (strips may carry pad); short streams raise."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while len(out) < expected:
+        if pos >= n:
+            raise ValueError("truncated PackBits stream")
+        c = data[pos]
+        pos += 1
+        if c == 128:
+            continue
+        if c < 128:
+            if pos + c + 1 > n:
+                raise ValueError("PackBits literal run past end")
+            out += data[pos : pos + c + 1]
+            pos += c + 1
+        else:
+            if pos >= n:
+                raise ValueError("PackBits repeat run past end")
+            out += bytes([data[pos]]) * (257 - c)
+            pos += 1
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_width(effective: int) -> int:
+    """TIFF LZW code width under the EARLY-CHANGE convention (TIFF 6
+    §13, the historical off-by-one every real writer ships): the
+    9->10/10->11/11->12 bumps happen when the ENCODER's next free
+    entry reaches 2^w - 1 (511/1023/2047), one code earlier than
+    GIF's variant (``_gif_lzw_decode`` bumps at 2^w). Both sides call
+    this with the encoder-side counter — the decoder lags one table
+    entry behind, so it passes next_code + 1 (see _tiff_lzw_decode) —
+    making the symmetry explicit instead of burying two different
+    threshold constants."""
+    w = 9
+    while w < 12 and effective >= (1 << w) - 1:
+        w += 1
+    return w
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (compression 5): MSB-first bit packing
+    (GIF's twin ``_gif_lzw_decode`` is LSB-first), fixed 8-bit roots,
+    ClearCode 256 / EOI 257 / first dynamic entry 258, early-change
+    width schedule via ``_tiff_lzw_width``. Stops at ``expected``
+    decompressed bytes; structural damage raises ValueError."""
+    out = bytearray()
+    bitpos = 0
+    n_bytes = len(data)
+    nbits = n_bytes * 8
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            raise ValueError("truncated TIFF LZW stream")
+        i = bitpos >> 3
+        acc = data[i] << 16
+        if i + 1 < n_bytes:
+            acc |= data[i + 1] << 8
+            if i + 2 < n_bytes:
+                acc |= data[i + 2]
+        v = (acc >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        return v
+
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        prev = None
+
+    reset()
+    while len(out) < expected:
+        # decoder counter lags the encoder by one entry except on the
+        # first code after a clear — effective = encoder-side counter
+        effective = len(table) if prev is None else len(table) + 1
+        code = read(_tiff_lzw_width(effective))
+        if code == 256:
+            reset()
+            continue
+        if code == 257:
+            break
+        if prev is None:
+            if code > 255:
+                raise ValueError(f"invalid first TIFF LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"TIFF LZW code {code} beyond table")
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError(
+            f"TIFF LZW stream ended early ({len(out)} < {expected} bytes)"
+        )
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW writer: inverse of ``_tiff_lzw_decode``
+    (MSB-first, early change, clear at table entry 4093 per the
+    writers-must-reset convention)."""
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            out.append((acc >> (accbits - 8)) & 0xFF)
+            accbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(256, _tiff_lzw_width(next_code))  # leading clear
+    w = b""
+    for i in range(len(data)):
+        c = data[i : i + 1]
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], _tiff_lzw_width(next_code))
+        table[w + c] = next_code
+        next_code += 1
+        w = c
+        if next_code == 4093:
+            emit(256, _tiff_lzw_width(next_code))
+            table = {bytes([j]): j for j in range(256)}
+            next_code = 258
+    if w:
+        emit(table[w], _tiff_lzw_width(next_code))
+        next_code += 1
+    emit(257, _tiff_lzw_width(next_code))  # EOI
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_packbits_encode(row: bytes) -> bytes:
+    """PackBits one ROW (TIFF 6: rows pack independently, never
+    across row boundaries): greedy repeat runs >= 3, literals
+    otherwise, both capped at 128."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 128 and row[i + run] == row[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += run
+        lit = row[lit_start : min(i, lit_start + 128)]
+        i = lit_start + len(lit)
+        out += bytes([len(lit) - 1]) + lit
+    return bytes(out)
+
+
 def _decode_tiff_inner(data: bytes) -> DecodedImage:
-    """Pure-stdlib baseline TIFF decode (r14): both byte orders
-    (II little-endian / MM big-endian), first-IFD walk over the core
-    tags, uncompressed strips, 8-bit samples. Photometric 2 (RGB,
-    extra samples/alpha dropped), 1 (BlackIsZero grayscale), 0
-    (WhiteIsZero, inverted), and 3 (palette via the 16-bit-per-channel
-    ColorMap, reduced >>8) are supported — the scanned-document /
-    export formats a crawl corpus actually contains. Compression
-    (LZW/PackBits/CCITT/JPEG-in-TIFF), 16-bit samples, tiled layout,
-    and planar configuration 2 raise ValueError — fail loud, never
-    guess pixels."""
+    """Pure-stdlib TIFF decode (r14; compression legs r15): both byte
+    orders (II little-endian / MM big-endian), first-IFD walk over
+    the core tags, 8-bit samples, strips. Compression 1
+    (uncompressed), 5 (LZW, MSB-first early-change variant — the GIF
+    leg's machinery with the two documented deltas, see
+    ``_tiff_lzw_decode``) and 32773 (PackBits) decode, each strip an
+    independent stream; horizontal differencing (Predictor tag 317 =
+    2, the usual LZW companion) is inverted with one vectorized
+    cumsum. Photometric 2 (RGB, extra samples/alpha dropped), 1
+    (BlackIsZero grayscale), 0 (WhiteIsZero, inverted), and 3
+    (palette via the 16-bit-per-channel ColorMap, reduced >>8) are
+    supported — the scanned-document / export formats a crawl corpus
+    actually contains. CCITT/JPEG-in-TIFF compression, 16-bit
+    samples, tiled layout, and planar configuration 2 raise
+    ValueError — fail loud, never guess pixels."""
     import struct
 
     import numpy as np
@@ -699,14 +890,18 @@ def _decode_tiff_inner(data: bytes) -> DecodedImage:
     if not width or not height:
         raise ValueError("TIFF missing image dimensions")
     comp = first(259, 1)
-    if comp != 1:
+    if comp not in (1, 5, 32773):
         raise ValueError(
-            f"only uncompressed TIFF supported (compression={comp})"
+            "only uncompressed / LZW / PackBits TIFF supported "
+            f"(compression={comp})"
         )
     if first(284, 1) != 1:
         raise ValueError("planar-configuration-2 TIFF not supported")
     if 322 in tags or 323 in tags:
         raise ValueError("tiled TIFF not supported")
+    predictor = first(317, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     photo = first(262)
     spp = first(277, 1)
     bits = tags.get(258, (8,) * spp)
@@ -715,17 +910,37 @@ def _decode_tiff_inner(data: bytes) -> DecodedImage:
     offsets, counts = tags.get(273), tags.get(279)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF missing strip layout (273/279)")
+    rps = first(278, height)
+    if rps <= 0:
+        raise ValueError("TIFF RowsPerStrip must be positive")
+    row_bytes = width * spp
     raw = bytearray()
+    rows_left = height
     for o, c in zip(offsets, counts):
         if o + c > len(data):
             raise ValueError("TIFF strip past end of stream")
-        raw += data[o : o + c]
+        strip = data[o : o + c]
+        strip_rows = min(rps, rows_left)
+        rows_left -= strip_rows
+        need_strip = strip_rows * row_bytes
+        if comp == 5:
+            raw += _tiff_lzw_decode(strip, need_strip)
+        elif comp == 32773:
+            raw += _tiff_packbits_decode(strip, need_strip)
+        else:
+            raw += strip
     need = width * height * spp
     if len(raw) < need:
         raise ValueError("truncated TIFF strip data")
     a = np.frombuffer(bytes(raw), np.uint8, count=need).reshape(
         height, width, spp
     )
+    if predictor == 2:
+        # horizontal differencing inverse: cumulative sum per row per
+        # channel, mod 256 — one vectorized pass
+        a = (
+            np.cumsum(a.astype(np.int64), axis=1) & 0xFF
+        ).astype(np.uint8)
     if photo == 2:
         if spp < 3:
             raise ValueError(f"TIFF RGB needs >= 3 samples (spp={spp})")
@@ -2266,10 +2481,31 @@ def encode_image(img: DecodedImage, fmt: str, **kwargs) -> bytes:
         return _encode_jpeg_progressive(img, **kwargs)
     if fmt == "gif":
         return _encode_gif(img)
-    if fmt == "tiff":
-        # minimal little-endian baseline TIFF: one uncompressed RGB
-        # strip at offset 8, BitsPerSample array + IFD after it
-        px = rgb.tobytes()
+    if fmt in ("webp", "webp-sg"):
+        # lossless VP8L; the -sg leg adds the subtract-green transform
+        # so the transform machinery sits on an oracle-checked path
+        from .webp import encode_webp_vp8l
+
+        return encode_webp_vp8l(img, subtract_green=(fmt == "webp-sg"))
+    if fmt in ("tiff", "tiff-lzw", "tiff-pb"):
+        # minimal little-endian TIFF: one RGB strip at offset 8,
+        # BitsPerSample array + IFD after it. tiff-lzw compresses the
+        # strip with the MSB-first early-change LZW variant AFTER
+        # horizontal differencing (Predictor 2, the real-world LZW
+        # companion); tiff-pb packs each row with PackBits (32773)
+        if fmt == "tiff-lzw":
+            diff = rgb.astype(np.int64)
+            diff[:, 1:, :] -= rgb[:, :-1, :].astype(np.int64)
+            px = _tiff_lzw_encode((diff & 0xFF).astype(np.uint8).tobytes())
+            comp_tag, pred_tag = 5, 2
+        elif fmt == "tiff-pb":
+            px = b"".join(
+                _tiff_packbits_encode(rgb[y].tobytes()) for y in range(h)
+            )
+            comp_tag, pred_tag = 32773, 1
+        else:
+            px = rgb.tobytes()
+            comp_tag, pred_tag = 1, 1
         pad = b"\x00" if len(px) & 1 else b""  # word-align what follows
         bits_at = 8 + len(px) + len(pad)
         ifd_at = bits_at + 6
@@ -2278,13 +2514,16 @@ def encode_image(img: DecodedImage, fmt: str, **kwargs) -> bytes:
             (256, 3, 1, short(w)),
             (257, 3, 1, short(h)),
             (258, 3, 3, struct.pack("<I", bits_at)),
-            (259, 3, 1, short(1)),  # uncompressed
+            (259, 3, 1, short(comp_tag)),
             (262, 3, 1, short(2)),  # RGB
             (273, 4, 1, struct.pack("<I", 8)),
             (277, 3, 1, short(3)),
             (278, 4, 1, struct.pack("<I", h)),
             (279, 4, 1, struct.pack("<I", len(px))),
         ]
+        if pred_tag != 1:
+            entries.append((317, 3, 1, short(pred_tag)))
+        entries.sort()  # IFD entries must be tag-ascending (TIFF 6)
         ifd = struct.pack("<H", len(entries))
         for tag, typ, cnt, val in entries:
             ifd += struct.pack("<HHI", tag, typ, cnt) + val

@@ -154,69 +154,62 @@ from .registry import ORACLES, QUERIES
 # against. The equality pin computes front_load over files <= this
 # round, so the DRIVER landing the current round's file mid-round does
 # not fail the suite; regenerating the list next round bumps it.
-CHECK_PRIORITY_BASIS_ROUND = 13
+CHECK_PRIORITY_BASIS_ROUND = 14
 CHECK_PRIORITY: list[str] = [
-    # --- Round 14 window, regenerated late-round (basis r13): THREE
-    # newborns lead (decoded_pjpeg_check — progressive JPEG's
-    # differential oracle gate, closing the r13 verdict's top item;
-    # decoded_wav_check — the audio leg's real-decode gate;
-    # decoded_rebalanced_check — the heavy-tail split's row-
-    # preservation gate), then pure rotation: the r10-era rows at age
-    # 4 oldest-first alphabetical-within-round, anchor last. Budget:
-    # 189 rotating / 49 slots = 3.86 rounds (multimodal_features and
-    # audio_frame_energy demoted to the test-pinned tier to pay for
-    # the newborns; headroom relaxed by one slot this round so
-    # decoded_rebalanced_check can earn its first direct row — r15
-    # flips it with decoded_phash_check, superset rotating).
-    "decoded_pjpeg_check",
-    "decoded_wav_check",
-    "decoded_rebalanced_check",
-    "trending_daily",
-    "value_histogram",
-    "window_distribution",
-    "window_running_total",
-    "zscore_anomalies",
-    "approx_distinct_check",
-    "approx_quantile_check",
-    "balanced_sample",
-    "boilerplate_frac",
-    "cluster_size_histogram",
-    "dedup_rate_by_source",
-    "dup_ngram_spans",
-    "embed_quantize",
-    "frame_dedup",
-    "incremental_near_dedup",
-    "indicator_vwap_drawdown",
-    "kmeans_clusters",
-    "label_centroids",
-    "mixture_rebalance",
-    "mmr_recall_check",
-    "multimodal_meta",
-    "nb_hashed",
-    "normalized_vectors",
-    "orc_roundtrip",
-    "q11_partsupp",
-    "q16_partsupp",
-    "q1_pricing_summary",
-    "q20_partsupp",
-    "realized_volatility",
-    "refined_write_roundtrip",
-    "rolling_mean_7",
-    "seasonal_backtest",
-    "select_limit",
-    "simhash_near_dups",
-    "snapshot_diff",
-    "string_functions",
-    "text_stats",
-    "top_bigram_frac",
-    "union_all",
-    "unpivot_metrics",
-    "weighted_sample",
-    "zorder_keys",
-    "ann_recall_check",
-    "ann_topk_lsh",
-    "asof_join_quotes",
-    "bigram_pmi",
+    # --- Round 15 window, regenerated after registering
+    # webp_meta_check (the round's one newborn — the WebP
+    # container-walk gate — leads), then pure oldest-first
+    # rotation over the rows at age 4, alphabetical-within-
+    # round, anchor last.
+    "webp_meta_check",
+    "bloom_decontaminate_check",
+    "bpe_pair_counts",
+    "copurchase_reach",
+    "embedding_near_dups_bands_scaled",
+    "except_op",
+    "gap_fill_locf",
+    "hard_negatives",
+    "incremental_semdedup",
+    "indicator_bollinger",
+    "ivfpq_ann_topk",
+    "ivfpq_recall_check",
+    "ivfpq_rerank_topk",
+    "knn_label_accuracy",
+    "lang_segments",
+    "lm_quality_buckets",
+    "mmr_select_scaled",
+    "q10_returned_revenue",
+    "q12_priority_by_status",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q2_partsupp",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q9_partsupp",
+    "quality_gate_funnel",
+    "rolling_median",
+    "rollup_lineitem",
+    "semdedup_prune",
+    "semi_anti_join",
+    "session_window",
+    "stream_stream_join",
+    "streaming_dedup",
+    "text_canonicalize",
+    "token_count_bpe",
+    "token_fertility",
+    "top_customers",
+    "trigram_lm_hashed",
+    "tumbling_window",
+    "vocabulary_stats",
+    "window_rank",
+    "array_functions",
+    "band_join_revenue",
+    "bpe_apply_check",
+    "bpe_learn_merges",
+    "c4_line_filters",
+    "cdc_merge_upsert",
     "refined_pipeline",
 ]
 

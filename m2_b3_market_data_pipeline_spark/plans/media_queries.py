@@ -128,7 +128,7 @@ ORDER BY i.doc_id
 
 def _phash_law_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The gates' shared payload synth: per doc, the 16x16 pixel-law
-    raster serialized into the |doc_id| mod 13 format rotation (see
+    raster serialized into the |doc_id| mod 17 format rotation (see
     decoded_phash_check's docstring) via mapInPandas."""
     from ..operators.multimodal import DecodedImage, encode_image
 
@@ -146,6 +146,7 @@ def _phash_law_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmts = (
             "bmp", "ppm", "png", "gif", "png-gray", "png-pal", "png-16",
             "bmp-32", "bmp-pal", "tiff", "png-i", "pgm", "ppm-16",
+            "webp", "webp-sg", "tiff-lzw", "tiff-pb",
         )
         for pdf in it:
             payloads = []
@@ -154,7 +155,7 @@ def _phash_law_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v = ((hid * 31 + 7 * xg + 13 * yg) % 256).astype(np.uint8)
                 rgb = np.repeat(v[:, :, None], 3, axis=2)
                 img = DecodedImage(16, 16, rgb.tobytes())
-                payloads.append(encode_image(img, fmts[hid % 13]))
+                payloads.append(encode_image(img, fmts[hid % 17]))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": payloads})
 
     return docs.mapInPandas(synth, "doc_id bigint, content binary")
@@ -178,11 +179,13 @@ def decoded_phash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     widened r14): per doc, a 16x16 gray raster with the analytic
     pixel law v(x, y) = (|doc_id|*31 + 7x + 13y) mod 256 is
     serialized by ``encode_image`` into a format rotating by
-    |doc_id| mod 13 (24-bit BMP / PPM / truecolor PNG / GIF /
+    |doc_id| mod 17 (24-bit BMP / PPM / truecolor PNG / GIF /
     grayscale PNG color type 0 / palette PNG color type 3 / 16-bit
     PNG whose v*257 expansion reduces back exactly / 32-bit BGRx BMP
     / 8-bit palettized BMP / baseline TIFF / Adam7-interlaced
     truecolor PNG / P5 grayscale PGM / 16-bit P6 PPM at maxval 65535
+    / lossless WebP VP8L plain and with the subtract-green transform
+    / LZW TIFF with horizontal-differencing predictor / PackBits TIFF
     — gray rasters are gray- and palette-expressible, so every leg
     is lossless),
     decoded back through the REAL
@@ -514,3 +517,117 @@ def decoded_video_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wrapped = docs.mapInPandas(synth, "doc_id bigint, content binary")
     return decoded_video_frame_features(wrapped)
+
+
+@register(
+    "webp_meta_check",
+    oracle="""
+WITH ids AS (
+    SELECT doc_id, abs(doc_id) AS hid
+    FROM documents WHERE doc_id IS NOT NULL
+)
+SELECT doc_id,
+       CASE hid % 3 WHEN 0 THEN 'lossless' WHEN 1 THEN 'lossy'
+            ELSE 'extended' END AS format,
+       CAST(1 + hid % 64 AS INT) AS width,
+       CAST(1 + (hid // 7) % 64 AS INT) AS height,
+       (hid % 3 <> 1 AND hid % 2 = 1) AS has_alpha,
+       (hid % 3 = 2) AS animated,
+       CAST(CASE WHEN hid % 3 = 2 THEN 1 + hid % 4 ELSE 1 END AS INT)
+           AS n_frames
+FROM ids ORDER BY doc_id
+""",
+)
+def webp_meta_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP CONTAINER walk's differential oracle gate (r15 verdict
+    item 1, the ``mp4_video_meta`` pattern): per doc a WebP container
+    rotating |doc_id| mod 3 across the three flavors — simple
+    lossless (a VP8L chunk whose 14+14+1+3-bit header is packed BY
+    HAND here, independently of the production ``_BitWriter``),
+    simple lossy (a VP8 keyframe frame-tag + start code + 14-bit
+    dims, the bitstream the stdlib chain can NEVER pixel-decode —
+    metadata must not depend on decodability), and extended/animated
+    (VP8X flags + 24-bit canvas dims + ANIM + a law-determined run
+    of ANMF chunks). Dims/alpha/frame-count all derive from the law
+    (w = 1 + hid mod 64, h = 1 + (hid//7) mod 64, alpha = hid odd on
+    non-lossy legs, frames = 1 + hid mod 4 when animated); the oracle
+    recomputes them in SQL without seeing a container byte, so any
+    chunk-walk, bit-unpack, flag, or frame-count asymmetry in
+    ``operators/webp.py::webp_meta`` breaks the hash."""
+    import struct as _struct
+
+    from ..operators.webp import webp_meta
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id").isNotNull())
+    )
+
+    def probe(it):
+        import pandas as pd
+
+        def chunk(fourcc, body):
+            pad = b"\x00" if len(body) & 1 else b""
+            return fourcc + _struct.pack("<I", len(body)) + body + pad
+
+        def riff(chunks):
+            body = b"WEBP" + chunks
+            return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+        for pdf in it:
+            rows = []
+            for i in pdf["doc_id"]:
+                hid = abs(int(i))
+                w = 1 + hid % 64
+                h = 1 + (hid // 7) % 64
+                alpha = hid % 2 == 1
+                leg = hid % 3
+                if leg == 0:
+                    # VP8L header, hand-packed LSB-first:
+                    #   sig / w-1:14 / h-1:14 / alpha:1 / version:3
+                    bits = (w - 1) | ((h - 1) << 14) | (int(alpha) << 28)
+                    payload = riff(
+                        chunk(b"VP8L", b"\x2f" + bits.to_bytes(4, "little"))
+                    )
+                elif leg == 1:
+                    # VP8 keyframe header: 3-byte tag (keyframe|show|
+                    # partition size), start code, two 14-bit LE dims
+                    tag = (1 << 4) | (77 << 5)
+                    body = (
+                        tag.to_bytes(4, "little")[:3]
+                        + b"\x9d\x01\x2a"
+                        + _struct.pack("<HH", w, h)
+                    )
+                    payload = riff(chunk(b"VP8 ", body))
+                else:
+                    flags = (0x10 if alpha else 0) | 0x02
+                    vp8x = (
+                        bytes([flags]) + b"\x00" * 3
+                        + (w - 1).to_bytes(3, "little")
+                        + (h - 1).to_bytes(3, "little")
+                    )
+                    chunks = chunk(b"VP8X", vp8x) + chunk(b"ANIM", bytes(6))
+                    for _ in range(1 + hid % 4):
+                        chunks += chunk(b"ANMF", bytes(16))
+                    payload = riff(chunks)
+                m = webp_meta(payload)
+                rows.append(
+                    (
+                        int(i), m["format"], m["width"], m["height"],
+                        m["has_alpha"], m["animated"], m["n_frames"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "format", "width", "height", "has_alpha",
+                    "animated", "n_frames",
+                ],
+            )
+
+    return docs.mapInPandas(
+        probe,
+        "doc_id bigint, format string, width int, height int, "
+        "has_alpha boolean, animated boolean, n_frames int",
+    )

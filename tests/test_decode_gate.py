@@ -35,7 +35,7 @@ def test_encode_image_roundtrips_all_formats():
             assert (back.width, back.height) == (w, h), fmt
             assert back.pixels == img.pixels, f"{fmt} {w}x{h}"
     with pytest.raises(ValueError, match="encode format"):
-        encode_image(_raster(0), "webp")  # tiff became a real leg in r14
+        encode_image(_raster(0), "heic")  # webp became a real leg in r15
 
 
 def test_decoded_phash_check_matches_analytic_law(spark):

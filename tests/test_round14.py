@@ -732,19 +732,20 @@ def test_tiff_fail_loud_and_fuzz():
     base = bytearray(encode_image(DecodedImage(8, 8, rgb.tobytes()), "tiff"))
     with pytest.raises(ValueError, match="not a TIFF"):
         _decode_tiff(b"XX\x00\x00 junk")
-    lzw = bytearray(base)
-    # compression tag value: find entry 259 and set value to 5 (LZW)
-    # entries start at ifd+2; locate by tag scan
+    jpeg_in_tiff = bytearray(base)
+    # compression tag value: find entry 259 and set value to 7
+    # (JPEG-in-TIFF — still fail-loud; LZW/PackBits became real legs
+    # in r15); entries start at ifd+2; locate by tag scan
     import struct as _s
-    (ifd_at,) = _s.unpack_from("<I", lzw, 4)
-    (n,) = _s.unpack_from("<H", lzw, ifd_at)
+    (ifd_at,) = _s.unpack_from("<I", jpeg_in_tiff, 4)
+    (n,) = _s.unpack_from("<H", jpeg_in_tiff, ifd_at)
     for i in range(n):
         at = ifd_at + 2 + 12 * i
-        tag, = _s.unpack_from("<H", lzw, at)
+        tag, = _s.unpack_from("<H", jpeg_in_tiff, at)
         if tag == 259:
-            _s.pack_into("<H", lzw, at + 8, 5)
+            _s.pack_into("<H", jpeg_in_tiff, at + 8, 7)
     with pytest.raises(ValueError, match="compression"):
-        _decode_tiff(bytes(lzw))
+        _decode_tiff(bytes(jpeg_in_tiff))
     for i in range(1, 300):
         flipped = bytearray(base)
         flipped[(i * 7919) % len(flipped)] ^= 0xFF

@@ -167,3 +167,221 @@ def test_rebalance_materialize_preserves_rows(spark):
     )
     assert out.count() == 200
     assert sorted(r.doc_id for r in out.collect()) == list(range(200))
+
+
+# ------------------------- compressed TIFF (r15 verdict item 3) ------
+
+
+class TestTiffCompression:
+    def _img(self, w, h, kind, seed=0):
+        rng = np.random.default_rng(seed)
+        if kind == "noise":
+            rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        else:  # runs: the compressible scanned-document shape
+            v = np.repeat(
+                (np.arange(h, dtype=np.uint8) * 7)[:, None], w, axis=1
+            )
+            rgb = np.repeat(v[:, :, None], 3, axis=2)
+        from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+            DecodedImage,
+        )
+
+        return DecodedImage(w, h, rgb.tobytes())
+
+    @pytest.mark.parametrize("fmt", ["tiff-lzw", "tiff-pb"])
+    @pytest.mark.parametrize("kind", ["noise", "runs"])
+    def test_roundtrip_pixel_exact_vs_uncompressed_twin(self, fmt, kind):
+        from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_image,
+        )
+
+        for w, h in ((16, 16), (1, 1), (9, 7), (257, 3), (64, 48)):
+            img = self._img(w, h, kind, seed=w * h)
+            out = decode_image(encode_image(img, fmt))
+            twin = decode_image(encode_image(img, "tiff"))
+            assert out.pixels == img.pixels, (fmt, kind, w, h)
+            assert out.pixels == twin.pixels
+
+    def test_lzw_width_bump_and_clear_path(self):
+        # 200x200 noise fills the 12-bit table repeatedly: every
+        # width bump and the 4093-entry clear both execute
+        from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_image,
+        )
+
+        img = self._img(200, 200, "noise", seed=11)
+        assert decode_image(encode_image(img, "tiff-lzw")).pixels == img.pixels
+
+    def test_compression_actually_compresses(self):
+        from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+            encode_image,
+        )
+
+        img = self._img(60, 50, "runs")
+        raw = len(encode_image(img, "tiff"))
+        assert len(encode_image(img, "tiff-lzw")) < raw / 4
+        assert len(encode_image(img, "tiff-pb")) < raw / 4
+
+    def test_lzw_width_schedule_early_change(self):
+        # the documented early-change thresholds: one code EARLIER
+        # than the GIF variant's power-of-two points
+        from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+            _tiff_lzw_width,
+        )
+
+        assert _tiff_lzw_width(258) == 9
+        assert _tiff_lzw_width(510) == 9
+        assert _tiff_lzw_width(511) == 10
+        assert _tiff_lzw_width(1022) == 10
+        assert _tiff_lzw_width(1023) == 11
+        assert _tiff_lzw_width(2046) == 11
+        assert _tiff_lzw_width(2047) == 12
+        assert _tiff_lzw_width(4094) == 12  # capped
+
+    def test_lzw_hand_packed_vector(self):
+        # independent MSB-first packing of [Clear, 'A', 258, 259, EOI]
+        # at 9 bits: the KwKwK path ('code == len(table)') twice
+        from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+            _tiff_lzw_decode,
+        )
+
+        bits = []
+        for code in (256, 65, 258, 259, 257):
+            bits.extend((code >> i) & 1 for i in range(8, -1, -1))
+        data = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j, bit in enumerate(bits[i : i + 8]):
+                b |= bit << (7 - j)
+            data.append(b)
+        assert _tiff_lzw_decode(bytes(data), 6) == b"AAAAAA"
+
+    def test_lzw_early_change_boundary_independent_stream(self):
+        """A literal-only stream packed by INDEPENDENT inline width
+        arithmetic: 300 literals cross the 9->10 bit boundary at the
+        early-change point (encoder counter 511, the 254th literal).
+        A decoder lag-compensation error desynchronizes exactly
+        there and corrupts everything after."""
+        from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+            _tiff_lzw_decode,
+        )
+
+        payload = bytes((i * 17 + 3) % 256 for i in range(300))
+        bits = []
+
+        def emit(code, width):
+            bits.extend((code >> i) & 1 for i in range(width - 1, -1, -1))
+
+        # encoder-side counter: starts 258, +1 per data code emitted;
+        # width bumps when the counter REACHES 2^w - 1 (early change)
+        def width(counter):
+            w = 9
+            while w < 12 and counter >= (1 << w) - 1:
+                w += 1
+            return w
+
+        counter = 258
+        emit(256, width(counter))  # clear
+        for b in payload:
+            emit(b, width(counter))
+            counter += 1
+        emit(257, width(counter))  # EOI
+        data = bytearray()
+        for i in range(0, len(bits), 8):
+            acc = 0
+            for j, bit in enumerate(bits[i : i + 8]):
+                acc |= bit << (7 - j)
+            data.append(acc)
+        assert _tiff_lzw_decode(bytes(data), 300) == payload
+
+    def test_packbits_spec_cases(self):
+        from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+            _tiff_packbits_decode,
+            _tiff_packbits_encode,
+        )
+
+        # spec control bytes: literal(n-1), repeat(257-n), 128 no-op
+        assert _tiff_packbits_decode(b"\x02abc", 3) == b"abc"
+        assert _tiff_packbits_decode(b"\xfeZ", 3) == b"ZZZ"  # 254 -> x3
+        assert _tiff_packbits_decode(b"\x80\x00a", 1) == b"a"
+        with pytest.raises(ValueError):
+            _tiff_packbits_decode(b"\x05ab", 6)  # literal overrun
+        with pytest.raises(ValueError):
+            _tiff_packbits_decode(b"", 1)
+        # 128-cap: a 200-byte repeat splits into 128 + 72
+        row = b"\xaa" * 200
+        enc = _tiff_packbits_encode(row)
+        assert _tiff_packbits_decode(enc, 200) == row
+        # long literal > 128
+        row = bytes(range(200)) + bytes(range(200))
+        enc = _tiff_packbits_encode(row)
+        assert _tiff_packbits_decode(enc, 400) == row
+
+    def test_multistrip_lzw_independent_streams(self):
+        """Each strip is an independent LZW stream (RowsPerStrip=2):
+        framed by the independent IFD writer from test_round14."""
+        from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+            _decode_tiff,
+            _tiff_lzw_encode,
+        )
+        from tests.test_round14 import _make_tiff
+
+        w, h = 6, 5
+        rng = np.random.default_rng(23)
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        strips = []
+        for y0 in range(0, h, 2):
+            strips.append(_tiff_lzw_encode(rgb[y0 : y0 + 2].tobytes()))
+        short = lambda v: struct.pack("<H", v)  # noqa: E731
+        entries = [
+            (256, 3, 1, short(w)),
+            (257, 3, 1, short(h)),
+            (258, 3, 3, ("blob", 0)),
+            (259, 3, 1, short(5)),
+            (262, 3, 1, short(2)),
+            (273, 4, 3, ("blob", 1)),
+            (277, 3, 1, short(3)),
+            (278, 4, 1, struct.pack("<I", 2)),
+            (279, 4, 3, ("blob", 2)),
+        ]
+        bits = struct.pack("<HHH", 8, 8, 8)
+        blobs = [
+            bits,
+            b"\x00" * 12,
+            struct.pack("<III", *(len(s) for s in strips)),
+        ] + strips
+        payload = bytearray(_make_tiff((entries, blobs)))
+        ifd_len = 2 + 12 * len(entries) + 4
+        at = 8 + ifd_len
+        locs = []
+        for b in blobs:
+            locs.append(at)
+            at += len(b) + (len(b) & 1)
+        struct.pack_into("<III", payload, locs[1], locs[3], locs[4], locs[5])
+        img = _decode_tiff(bytes(payload))
+        assert np.array_equal(
+            np.frombuffer(img.pixels, np.uint8).reshape(h, w, 3), rgb
+        )
+
+    @pytest.mark.parametrize("fmt", ["tiff-lzw", "tiff-pb"])
+    def test_quarantine_fuzz_compressed(self, fmt):
+        from m2_b3_market_data_pipeline_spark.operators.multimodal import (
+            decode_image,
+            encode_image,
+        )
+
+        img = self._img(12, 12, "noise", seed=99)
+        base = encode_image(img, fmt)
+        for i in range(1, 200):
+            flipped = bytearray(base)
+            flipped[(i * 7919) % len(flipped)] ^= 0xFF
+            for payload in (
+                bytes(flipped),
+                base[: (i * 131) % len(base)],
+            ):
+                try:
+                    decode_image(payload)
+                except (ValueError, NotImplementedError):
+                    pass
