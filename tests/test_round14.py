@@ -1031,20 +1031,35 @@ def test_rebalance_for_decode_spreads_heavy_tail(spark):
 
     out = rebalance_for_decode(df, heavy_bytes=4096, heavy_partitions=8)
     assert out.count() == len(rows)  # null row survives the split
-    # round-robin from a clumped partition is sequential: the giants
-    # spread EXACTLY one per heavy-leg partition
+    # the r15 default (spread="range") cuts the (offset, pid) key space
+    # evenly: the giants spread EXACTLY one per heavy-leg partition
     dist = (
         out.filter(F.length("content") >= 4096)
         .withColumn("p", F.spark_partition_id())
         .groupBy("p").count().collect()
     )
     assert max(r["count"] for r in dist) == 1 and len(dist) == 8
-    # only the heavy leg gains a shuffle: ONE RoundRobinPartitioning
-    # exchange; the light side shows just the test's own upstream
-    # clump-planting hash exchange (2 total)
+    # only the heavy leg gains a shuffle: ONE rangepartitioning
+    # exchange, zero round-robin; the other exchanges are the test's
+    # own upstream clump-planting hash repartition (per leg)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("RoundRobinPartitioning") == 1
-    assert plan.count("Exchange") == 2
+    assert plan.count("rangepartitioning") == 1
+    assert "RoundRobinPartitioning" not in plan
+    assert plan.count("hashpartitioning") == 2
+    # the r14 round-robin mode stays available and spreads a CLUMPED
+    # tail perfectly too (its pre-spread collision is why the default
+    # moved — SCALE.md §26.2)
+    rr = rebalance_for_decode(
+        df, heavy_bytes=4096, heavy_partitions=8, spread="roundrobin"
+    )
+    rr_plan = rr._jdf.queryExecution().executedPlan().toString()
+    assert rr_plan.count("RoundRobinPartitioning") == 1
+    dist_rr = (
+        rr.filter(F.length("content") >= 4096)
+        .withColumn("p", F.spark_partition_id())
+        .groupBy("p").count().collect()
+    )
+    assert max(r["count"] for r in dist_rr) == 1
     # featurizer equality through both layouts
     a = sorted((r["doc_id"], r["phash64"])
                for r in decoded_image_features(df).collect())

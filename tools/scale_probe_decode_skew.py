@@ -22,8 +22,16 @@ B: features over rebalance_for_decode(skewed, heavy_bytes=32 KiB).
 Both must produce identical rows (order-insensitive); the JSON line
 records walls + the straggle ratio.
 
-Usage: python tools/scale_probe_decode_skew.py [N_SMALL] [N_GIANT] [GIANT_PX]
-       (defaults 20000, 12, 256)
+r15 (verdict item 4): measures BOTH tail layouts x BOTH spread
+strategies. --layout spread plants each giant ALONE in its own source
+partition (the already-spread tail where round-robin's Random(pid)
+start offsets collide with birthday probability); for each strategy
+the max-giants-per-task collision count is recorded alongside the
+wall.
+
+Usage: python tools/scale_probe_decode_skew.py [N_SMALL] [N_GIANT]
+       [GIANT_PX] [--layout clumped|spread|both]
+       (defaults 20000, 12, 256, both)
 """
 
 from __future__ import annotations
@@ -41,9 +49,13 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def main() -> None:
-    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
-    n_giant = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    giant_px = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    layout_arg = "both"
+    if "--layout" in sys.argv:
+        layout_arg = sys.argv[sys.argv.index("--layout") + 1]
+    n_small = int(args[0]) if len(args) > 0 else 20000
+    n_giant = int(args[1]) if len(args) > 1 else 12
+    giant_px = int(args[2]) if len(args) > 2 else 256
 
     from m2_b3_market_data_pipeline_spark.operators.multimodal import (
         DecodedImage,
@@ -71,13 +83,28 @@ def main() -> None:
     )
     rows.extend((1000 + i, small) for i in range(n_small))
 
-    df = (
-        spark.createDataFrame(rows, "doc_id long, content binary")
-        .repartitionByRange(64, "doc_id")
-        .persist()
-    )
-    df.count()  # materialize: fixture build cost stays out of the A/B
     giant_bytes = max(len(r[1]) for r in rows[:n_giant])
+
+    def make_layout(kind):
+        if kind == "clumped":
+            # repartitionByRange(64, doc_id) parks giants 0..11 together
+            return (
+                spark.createDataFrame(rows, "doc_id long, content binary")
+                .repartitionByRange(64, "doc_id")
+                .persist()
+            )
+        # spread: each giant ALONE in its own source partition, smalls
+        # filling the rest — partition key = doc_id for giants (one
+        # range each), bucketed smalls after
+        return (
+            spark.createDataFrame(rows, "doc_id long, content binary")
+            .repartition(
+                64,
+                F.when(F.col("doc_id") < n_giant, F.col("doc_id"))
+                .otherwise(n_giant + F.col("doc_id") % (64 - n_giant)),
+            )
+            .persist()
+        )
 
     def run(frame):
         t0 = time.time()
@@ -87,24 +114,52 @@ def main() -> None:
         )
         return time.time() - t0, got
 
-    wall_a, rows_a = run(df)                                   # skewed
-    wall_b, rows_b = run(
-        rebalance_for_decode(df, heavy_bytes=32 << 10)
-    )                                                          # rebalanced
-    wall_a2, _ = run(df)                                       # warm control
+    def collisions(frame):
+        dist = (
+            frame.filter(F.length("content") >= (32 << 10))
+            .withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .count()
+            .collect()
+        )
+        return max((r["count"] for r in dist), default=0)
 
-    df.unpersist()
-    print(json.dumps({
+    result = {
         "n_small": n_small,
         "n_giant": n_giant,
         "giant_px": giant_px,
         "giant_payload_bytes": giant_bytes,
-        "wall_skewed_s": round(min(wall_a, wall_a2), 2),
-        "wall_rebalanced_s": round(wall_b, 2),
-        "straggle_ratio": round(min(wall_a, wall_a2) / max(wall_b, 1e-9), 2),
-        "rows_identical": rows_a == rows_b,
-    }))
-    sys.exit(0 if rows_a == rows_b else 1)
+    }
+    ok = True
+    layouts = ("clumped", "spread") if layout_arg == "both" else (layout_arg,)
+    for layout in layouts:
+        df = make_layout(layout)
+        df.count()  # materialize: fixture build stays out of the A/B
+        src_coll = collisions(df)
+        wall_a, rows_a = run(df)
+        wall_a2, _ = run(df)  # warm control
+        cell = {
+            "giants_max_per_source_partition": src_coll,
+            "wall_skewed_s": round(min(wall_a, wall_a2), 2),
+        }
+        for strategy in ("roundrobin", "range"):
+            reb = rebalance_for_decode(
+                df, heavy_bytes=32 << 10, spread=strategy
+            )
+            wall_b, rows_b = run(reb)
+            ok = ok and rows_a == rows_b
+            cell[strategy] = {
+                "wall_s": round(wall_b, 2),
+                "straggle_ratio": round(
+                    min(wall_a, wall_a2) / max(wall_b, 1e-9), 2
+                ),
+                "giants_max_per_task": collisions(reb),
+                "rows_identical": rows_a == rows_b,
+            }
+        result[layout] = cell
+        df.unpersist()
+    print(json.dumps(result))
+    sys.exit(0 if ok else 1)
 
 
 if __name__ == "__main__":
