@@ -354,17 +354,22 @@ def rebalance_for_decode(
     item 4 — the r14 docstring's pre-spread caveat, now measured and
     closed):
 
-    - ``"range"`` (default): repartitionByRange on the pair
-      (row-offset-within-source-partition, source-partition-id)
-      decoded from ``monotonically_increasing_id``. Range placement
-      splits the sampled key space into near-equal runs, so the
-      giants land ceil(k/n) per partition for BOTH tail layouts — a
-      CLUMPED tail (one source partition, offsets 0..k-1) and a
-      PRE-SPREAD tail (one giant per source partition, offset 0,
-      distinct pids) sort into evenly cut runs either way. Cost: the
-      range sampler adds one extra evaluation pass over the heavy
-      leg only (tail bytes, never the corpus) — measured ~0 at probe
-      scale (SCALE.md §26.2 pre-spread row).
+    - ``"range"`` (default): repartitionByRange on a DETERMINISTIC
+      whole-row hash key (``xxhash64`` over every column). Range
+      placement splits the sampled key space into near-equal runs,
+      so the giants land ceil(k/n) per partition for BOTH tail
+      layouts — a CLUMPED tail and a PRE-SPREAD tail hash to
+      distinct, uniformly spread keys either way. The key must be
+      deterministic: a positional key (row offset / source partition
+      id from ``monotonically_increasing_id``) changes values when a
+      fetch failure re-runs upstream tasks, and a repartition keyed
+      on it can duplicate or drop rows under retry (the SPARK-38388
+      class) — the row hash is retry-stable by construction. Rows
+      identical in EVERY column share a key and co-locate; real
+      corpora carry a unique id column, so this costs nothing in
+      practice. Cost: the range sampler adds one extra evaluation
+      pass over the heavy leg only (tail bytes, never the corpus) —
+      measured ~0 at probe scale (SCALE.md §26.2 pre-spread row).
     - ``"roundrobin"``: the r14 behavior. Perfect on a clumped tail
       (sequential assignment from one source partition) but each
       source partition starts its round-robin at Random(pid) — a
@@ -383,16 +388,16 @@ def rebalance_for_decode(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
     if spread == "range":
-        # monotonically_increasing_id = (source pid << 33) | local row
-        # offset; ordering by (offset, pid) interleaves the source
-        # partitions so equal-size range cuts hold giants apart in
-        # both the clumped and the pre-spread layout
-        mid = F.monotonically_increasing_id()
+        # Deterministic whole-row hash: distinct rows get distinct,
+        # uniformly spread keys on ANY source layout, and the key is
+        # stable under task retry (a positional mid-derived key is
+        # not — see docstring). Equal-size range cuts then hold the
+        # giants apart in both the clumped and the pre-spread layout.
+        key = F.xxhash64(*[F.col(c) for c in heavy.columns])
         heavy = (
-            heavy.withColumn("__rb_off", mid.bitwiseAND((1 << 33) - 1))
-            .withColumn("__rb_pid", F.shiftrightunsigned(mid, 33))
-            .repartitionByRange(heavy_partitions, "__rb_off", "__rb_pid")
-            .drop("__rb_off", "__rb_pid")
+            heavy.withColumn("__rb_k", key)
+            .repartitionByRange(heavy_partitions, "__rb_k")
+            .drop("__rb_k")
         )
     elif spread == "roundrobin":
         heavy = heavy.repartition(heavy_partitions)

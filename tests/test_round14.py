@@ -1031,8 +1031,9 @@ def test_rebalance_for_decode_spreads_heavy_tail(spark):
 
     out = rebalance_for_decode(df, heavy_bytes=4096, heavy_partitions=8)
     assert out.count() == len(rows)  # null row survives the split
-    # the r15 default (spread="range") cuts the (offset, pid) key space
-    # evenly: the giants spread EXACTLY one per heavy-leg partition
+    # the r15 default (spread="range") cuts the deterministic row-hash
+    # key space evenly: the giants spread EXACTLY one per heavy-leg
+    # partition
     dist = (
         out.filter(F.length("content") >= 4096)
         .withColumn("p", F.spark_partition_id())
