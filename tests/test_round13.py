@@ -233,10 +233,15 @@ def test_pil_decode_failure_falls_through_to_stdlib(monkeypatch):
     png = _make_png(5, 4, _grad)
     assert multimodal.decode_image(bmp).pixels == multimodal.decode_image(png).pixels
     with pytest.raises(NotImplementedError):
-        # WebP magic: a real format no stdlib path reads (GIF89a and
-        # II*\x00 TIFF, the examples before the r13/r14 decoders,
-        # now dispatch and raise ValueError for malformed bodies)
-        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+        # lossy-VP8 WebP: a real format whose PIXEL decode no stdlib
+        # path serves even after the r15 WebP leg (webp_meta reads its
+        # header; VP8L is the decodable flavor) — a WELL-FORMED
+        # container so the fall-through reaches the documented
+        # NotImplementedError, not the malformed-input ValueError
+        body = b"VP8 " + struct.pack("<I", 10) + bytes(10)
+        multimodal.decode_image(
+            b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+        )
 
 
 def test_phash_and_histogram_accept_shared_luma():

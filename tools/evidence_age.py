@@ -114,7 +114,15 @@ TEST_PINNED: dict[str, str] = {
     # JPEG newborn decoded_pjpeg_check): same mapInPandas plumbing as
     # the decoded-domain gate that rotates; the byte-level fallback
     # math stays pinned by tests/test_text_multimodal.py
-    "multimodal_features": "decoded_phash_check",
+    "multimodal_features": "decoded_rebalanced_check",
+    # r15 (budget for the webp_meta_check newborn — the flip the late-
+    # r14 window note scheduled): decoded_rebalanced_check is the
+    # oracle-identical SUPERSET gate (same 17-format phash rotation
+    # THROUGH the heavy-tail rebalance operator), earned its first
+    # direct driver row in r14, and rotates from here; the plain-path
+    # twin pins behind it. multimodal_features re-maps to the same
+    # rotating superset (a rep must itself rotate).
+    "decoded_phash_check": "decoded_rebalanced_check",
     # byte-domain audio stand-in (r14: budget for the decoded_wav_check
     # newborn — the audio leg's real-decode gate with the same
     # frame-window assignment and fan-out shape on DECODED samples).
