@@ -237,15 +237,27 @@ def lsh_signatures(
     n_bits: int = 16,
 ) -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) signature: bit i = sign of
-    <v, h_i>. Pure projection, no shuffle."""
-    v = as_double(vec_col)
-    sig = F.lit(0).cast("bigint")
+    <v, h_i>. Pure projection, no shuffle.
+
+    The expression is generated as ONE SQL string handed to a single
+    ``F.expr`` (r15 optimization, guide §7.3 "planning time"): the
+    Column-API form issued ~n_bits * (dim + lambda) py4j round-trips —
+    measured 1.9s of pure DRIVER time per construction at dim=64 /
+    n_bits=16, paid TWICE by every corpus+queries caller and again per
+    bench iteration — while the string parses JVM-side in ~0.3s to the
+    same resolved tree (same per-bit CASE/zip_with/aggregate, same
+    repr-round-tripped double literals, so values and plan shape are
+    bit-identical; A/B in OPTIMIZATION_r15.md)."""
+    v = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
+    terms = []
     for i in range(n_bits):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, i)])
-        sig = sig + F.when(dot(v, plane) > 0, F.lit(2**i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+        lits = ", ".join(repr(c) + "D" for c in _hyperplane(dim, i))
+        dot_sql = (
+            f"aggregate(zip_with({v}, array({lits}), (x, y) -> x * y), "
+            f"0.0D, (acc, x) -> acc + x)"
         )
-    return corpus.withColumn("lsh_sig", sig)
+        terms.append(f"(CASE WHEN {dot_sql} > 0 THEN {2**i}L ELSE 0L END)")
+    return corpus.withColumn("lsh_sig", F.expr(" + ".join(terms)))
 
 
 def _first_match_filter(
@@ -340,19 +352,25 @@ def _banded_values(
             f"plane_stride ({plane_stride}) must be >= band_bits "
             f"({band_bits}): bands would share hyperplanes"
         )
-    v = as_double(vec_col)
+    # One generated SQL string instead of n_bands * band_bits * dim
+    # Column-API py4j calls — same tree, same repr-round-tripped double
+    # literals, seconds of driver time saved per construction (the
+    # lsh_signatures rewrite, guide §7.3; A/B in OPTIMIZATION_r15.md).
+    v = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
     vals = []
     for j in range(n_bands):
-        bv = F.lit(0).cast("bigint")
+        terms = []
         for i in range(band_bits):
-            plane = F.array(
-                *[F.lit(c) for c in _hyperplane(dim, j * plane_stride + i)]
+            lits = ", ".join(
+                repr(c) + "D" for c in _hyperplane(dim, j * plane_stride + i)
             )
-            bv = bv + F.when(
-                dot(v, plane) > 0, F.lit(2**i).cast("bigint")
-            ).otherwise(F.lit(0).cast("bigint"))
-        vals.append(bv)
-    return corpus.withColumn("__bv", F.array(*vals))
+            dot_sql = (
+                f"aggregate(zip_with({v}, array({lits}), (x, y) -> x * y), "
+                f"0.0D, (acc, x) -> acc + x)"
+            )
+            terms.append(f"(CASE WHEN {dot_sql} > 0 THEN {2**i}L ELSE 0L END)")
+        vals.append(" + ".join(terms))
+    return corpus.withColumn("__bv", F.expr("array(" + ", ".join(vals) + ")"))
 
 
 def banded_signatures_df(

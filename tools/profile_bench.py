@@ -34,30 +34,29 @@ from m2_b3_market_data_pipeline_spark.session import get_spark, sf_dir  # noqa: 
 
 
 def _store_snapshot(spark):
-    """Job/stage/task counts + stage metric sums from the app status
-    store (works with spark.ui.enabled=false — the core store exists
-    regardless)."""
-    store = spark._jsparkSession.sharedState().statusStore()
-    jobs = store.jobsList(None)
-    njobs = jobs.size()
-    ntasks = sum(jobs.apply(i).numTasks() for i in range(njobs))
-    stages = store.stageList(None)
-    nstages = stages.size()
-    sread = swrite = run_ms = cpu_ns = 0
-    for i in range(nstages):
-        st = stages.apply(i)
-        sread += st.shuffleReadBytes()
-        swrite += st.shuffleWriteBytes()
-        run_ms += st.executorRunTime()
-        cpu_ns += st.executorCpuTime()
+    """Job count + executor metric totals from the core app status
+    store (works with spark.ui.enabled=false — the store exists
+    regardless; local mode has exactly one executor row)."""
+    core = spark.sparkContext._jsc.sc().statusStore()
+    njobs = core.jobsList(None).size()
+    ex = core.executorList(False)
+    tasks = sread = swrite = dur_ms = gc_ms = inp = 0
+    for i in range(ex.size()):
+        e = ex.apply(i)
+        tasks += e.totalTasks()
+        sread += e.totalShuffleRead()
+        swrite += e.totalShuffleWrite()
+        dur_ms += e.totalDuration()
+        gc_ms += e.totalGCTime()
+        inp += e.totalInputBytes()
     return {
         "jobs": njobs,
-        "stages": nstages,
-        "tasks": ntasks,
+        "tasks": tasks,
         "shuffle_read": sread,
         "shuffle_write": swrite,
-        "executor_run_ms": run_ms,
-        "executor_cpu_ms": cpu_ns // 1_000_000,
+        "task_time_ms": dur_ms,
+        "gc_ms": gc_ms,
+        "input_bytes": inp,
     }
 
 
@@ -100,26 +99,16 @@ def main() -> None:
             "run1_s": round(run1, 3),
             "run2_s": round(run2, 3),
             "best_s": round(min(t_build + run1, run2), 3),
-            **{
-                k: after[k] - before[k]
-                for k in (
-                    "jobs",
-                    "stages",
-                    "tasks",
-                    "shuffle_read",
-                    "shuffle_write",
-                    "executor_run_ms",
-                    "executor_cpu_ms",
-                )
-            },
+            **{k: after[k] - before[k] for k in before},
         }
         spark.sparkContext.setJobDescription(None)
         r = rows[name]
         print(
             f"{name:38s} build={r['build_s']:6.2f} run1={r['run1_s']:6.2f} "
-            f"run2={r['run2_s']:6.2f} jobs={r['jobs']:4d} stages={r['stages']:4d} "
+            f"run2={r['run2_s']:6.2f} jobs={r['jobs']:4d} "
             f"tasks={r['tasks']:5d} shufR={r['shuffle_read'] / 1e6:8.1f}MB "
-            f"exec={r['executor_run_ms'] / 1e3:7.1f}s cpu={r['executor_cpu_ms'] / 1e3:7.1f}s",
+            f"task={r['task_time_ms'] / 1e3:7.1f}s gc={r['gc_ms'] / 1e3:5.1f}s "
+            f"in={r['input_bytes'] / 1e6:7.1f}MB",
             flush=True,
         )
     with open(out_path, "w") as fh:
