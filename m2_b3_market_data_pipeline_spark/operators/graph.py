@@ -224,9 +224,10 @@ def pagerank(
     Scale shape per iteration: one join of the rank vector (node-sized)
     with the edge list on src — both persisted partitioned state in a
     real deployment — and one sum-by-dst with map-side combine; the
-    (1-d)/N teleport term rides a broadcast one-row count (the
-    collect-free scalar idiom). The driver loop carries NOTHING — only
-    lineage, ``iters`` levels deep, like kmeans_iterate."""
+    (1-d)/N teleport term is ONE bounded driver scalar (a count of the
+    persisted node vector, the wedge-estimate idiom) folded in as a
+    literal. The driver loop otherwise carries NOTHING — only lineage,
+    ``iters`` levels deep, like kmeans_iterate."""
     e = edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")).persist()
     deg = e.groupBy("__src").agg(F.count("*").alias("__deg"))
     # union(src, dst), not src alone: a sink (dst-only) node must be in
@@ -238,24 +239,35 @@ def pagerank(
         .distinct()
         .persist()
     )
-    n = nodes.agg(F.count("*").alias("__n"))
-    teleport = (F.lit(1.0) - F.lit(damping)) / F.col("__n")
-    pr = nodes.crossJoin(F.broadcast(n)).select(
-        "__node", (F.lit(1.0) / F.col("__n")).alias("__pr")
+    # N as ONE bounded driver scalar (the wedge-estimate idiom): the
+    # count reads the persisted node vector that the loop materializes
+    # anyway, and folding it into the plan as a literal removes the
+    # broadcast-n exchange from the initial vector AND from every
+    # iteration's teleport term (r15: 4+ AQE broadcast jobs per run on
+    # a job-count-bound query). Python double division of the same
+    # operands is bit-identical to the old in-plan double division, so
+    # the 9dp-rounded trajectory is unchanged (oracle re-verified).
+    n_val = nodes.count()
+    teleport = F.lit((1.0 - damping) / n_val if n_val else 0.0)
+    pr = nodes.select(
+        "__node", F.lit(1.0 / n_val if n_val else 0.0).alias("__pr")
     )
     for _ in range(iters):
-        contrib = (
-            e.join(pr.withColumnRenamed("__node", "__src"), "__src")
-            .join(deg, "__src")
-            .select(
-                F.col("__dst").alias("__node"),
-                (F.col("__pr") / F.col("__deg")).alias("__c"),
-            )
+        # Divide rank by out-degree on the NODE-sized vector first, so
+        # the EDGE list is probed by exactly one join per iteration
+        # (guide §3: the old form joined edges twice — on a real
+        # cluster that is two shuffles of the edge list per iteration;
+        # the rank/deg join touches only the node vector). Same
+        # arithmetic per edge (pr(src)/deg(src)), same 9dp round.
+        rank_per_out = pr.withColumnRenamed("__node", "__src").join(deg, "__src").select(
+            "__src", (F.col("__pr") / F.col("__deg")).alias("__w")
+        )
+        contrib = e.join(rank_per_out, "__src").select(
+            F.col("__dst").alias("__node"), F.col("__w").alias("__c")
         )
         summed = contrib.groupBy("__node").agg(F.sum("__c").alias("__s"))
         pr = (
             nodes.join(summed, "__node", "left")
-            .crossJoin(F.broadcast(n))
             .select(
                 "__node",
                 F.round(
