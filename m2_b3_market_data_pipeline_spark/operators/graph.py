@@ -75,7 +75,9 @@ def connected_components(
                 F.min("cluster_id").alias("cluster_id"),
                 F.min(F.when(F.col("is_self"), F.col("cluster_id"))).alias("__old"),
             )
-            .localCheckpoint()  # truncate lineage; also materializes
+            .localCheckpoint(eager=False)  # truncate lineage; the convergence
+            # count right below materializes it in the SAME job (r15:
+            # one action per round instead of two)
         )
         changed = merged.filter(F.col("cluster_id") != F.col("__old")).count()
         labels = merged.select("node", "cluster_id")
@@ -168,7 +170,7 @@ def connected_components_twophase(
     for rounds in range(1, max_iter + 1):
         edges = _star_round(
             _star_round(edges, large=True), large=False
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # materialized by checksum() below
         cur = checksum(edges)
         if cur == prev:
             if stats is not None:

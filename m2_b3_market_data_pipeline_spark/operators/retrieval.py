@@ -353,7 +353,7 @@ def mmr_greedy_multi(
             F.lit(tag).alias("__chain"), "vec_id", "v", "rel"
         )
         tagged = t if tagged is None else tagged.unionByName(t)
-    tagged = tagged.coalesce(8).localCheckpoint()
+    tagged = tagged.coalesce(8).localCheckpoint(eager=False)  # step 1 materializes
     picked: dict[str, list[tuple[int, int, float]]] = {t: [] for t in tags}
     sel_vecs: dict[str, list[list[float]]] = {t: [] for t in tags}
     done: set[str] = set()
