@@ -201,7 +201,9 @@ def semdedup(
             "centroid_id",
             F.coalesce(F.col("__pruned"), F.lit(False)).alias("pruned"),
         )
-        .orderBy(id_col)
+        # no cosmetic final orderBy (r15, guide §2.4): the oracle gate
+        # hashes order-insensitively, and the range exchange re-executes
+        # the final join for its sampling pass
     )
     out._cached_frames = [withv]  # type: ignore[attr-defined]
     return out
@@ -265,7 +267,9 @@ def semdedup_lsh(
             "cell_id",
             F.coalesce(F.col("__pruned"), F.lit(False)).alias("pruned"),
         )
-        .orderBy(id_col)
+        # no cosmetic final orderBy (r15, guide §2.4): the oracle gate
+        # hashes order-insensitively, and the range exchange re-executes
+        # the final join for its sampling pass
     )
     out._cached_frames = [withv]  # type: ignore[attr-defined]
     return out

@@ -189,9 +189,9 @@ def incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % DELTA_MOD != 0), centroids
     )
     delta = emb.filter(F.col("vec_id") % DELTA_MOD == 0)
-    return semdedup_incremental(
-        delta, corpus, centroids, threshold=SEM_THRESHOLD
-    ).orderBy("vec_id")
+    # no cosmetic final orderBy (r15, guide §2.4): the driver hash is
+    # order-insensitive; the oracle keeps its DuckDB-side ORDER BY
+    return semdedup_incremental(delta, corpus, centroids, threshold=SEM_THRESHOLD)
 
 _DN = DUP_NGRAM_N
 
