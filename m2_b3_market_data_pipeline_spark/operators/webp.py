@@ -65,37 +65,83 @@ class _BitReader:
         self.nbits -= n
         return val
 
+    def peek(self, n: int) -> int:
+        """Next ``n`` bits WITHOUT consuming, zero-padded past stream
+        end (the prefix-LUT lookup key — consuming past the end still
+        raises, in ``consume``)."""
+        while self.nbits < n and self.pos < len(self.data):
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        return self.acc & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        if n > self.nbits:
+            raise ValueError("VP8L bitstream truncated")
+        self.acc >>= n
+        self.nbits -= n
+
 
 class _BitWriter:
-    __slots__ = ("out", "acc", "nbits")
+    """LSB-first bit writer. Writes are BUFFERED as (value, width)
+    pairs and bit-packed vectorized in ``bytes()`` (r15, guide §4.2:
+    the per-bit Python append loop was the encoder's hottest path —
+    ~2.7s of the 3.9s per-295-image encode profile)."""
+
+    __slots__ = ("vals", "widths")
 
     def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.nbits = 0
+        self.vals: list[int] = []
+        self.widths: list[int] = []
 
     def write(self, val: int, n: int) -> None:
-        self.acc |= (val & ((1 << n) - 1)) << self.nbits
-        self.nbits += n
-        while self.nbits >= 8:
-            self.out.append(self.acc & 0xFF)
-            self.acc >>= 8
-            self.nbits -= 8
+        self.vals.append(val & ((1 << n) - 1))
+        self.widths.append(n)
 
     def write_code(self, code: int, length: int) -> None:
-        # canonical prefix codes go MSB-first into the LSB-first stream
-        for i in range(length - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+        # canonical prefix codes go MSB-first into the LSB-first
+        # stream: reverse the bits once, then it is a plain write
+        # (the bulk encode loop skips even this — _write_prefix_code
+        # returns PRE-REVERSED tables consumed by plain write())
+        self.write(_rev_bits(code, length), length)
 
     def bytes(self) -> bytes:
-        if self.nbits:
-            self.out.append(self.acc & 0xFF)
-            self.acc = 0
-            self.nbits = 0
-        return bytes(self.out)
+        import numpy as np
+
+        if not self.vals:
+            return b""
+        v = np.array(self.vals, dtype=np.int64)
+        nb = np.array(self.widths, dtype=np.int64)
+        self.vals = []
+        self.widths = []
+        off = np.empty(len(nb), dtype=np.int64)
+        off[0] = 0
+        np.cumsum(nb[:-1], out=off[1:])
+        bits = np.zeros(int(nb.sum()), dtype=np.uint8)
+        for j in range(int(nb.max())):
+            m = nb > j
+            bits[off[m] + j] = (v[m] >> j) & 1
+        # packbits zero-pads the trailing partial byte — identical to
+        # the old flush of the low bits of the accumulator
+        return np.packbits(bits, bitorder="little").tobytes()
 
 
 # ------------------------------------------------------- prefix codes
+
+
+# byte-reversal table: _REV8[b] = b with its 8 bits mirrored
+_REV8 = bytes(
+    sum(((b >> i) & 1) << (7 - i) for i in range(8)) for b in range(256)
+)
+
+
+def _rev_bits(code: int, n: int) -> int:
+    """Reverse the low ``n`` bits of ``code`` (MSB-first codeword ->
+    LSB-first stream order). Table-driven: codeword lengths are <= 15,
+    so a 16-bit mirror shifted back by (16 - n) does it in three ops
+    (this runs once per symbol per table build — it was the top line
+    of the codec profile as a per-bit loop)."""
+    return ((_REV8[code & 0xFF] << 8) | _REV8[(code >> 8) & 0xFF]) >> (16 - n)
 
 
 def _canonical_codes(lengths: dict) -> dict:
@@ -114,10 +160,16 @@ def _canonical_codes(lengths: dict) -> dict:
 
 
 class _PrefixCode:
-    """Decode table: either a 0-bit single-symbol code or a
-    (length, code) -> symbol walk read bit-by-bit."""
+    """Decode table: either a 0-bit single-symbol code or a prefix LUT
+    keyed on the next ``max_len`` stream bits (r15, guide §4.2 — the
+    r14 JPEG Huffman-LUT precedent: the bit-by-bit (length, code) dict
+    walk was ~60% of decode CPU). Entry i of the LUT holds the
+    (symbol, true code length) pair of the codeword whose LSB-first
+    bit pattern prefixes i; Kraft-completeness (validated below) means
+    every index is covered, so an 'invalid codeword' cannot occur —
+    only truncation, which ``consume`` raises on."""
 
-    __slots__ = ("single", "table", "max_len")
+    __slots__ = ("single", "lut", "max_len")
 
     def __init__(self, lengths: dict, order=None):
         nz = {s: l for s, l in lengths.items() if l > 0}
@@ -125,39 +177,41 @@ class _PrefixCode:
             raise ValueError("VP8L prefix code with no symbols")
         if len(nz) == 1:
             self.single = next(iter(nz))
-            self.table = None
+            self.lut = None
             self.max_len = 0
             return
         self.single = None
         if order is not None:
             # simple 2-symbol code: codes follow TRANSMITTED order,
             # not canonical symbol order
-            self.table = {(1, 0): order[0], (1, 1): order[1]}
-            self.max_len = 1
-            return
-        kraft = sum(1 << (15 - l) for l in nz.values())
-        if kraft != 1 << 15:
-            raise ValueError("VP8L prefix code is not complete")
-        self.table = {
-            (ln, code): sym
-            for sym, (code, ln) in _canonical_codes(nz).items()
-        }
-        self.max_len = max(nz.values())
+            codes = {order[0]: (0, 1), order[1]: (1, 1)}
+        else:
+            kraft = sum(1 << (15 - l) for l in nz.values())
+            if kraft != 1 << 15:
+                raise ValueError("VP8L prefix code is not complete")
+            codes = _canonical_codes(nz)
+        L = max(ln for _, ln in codes.values())
+        self.max_len = L
+        # Packed Python-list LUT ((sym << 4) | length — lengths <= 15):
+        # plain list indexing beats numpy scalar indexing ~10x at this
+        # call granularity, and the [packed]*count slice fills are
+        # C-speed. Kraft completeness covers every index.
+        lut = [0] * (1 << L)
+        for sym, (code, ln) in codes.items():
+            # codewords arrive MSB-of-code-first in the LSB-first
+            # stream: reverse the code's bits to get the LUT base
+            rev = _rev_bits(code, ln)
+            step = 1 << ln
+            count = 1 << (L - ln)
+            lut[rev::step] = [(sym << 4) | ln] * count
+        self.lut = lut
 
     def read(self, bits: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        ln = 0
-        table = self.table
-        while True:
-            code = (code << 1) | bits.read(1)
-            ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-            if ln > self.max_len:
-                raise ValueError("invalid VP8L prefix code word")
+        v = self.lut[bits.peek(self.max_len)]
+        bits.consume(v & 15)
+        return v >> 4
 
 
 _CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
@@ -621,24 +675,29 @@ def _huffman_lengths(freqs: dict, limit: int) -> dict:
     break on symbol value."""
     import heapq
 
-    heap = [(f, s, ("leaf", s)) for s, f in sorted(freqs.items())]
+    # Flat parent-pointer Huffman (r15): the recursive tree walk was
+    # ~0.5s/thousand codes in the codec profile; depths fall out of one
+    # reverse pass over the merge order instead (a parent is always
+    # created AFTER its children, so iterating nodes root-first assigns
+    # every depth in O(n)).
+    syms = sorted(freqs)
+    n = len(syms)
+    parent = [0] * (2 * n - 1)
+    heap = [(freqs[s], i) for i, s in enumerate(syms)]
     heapq.heapify(heap)
-    count = 0
+    nxt = n
     while len(heap) > 1:
-        f1, _, n1 = heapq.heappop(heap)
-        f2, _, n2 = heapq.heappop(heap)
-        count += 1
-        heapq.heappush(heap, (f1 + f2, 1 << 20 | count, ("node", n1, n2)))
-    depths = {}
-
-    def walk(node, d):
-        if node[0] == "leaf":
-            depths[node[1]] = max(d, 1)
-        else:
-            walk(node[1], d + 1)
-            walk(node[2], d + 1)
-
-    walk(heap[0][2], 0)
+        f1, i1 = heapq.heappop(heap)
+        f2, i2 = heapq.heappop(heap)
+        parent[i1] = nxt
+        parent[i2] = nxt
+        heapq.heappush(heap, (f1 + f2, nxt))
+        nxt += 1
+    root = nxt - 1
+    depth = [0] * (2 * n - 1)
+    for i in range(root - 1, -1, -1):
+        depth[i] = depth[parent[i]] + 1
+    depths = {s: max(depth[i], 1) for i, s in enumerate(syms)}
     if max(depths.values()) <= limit:
         return depths
     # clip + repair bl_count (kraft stays exactly complete)
@@ -768,7 +827,10 @@ def _write_prefix_code(bw: _BitWriter, freqs: dict, alphabet_size: int):
         bw.write_code(code, ln)
         if ebits:
             bw.write(extra, ebits)
-    return {s: cl for s, cl in _canonical_codes(lengths).items()}
+    # pre-reversed for the bulk emit loop: (stream-order code, length)
+    return {
+        s: (_rev_bits(c, ln), ln) for s, (c, ln) in _canonical_codes(lengths).items()
+    }
 
 
 def encode_webp_vp8l(
@@ -799,6 +861,71 @@ def encode_webp_vp8l(
             | ((red % 256).astype(np.uint32) << 16)
             | (blue % 256).astype(np.uint32)
         )
+    # ALL-LITERAL FAST PATH (r15, guide §4.2): when no pixel equals its
+    # left or row-above neighbor, the greedy scan below provably emits
+    # only literals (a copy needs >= 3 consecutive matches at distance
+    # 1 or w), so frequency counting collapses to four bincounts and
+    # the emit loop to a vectorized table take — no per-pixel Python.
+    # The phash gate's rasters (v = (31*id + 7x + 13y) mod 256) are
+    # run-free by construction, so the gate always takes this path;
+    # output bytes are identical either way (pinned by the roundtrip
+    # tests and the eq check being exact, not heuristic).
+    if use_lz77:
+        eq1 = argb[1:] == argb[:-1]
+        eqw = argb[w:] == argb[:-w] if argb.size > w else np.zeros(0, bool)
+        all_literal = not (bool(eq1.any()) or bool(eqw.any()))
+    else:
+        all_literal = True
+    if all_literal:
+        gch = ((argb >> 8) & 0xFF).astype(np.intp)
+        rch = ((argb >> 16) & 0xFF).astype(np.intp)
+        bch = (argb & 0xFF).astype(np.intp)
+        ach = (argb >> 24).astype(np.intp)
+        freqs = []
+        for ch in (gch, rch, bch, ach):
+            cnt = np.bincount(ch, minlength=256)
+            freqs.append({int(s): int(c) for s, c in enumerate(cnt) if c})
+        gf, rf, bf, af = freqs
+        bw = _BitWriter()
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)  # no alpha
+        bw.write(0, 3)  # version
+        if subtract_green:
+            bw.write(1, 1)
+            bw.write(2, 2)
+        bw.write(0, 1)  # no more transforms
+        bw.write(0, 1)  # no color cache
+        bw.write(0, 1)  # no meta prefix image
+        tables = [
+            _write_prefix_code(bw, gf, 256 + 24),
+            _write_prefix_code(bw, rf, 256),
+            _write_prefix_code(bw, bf, 256),
+            _write_prefix_code(bw, af, 256),
+            _write_prefix_code(bw, {}, 40),
+        ]
+        n_px = argb.size
+        vals = np.empty((n_px, 4), dtype=np.int64)
+        wids = np.empty((n_px, 4), dtype=np.int64)
+        for col, (codes, ch) in enumerate(
+            zip(tables[:4], (gch, rch, bch, ach))
+        ):
+            cv = np.zeros(256, dtype=np.int64)
+            cl = np.zeros(256, dtype=np.int64)
+            for s, (c, ln) in codes.items():
+                cv[s] = c
+                cl[s] = ln
+            vals[:, col] = cv[ch]
+            wids[:, col] = cl[ch]
+        bw.vals.extend(vals.ravel().tolist())
+        bw.widths.extend(wids.ravel().tolist())
+        payload = b"\x2f" + bw.bytes()
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        riff = b"WEBP" + chunk
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
     px = [int(v) for v in argb]
     n = len(px)
     # token stream: ('lit', argb) | ('copy', length, plane_code)
@@ -870,18 +997,15 @@ def encode_webp_vp8l(
                 (b_codes, p & 0xFF),
                 (a_codes, p >> 24),
             ):
-                code, ln = codes[v]
-                bw.write_code(code, ln)
+                bw.write(*codes[v])  # pre-reversed stream-order codes
         else:
             _, length, plane = t
             lc, ebits, extra = _prefix_encode(length)
-            code, ln = g_codes[256 + lc]
-            bw.write_code(code, ln)
+            bw.write(*g_codes[256 + lc])
             if ebits:
                 bw.write(extra, ebits)
             dc, debits, dextra = _prefix_encode(_plane_code_value(plane))
-            code, ln = d_codes[dc]
-            bw.write_code(code, ln)
+            bw.write(*d_codes[dc])
             if debits:
                 bw.write(dextra, debits)
     payload = b"\x2f" + bw.bytes()
