@@ -195,6 +195,31 @@ def main() -> None:
     # warm-up: JVM/codegen/file-listing paths
     spark.read.parquet(f"{target}/lineitem.parquet").count()
     spark.read.parquet(f"{target}/events.parquet").count()
+    # ... and the Python worker pool (r15, guide §1.4: time the
+    # computation, not the one-time environment). The FIRST Arrow
+    # mapInPandas query in the list otherwise pays, inside its timed
+    # window, the fork of up to $SPARK_GRAFT_CPUS python daemons plus
+    # each worker's numpy/pandas/pyarrow + operator-module imports —
+    # measured 9-38s of task time on this VM, none of it the query.
+    # Workers are reused across queries (spark.python.worker.reuse
+    # default), so the pool and its imports persist for the whole run.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    def _warm_workers(it):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        from m2_b3_market_data_pipeline_spark.operators import multimodal  # noqa: F401
+
+        yield from it
+
+    (
+        spark.range(cpus * 4, numPartitions=cpus)
+        .mapInPandas(_warm_workers, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     # ... and one UNTIMED execution of the first headline query: the
     # first query in the loop uniquely pays whole-session lazy-init +
     # codegen warm-up that every later query amortizes (measured in the

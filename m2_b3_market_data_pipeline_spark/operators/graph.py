@@ -236,9 +236,8 @@ def pagerank(
     # the vector and counted in N, or the exported operator silently
     # returns wrong N and missing nodes on general directed edge lists.
     nodes = (
-        e.select(F.col("__src").alias("__node"))
-        .union(e.select(F.col("__dst").alias("__node")))
-        .distinct()
+        e.select(F.explode(F.array("__src", "__dst")).alias("__node"))
+        .distinct()  # one pass over the edge cache, not two (r15)
         .persist()
     )
     # N as ONE bounded driver scalar (the wedge-estimate idiom): the
@@ -407,9 +406,10 @@ def triangle_counts(
         .distinct()
         .persist()
     )
+    # explode(array(a, b)), not union of two selects: one pass over the
+    # persisted edge cache instead of two (r15; values identical)
     deg = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
+        e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
         .persist()
