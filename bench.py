@@ -209,7 +209,10 @@ def main() -> None:
         import numpy  # noqa: F401
         import pandas  # noqa: F401
 
-        from m2_b3_market_data_pipeline_spark.operators import multimodal  # noqa: F401
+        from m2_b3_market_data_pipeline_spark.operators import (  # noqa: F401
+            multimodal,
+            webp,
+        )
 
         yield from it
 

@@ -152,6 +152,35 @@ def _decode_bmp(data: bytes) -> DecodedImage:
     return DecodedImage(width, h, np.ascontiguousarray(rgb).tobytes())
 
 
+_PIL_UNPROBED = object()
+_PIL_CACHE: object = _PIL_UNPROBED
+
+
+def _pil_image():
+    """``PIL.Image`` or None, probed ONCE per process (r15, guide §4.5:
+    Python does NOT cache a FAILED import, so the old per-call
+    ``from PIL import Image`` inside ``decode_image`` paid a full
+    sys.path scan + ImportError per image in every PIL-less container —
+    seconds per gate run). A PIL placed in ``sys.modules`` after the
+    probe (the round-13 fall-through test monkeypatches one) is still
+    honored via the dict check, which is also the fast path when real
+    PIL is installed."""
+    import sys
+
+    mod = sys.modules.get("PIL")
+    if mod is not None:
+        return getattr(mod, "Image", None)
+    global _PIL_CACHE
+    if _PIL_CACHE is _PIL_UNPROBED:
+        try:
+            from PIL import Image  # type: ignore[import-not-found]
+
+            _PIL_CACHE = Image
+        except ImportError:
+            _PIL_CACHE = None
+    return _PIL_CACHE
+
+
 def decode_image(data: bytes) -> DecodedImage:
     """Real decode. Chain: PIL when a container ships it (converted to
     the DecodedImage interface), else the pure-stdlib parsers for
@@ -167,10 +196,7 @@ def decode_image(data: bytes) -> DecodedImage:
     file's OSError) falls THROUGH to the stdlib parsers instead of
     escaping the featurizers' quarantine net — one malformed payload
     must never fail the Spark task."""
-    try:
-        from PIL import Image  # type: ignore[import-not-found]
-    except ImportError:
-        Image = None
+    Image = _pil_image()
     if Image is not None:
         import io
 
