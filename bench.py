@@ -315,6 +315,11 @@ def main() -> None:
     # 1.42, dedup_clusters r07 2.84. With these floors both normalize
     # to <= 1.0 against the same-session window controls; the other
     # five r13 drifters normalized to 0.90-1.14 with no clamp at all.
+    # Round 15: decoded_phash_check's 0.64 best-known belongs to the
+    # RETIRED 13-format rotation; the r15 build widened the gate to 17
+    # formats (VP8L x2 + LZW/PackBits TIFF — strictly more computed
+    # work per run). Clamp to the widened form's same-session idle
+    # best-of-5 (1.31s, BASELINE.md "Round-15 re-baseline").
     REBASED_FLOOR = {
         "boilerplate_frac": 1.09,
         "dsir_weights": 1.17,
@@ -323,6 +328,7 @@ def main() -> None:
         "centroid_assign": 0.39,
         "corpus_pipeline": 1.42,
         "dedup_clusters": 2.84,
+        "decoded_phash_check": 1.31,
     }
     for q, floor_t in REBASED_FLOOR.items():
         if q in best_known:
