@@ -164,12 +164,20 @@ def _pil_image():
     seconds per gate run). A PIL placed in ``sys.modules`` after the
     probe (the round-13 fall-through test monkeypatches one) is still
     honored via the dict check, which is also the fast path when real
-    PIL is installed."""
+    PIL is installed.
+
+    A ``sys.modules['PIL']`` entry WITHOUT an ``Image`` attribute (a
+    bare ``import PIL`` ran first — Pillow's ``__init__`` does not
+    import the submodule) falls through to the cached ``from PIL
+    import Image`` probe instead of permanently disabling PIL decode
+    (r16, advisor fix)."""
     import sys
 
     mod = sys.modules.get("PIL")
     if mod is not None:
-        return getattr(mod, "Image", None)
+        img = getattr(mod, "Image", None)
+        if img is not None:
+            return img
     global _PIL_CACHE
     if _PIL_CACHE is _PIL_UNPROBED:
         try:

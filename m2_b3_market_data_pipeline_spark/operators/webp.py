@@ -227,6 +227,12 @@ def _read_prefix_code(bits: _BitReader, alphabet_size: int) -> _PrefixCode:
         sym1 = bits.read(8)
         if sym0 >= alphabet_size or sym1 >= alphabet_size:
             raise ValueError("VP8L simple-code symbol out of alphabet")
+        if sym0 == sym1:
+            # A duplicated 2-symbol code would collapse the lengths
+            # dict to ONE entry, leaving LUT slot 1 as packed 0 — a
+            # silent (symbol 0, consume 0 bits) decode. Reject the
+            # malformed header instead (r16, advisor fix).
+            raise ValueError("VP8L simple-code symbols must differ")
         return _PrefixCode({sym0: 1, sym1: 1}, order=(sym0, sym1))
     # full code: code lengths themselves prefix-coded
     num_cl = 4 + bits.read(4)

@@ -410,16 +410,22 @@ def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     split, the HLL leg keeps one buffer per event_type and the exact
     leg shuffles bare (event_type, user_id) pairs with map-side
     partial dedup. Same-window A/B at sf0.1: 1.64s vs 2.98s, values
-    identical (the join is a 5-row broadcast)."""
+    identical (the join is a 5-row broadcast).
+
+    The join is NULL-SAFE (r16 correctness fix, flagged by the r15
+    advisor): a plain equi-join drops the event_type IS NULL group that
+    both legs (and the DuckDB oracle's GROUP BY) keep — the adversarial
+    fixture plants event_type=None. ``eqNullSafe`` plans as the same
+    broadcast hash join (<=> is a valid hash key)."""
     e = load(spark, sf_dir, "events")
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users")
     )
-    hll = e.groupBy("event_type").agg(
+    hll = e.groupBy(F.col("event_type").alias("__et_hll")).agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("hll_users")
     )
     return (
-        exact.join(hll, "event_type")
+        exact.join(hll, exact["event_type"].eqNullSafe(hll["__et_hll"]))
         .select(
             "event_type",
             "exact_users",
