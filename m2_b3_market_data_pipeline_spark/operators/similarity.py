@@ -149,6 +149,33 @@ def lsh_near_dup_pairs(
     )
 
 
+def _probe_order_cmp(l: Column, r: Column) -> Column:
+    """array_sort comparator reproducing EXACTLY the ordering the old
+    row_number Window used — ``orderBy(desc(ccos), asc(cid))``: ccos
+    DESC with NULLS LAST (``F.desc``'s default) and Spark's double
+    semantics (NaN compares greater than any non-NaN, so NaN ranks
+    first under DESC — the > / < expressions below share that exact
+    semantics, and NaN==NaN falls through to the tiebreak); cid ASC
+    with NULLS FIRST (``F.asc``'s default)."""
+    lc, rc = l["ccos"], r["ccos"]
+    lid, rid = l["cid"], r["cid"]
+    cid_cmp = (
+        F.when(lid.eqNullSafe(rid), F.lit(0))
+        .when(lid.isNull(), F.lit(-1))
+        .when(rid.isNull(), F.lit(1))
+        .when(lid < rid, F.lit(-1))
+        .otherwise(F.lit(1))
+    )
+    return (
+        F.when(lc.isNull() & rc.isNull(), cid_cmp)
+        .when(lc.isNull(), F.lit(1))
+        .when(rc.isNull(), F.lit(-1))
+        .when(lc > rc, F.lit(-1))
+        .when(lc < rc, F.lit(1))
+        .otherwise(cid_cmp)
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -158,23 +185,51 @@ def ivf_assign(
     nprobe: int = 1,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids by cosine
-    (IVF coarse quantization). The centroid list is broadcast — the
-    corpus never shuffles; cost is |corpus| × |centroids| dot products
-    inside codegen. Cosine is rounded to 6dp before ranking (with the
-    centroid id as tiebreak) so the argmax is reproducible across
-    engines."""
-    cent = centroids.select(
-        F.col(id_col).alias("cid"), as_double(vec_col).alias("cvec")
+    (IVF coarse quantization). Cosine is rounded to 6dp before ranking
+    (with the centroid id as tiebreak) so the argmax is reproducible
+    across engines.
+
+    r16 (guide §2.4): the argmax is a pure PROJECTION against the
+    centroid list collected into ONE broadcast row — per corpus row,
+    score the centroid array with ``transform``, ``array_sort`` with a
+    comparator that reproduces the old window's (ccos desc, cid asc)
+    order bit-for-bit, slice ``nprobe``, explode. The previous
+    row_number form shuffled the |corpus| × |cells| scored relation
+    (full vectors riding every row) into a per-vector sort — at 100 TB
+    an exchange of cells× the corpus width; now the corpus never
+    shuffles at all and the only non-corpus input is one
+    |cells|-element array."""
+    cent_row = centroids.select(
+        F.struct(
+            F.col(id_col).alias("cid"), as_double(vec_col).alias("cvec")
+        ).alias("__c")
+    ).agg(F.collect_list("__c").alias("__cents"))
+    scored = (
+        corpus.withColumn("__v", as_double(vec_col))
+        .crossJoin(F.broadcast(cent_row))
+        .withColumn(
+            "__probes",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        "__cents",
+                        lambda c: F.struct(
+                            F.round(cosine(F.col("__v"), c["cvec"]), 6).alias(
+                                "ccos"
+                            ),
+                            c["cid"].alias("cid"),
+                        ),
+                    ),
+                    _probe_order_cmp,
+                ),
+                1,
+                nprobe,
+            ),
+        )
     )
-    scored = corpus.withColumn("__v", as_double(vec_col)).crossJoin(
-        F.broadcast(cent)
-    ).withColumn("__ccos", F.round(cosine(F.col("__v"), F.col("cvec")), 6))
-    w = Window.partitionBy(id_col).orderBy(F.desc("__ccos"), F.asc("cid"))
-    return (
-        scored.withColumn("__crn", F.row_number().over(w))
-        .filter(F.col("__crn") <= nprobe)
-        .drop("__ccos", "__crn", "cvec", "__v")
-    )
+    return scored.withColumn(
+        "cid", F.explode(F.col("__probes").getField("cid"))
+    ).drop("__v", "__cents", "__probes")
 
 
 def ivf_topk(
@@ -581,6 +636,60 @@ def _l2sq(a: Column, b: Column) -> Column:
     )
 
 
+def _pq_cent_row(
+    codebook_source: DataFrame, id_col: str, vec_col: str, n_sub: int, sub_len: int
+) -> DataFrame:
+    """ONE-row broadcastable frame: the whole sub-codebook as
+    ``__pcents`` = array of struct(code, subs) where subs[m-1] is the
+    code's m-th slice — the projection-form code assignment's only
+    non-corpus input (r16)."""
+    return codebook_source.select(
+        F.struct(
+            F.col(id_col).alias("code"),
+            F.array(
+                *[
+                    F.slice(as_double(vec_col), (m - 1) * sub_len + 1, sub_len)
+                    for m in range(1, n_sub + 1)
+                ]
+            ).alias("subs"),
+        ).alias("__c")
+    ).agg(F.collect_list("__c").alias("__pcents"))
+
+
+def _pq_code_structs(v: Column, n_sub: int, sub_len: int) -> Column:
+    """Length-``n_sub`` array of per-subspace argmin struct(dist, code)
+    over the broadcast ``__pcents`` codebook array. ``array_min``
+    reproduces the old ``min(struct(dist, code))`` aggregate's SQL
+    ordering EXACTLY (both use the engine's interpreted struct
+    ordering: null fields smallest, NaN greater than any non-NaN,
+    lexicographic field tiebreak), so the picked codes — and their
+    null/NaN edge behavior — are bit-identical to the r15 form."""
+    def _subspace_scorer(m: int):
+        # closure factory, NOT a default-arg lambda: a two-parameter
+        # lambda is PySpark's (element, index) transform form and the
+        # second parameter would be shadowed by the index column
+        def score(c: Column) -> Column:
+            return F.struct(
+                F.round(
+                    _l2sq(
+                        F.slice(v, (m - 1) * sub_len + 1, sub_len),
+                        c["subs"][m - 1],
+                    ),
+                    6,
+                ).alias("dist"),
+                c["code"].alias("code"),
+            )
+
+        return score
+
+    return F.array(
+        *[
+            F.array_min(F.transform("__pcents", _subspace_scorer(m)))
+            for m in range(1, n_sub + 1)
+        ]
+    )
+
+
 def pq_codes(
     corpus: DataFrame,
     codebook_source: DataFrame,
@@ -596,33 +705,36 @@ def pq_codes(
 
     This is the 100 TB embedding-compression path (a 64-dim float vector
     becomes n_sub bytes; IVF+PQ is the standard billion-scale ANN
-    layout). The sub-codebooks are broadcast — the corpus never
-    shuffles; the explode to (row × n_sub) is a zero-shuffle projection,
-    assignment cost is |corpus| × n_sub × n_centroids slice-distances
-    inside codegen, and the argmin is a WindowGroupLimit over the tiny
-    (id, subspace) groups. Distances are rounded to 6dp before ranking
-    (centroid id tiebreak) so the argmin reproduces across engines.
+    layout). r16 (guide §2.4): code assignment is a pure PROJECTION —
+    the sub-codebook rides ONE broadcast row as an array, each corpus
+    row scores all n_sub subspaces in a single map pass (``array_min``
+    over ``transform``, ordering identical to the previous
+    min(struct(dist, code)) aggregate), and the (id, subspace, code,
+    dist) relation explodes out afterwards. The r15 form shuffled
+    |corpus| × n_sub partial-argmin rows and paid a per-partition
+    SortAggregate over the full × n_centroids expansion; now the
+    corpus never shuffles and nothing is sorted. Distances are rounded
+    to 6dp before ranking (centroid id tiebreak) so the argmin
+    reproduces across engines.
     """
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sub_len = dim // n_sub
-    cent = _pq_slices(codebook_source, id_col, vec_col, "cvec", n_sub, sub_len).withColumnRenamed(
-        id_col, "code"
-    )
-    corp = _pq_slices(corpus, id_col, vec_col, "svec", n_sub, sub_len)
-    l2 = _l2sq(F.col("svec"), F.col("cvec"))
-    scored = corp.join(F.broadcast(cent), "subspace").withColumn("dist", F.round(l2, 6))
-    # argmin via min(struct(dist, code)): lexicographic struct ordering
-    # gives the (dist asc, code asc) tiebreak AND map-side partial
-    # aggregation — each task collapses its n_centroids candidates per
-    # (id, subspace) before the exchange, so shuffle volume is
-    # |corpus| × n_sub singleton rows, not × n_centroids (a row_number
-    # window would shuffle the full scored set).
-    best = F.min(F.struct("dist", "code")).alias("__best")
+    cent_row = _pq_cent_row(codebook_source, id_col, vec_col, n_sub, sub_len)
     return (
-        scored.groupBy(id_col, F.col("subspace").cast("long").alias("subspace"))
-        .agg(best)
-        .select(id_col, "subspace", F.col("__best.code").alias("code"), F.col("__best.dist").alias("dist"))
+        corpus.withColumn("__v", as_double(vec_col))
+        .crossJoin(F.broadcast(cent_row))
+        .withColumn("__codes", _pq_code_structs(F.col("__v"), n_sub, sub_len))
+        .select(id_col, F.posexplode("__codes").alias("__m", "__best"))
+        # empty-codebook contract: array_min over an empty codebook is
+        # NULL; the old inner join produced no rows there
+        .filter(F.col("__best").isNotNull())
+        .select(
+            id_col,
+            (F.col("__m") + 1).cast("long").alias("subspace"),
+            F.col("__best.code").alias("code"),
+            F.col("__best.dist").alias("dist"),
+        )
     )
 
 
@@ -723,31 +835,28 @@ def ivfpq_topk(
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sub_len = dim // n_sub
 
-    # -- index build: cells + codes in one map-side pass -------------
+    # -- index build: cells + codes in one map-side pass (r16: the code
+    # argmin is a projection over the one-row broadcast codebook array —
+    # no shuffle, no SortAggregate; see pq_codes) ---------------------
     cells = ivf_assign(
         ensure_parallelism(corpus), centroids, id_col=id_col, vec_col=vec_col, nprobe=1
     )
     cent = _pq_slices(codebook_source, id_col, vec_col, "cvec", n_sub, sub_len).withColumnRenamed(
         id_col, "code"
     )
-    corp = (
-        cells.select(
-            F.col(id_col),
-            "cid",
-            as_double(vec_col).alias("__v"),
-            F.explode(F.array(*[F.lit(m) for m in range(1, n_sub + 1)])).alias("subspace"),
-        )
-        .withColumn("svec", F.expr(f"slice(__v, (subspace - 1) * {sub_len} + 1, {sub_len})"))
-        .drop("__v")
-    )
-    scored = corp.join(F.broadcast(cent), "subspace").withColumn(
-        "dist", F.round(_l2sq(F.col("svec"), F.col("cvec")), 6)
-    )
-    best = F.min(F.struct("dist", "code")).alias("__best")
+    cent_row = _pq_cent_row(codebook_source, id_col, vec_col, n_sub, sub_len)
     codes = (
-        scored.groupBy(id_col, "cid", F.col("subspace").cast("long").alias("subspace"))
-        .agg(best)
-        .select(id_col, "cid", "subspace", F.col("__best.code").alias("code"))
+        cells.withColumn("__v", as_double(vec_col))
+        .crossJoin(F.broadcast(cent_row))
+        .withColumn("__codes", _pq_code_structs(F.col("__v"), n_sub, sub_len))
+        .select(id_col, "cid", F.posexplode("__codes").alias("__m", "__best"))
+        .filter(F.col("__best").isNotNull())
+        .select(
+            id_col,
+            "cid",
+            (F.col("__m") + 1).cast("long").alias("subspace"),
+            F.col("__best.code").alias("code"),
+        )
     )
 
     # -- search: broadcast probes + broadcast ADC table --------------
@@ -824,31 +933,27 @@ def ivfpq_multiprobe_topk(
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
     sub_len = dim // n_sub
 
-    # -- index build: LSH cells + fixed-size PQ codes, one map pass ---
+    # -- index build: LSH cells + fixed-size PQ codes, one map pass
+    # (r16: projection-form code argmin, as ivfpq_topk) ---------------
     cells = lsh_signatures(
         ensure_parallelism(corpus), vec_col=vec_col, dim=dim, n_bits=cell_bits
     ).withColumnRenamed("lsh_sig", "cid")
     cent = _pq_slices(codebook_source, id_col, vec_col, "cvec", n_sub, sub_len).withColumnRenamed(
         id_col, "code"
     )
-    corp = (
-        cells.select(
-            F.col(id_col),
-            "cid",
-            as_double(vec_col).alias("__v"),
-            F.explode(F.array(*[F.lit(m) for m in range(1, n_sub + 1)])).alias("subspace"),
-        )
-        .withColumn("svec", F.expr(f"slice(__v, (subspace - 1) * {sub_len} + 1, {sub_len})"))
-        .drop("__v")
-    )
-    scored = corp.join(F.broadcast(cent), "subspace").withColumn(
-        "dist", F.round(_l2sq(F.col("svec"), F.col("cvec")), 6)
-    )
-    best = F.min(F.struct("dist", "code")).alias("__best")
+    cent_row = _pq_cent_row(codebook_source, id_col, vec_col, n_sub, sub_len)
     codes = (
-        scored.groupBy(id_col, "cid", F.col("subspace").cast("long").alias("subspace"))
-        .agg(best)
-        .select(id_col, "cid", "subspace", F.col("__best.code").alias("code"))
+        cells.withColumn("__v", as_double(vec_col))
+        .crossJoin(F.broadcast(cent_row))
+        .withColumn("__codes", _pq_code_structs(F.col("__v"), n_sub, sub_len))
+        .select(id_col, "cid", F.posexplode("__codes").alias("__m", "__best"))
+        .filter(F.col("__best").isNotNull())
+        .select(
+            id_col,
+            "cid",
+            (F.col("__m") + 1).cast("long").alias("subspace"),
+            F.col("__best.code").alias("code"),
+        )
     )
 
     # -- search: own cell + Hamming-1 flips, broadcast ADC table ------

@@ -251,24 +251,24 @@ def test_pq_codes_centroids_self_code(spark, sf_dir):
 
 
 def test_pq_codes_single_exchange_plan(spark, sf_dir):
-    """Broadcast codebook + map-side argmin combine: exactly one
-    SEMANTIC exchange (the final groupBy), and no SortMergeJoin
-    anywhere. The embeddings scan's conditional parallelism-floor
-    RoundRobin (operators/parallelism.py) is excluded — it is absent on
-    a multi-split corpus."""
+    """r16 projection form: the code argmin is a map pass against the
+    one-row broadcast codebook array — the CORPUS never shuffles at all
+    (the r15 form shuffled |corpus| x n_sub partial-argmin rows into a
+    SortAggregate). The only non-broadcast exchange left is the
+    SinglePartition gather that collects the CODEBOOK into its one
+    broadcast row (codebook-sized — the same bytes the old form's
+    BroadcastExchange already moved); no SortMergeJoin, no sort-based
+    aggregate, no hashpartitioning exchange anywhere. The embeddings
+    scan's conditional parallelism-floor RoundRobin
+    (operators/parallelism.py) is excluded — it is absent on a
+    multi-split corpus."""
     from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
 
     plan = QUERIES["pq_codes"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    # one shuffle exchange (the final argmin agg); the codebook's
-    # BroadcastExchange is the cheap intended one
-    semantic = (
-        plan.count("Exchange")
-        - plan.count("BroadcastExchange")
-        - plan.count("REPARTITION_BY_NUM")
-    )
-    assert semantic == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
     assert "SortMergeJoin" not in plan, plan
-    assert "partial_min" in plan, plan  # map-side combine before the shuffle
+    assert "SortAggregate" not in plan, plan
 
 
 def test_pq_ann_topk_invariants(spark, sf_dir):

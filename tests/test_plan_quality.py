@@ -430,10 +430,12 @@ def test_surface_wide_aggregate_and_join_lint(spark, sf_dir):
         # percentile / approx_percentile sketch buffers
         "exact_percentiles", "approx_quantiles", "approx_quantile_check",
         "percentile_binning", "mad_outliers", "lm_quality_buckets",
-        # struct-argmin / first-last buffers
+        # one-row codebook/centroid collect_list (r16 projection-form
+        # IVF/PQ: the same rows the old form BROADCAST as a frame now
+        # ride a single broadcast row — bounded by the codebook, not
+        # the corpus, in the production fixed-codebook posture)
         "pq_codes", "pq_ann_topk", "ivfpq_ann_topk", "ivfpq_recall_check",
-        "ivfpq_rerank_topk",  # inherits ivfpq_topk's struct-argmin stage 1
-        "ivfpq_cells_scaled",  # same struct-argmin PQ coding, LSH coarse
+        "ivfpq_rerank_topk", "ivfpq_cells_scaled", "ivf_ann_topk",
         "resample_ohlc", "streaming_dedup", "hard_negatives",
         "streaming_triplets",
         # collect_list over the BOUNDED k x dim centroid rebuild frame

@@ -135,8 +135,10 @@ def test_ivfpq_restricts_candidates_and_stays_hash_joined(spark, sf_dir):
     distance table must both arrive as BROADCAST HASH joins (the corpus
     stream never shuffles to meet them), and nothing in the composite
     may plan a CartesianProduct. The only BroadcastNestedLoopJoins
-    allowed are the two bounded all-pairs centroid scorings inside
-    ivf_assign (corpus-vs-centroids, queries-vs-centroids)."""
+    allowed are the bounded ONE-ROW attaches of the r16 projection
+    form: the collected centroid array in ivf_assign (corpus side,
+    query side) and the collected PQ codebook array in the code
+    build."""
     from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
 
     df = QUERIES["ivfpq_ann_topk"](spark, sf_dir)
@@ -149,7 +151,7 @@ def test_ivfpq_restricts_candidates_and_stays_hash_joined(spark, sf_dir):
     import re
 
     nodes = re.findall(r"^\(\d+\) (\w+)", plan, re.M)
-    assert nodes.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert nodes.count("BroadcastNestedLoopJoin") <= 3, plan
     assert nodes.count("BroadcastHashJoin") >= 2, plan
     # smoke: restricted search returns at most k rows per query
     rows = df.collect()
