@@ -53,13 +53,18 @@ def connected_components(
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .distinct()
-        # r16 (guide §2.4): hash-partition the edge list by the probe
-        # key ONCE, before the loop — the distinct() leaves it keyed on
-        # (src, dst), so every round's join used to re-shuffle the FULL
-        # edge list by src; now the per-round join shuffles only the
-        # node-sized label vector to meet the stationary edges.
+        # r16 (guide §2.4): key the edge build's ONE exchange on the
+        # probe key. hash(src) satisfies the distinct's (src, dst)
+        # clustering (same-src rows colocate, hence same-(src,dst) rows
+        # do), so the repartition and the distinct share one exchange —
+        # same exchange count as the old (src,dst)-keyed build — but
+        # the checkpointed edge list now sits hash-partitioned on
+        # exactly the key every round's join probes it with. At scale
+        # (labels too big to broadcast) that turns the per-round FULL
+        # EDGE-LIST shuffle into a node-sized label shuffle meeting
+        # stationary edges; the pagerank r15 fix, applied to CC.
         .repartition(F.col("src"))
+        .distinct()
         .localCheckpoint(eager=False)
     )
     labels = nodes.select(
@@ -67,31 +72,19 @@ def connected_components(
     )
     for rounds in range(1, max_iter + 1):
         # Neighbor labels: for each edge (src -> dst), dst hears src's
-        # label, partial-aggregated map-side to ONE (node, min) row per
-        # dst before its exchange. The merge with the previous labels
-        # is a node-keyed full-outer join (both sides arrive
-        # node-partitioned): least(own, heard) is exactly the old
-        # union+min — including a heard-only node (edge endpoint
-        # outside the node universe) surfacing with a NULL __old, and a
-        # heard-less node keeping its own label (least skips NULLs).
-        # r15's union form shuffled both full label streams into the
-        # groupBy every round; this shuffles the heard partials once.
-        heard_min = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("src"), F.col("cluster_id").alias("__lsrc")
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("__lsrc").alias("__heard"))
+        # label. Self rows are tagged so the SAME aggregation that picks
+        # the new minimum also recovers the previous label — convergence
+        # detection costs no extra join, leaving one shuffle per round.
+        heard = edges.join(labels.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), "cluster_id", F.lit(False).alias("is_self")
         )
+        own = labels.select("node", "cluster_id", F.lit(True).alias("is_self"))
         merged = (
-            labels.join(heard_min, "node", "full")
-            .select(
-                "node",
-                F.least("cluster_id", "__heard").alias("cluster_id"),
-                F.col("cluster_id").alias("__old"),
+            own.union(heard)
+            .groupBy("node")
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.min(F.when(F.col("is_self"), F.col("cluster_id"))).alias("__old"),
             )
             .localCheckpoint(eager=False)  # truncate lineage; the convergence
             # count right below materializes it in the SAME job (r15:
