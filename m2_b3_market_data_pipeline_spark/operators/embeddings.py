@@ -475,11 +475,23 @@ def jl_project(
     and LSH cost by the same factor). Pure projection: no shuffle, no
     Python, one pass inside whole-stage codegen; the matrix rides in the
     expression as literals (out_dim x dim doubles, trivially broadcast-
-    free)."""
-    v = as_double(vec_col)
+    free).
+
+    The expression arrives as ONE generated SQL string (r16 — the
+    lsh_signatures r15 rewrite, guide §7.3 "planning time"): the
+    Column-API form issued ~out_dim × (dim + λ) py4j round-trips of
+    pure driver time per construction; the string parses JVM-side to
+    the same resolved tree (identical zip_with/aggregate shape,
+    repr-round-tripped double literals, so values and plan are
+    bit-identical)."""
     scale = out_dim ** 0.5
+    v = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
     rows = [
-        (dot(v, F.array(*[F.lit(c) for c in signs])) / F.lit(scale))
+        (
+            f"aggregate(zip_with({v}, array("
+            + ", ".join(repr(c) + "D" for c in signs)
+            + f"), (x, y) -> x * y), 0.0D, (acc, x) -> acc + x) / {scale!r}D"
+        )
         for signs in jl_signs(dim, out_dim, seed)
     ]
-    return df.withColumn(out_col, F.array(*rows))
+    return df.withColumn(out_col, F.expr("array(" + ", ".join(rows) + ")"))
