@@ -679,25 +679,42 @@ def _huffman_lengths(freqs: dict, limit: int) -> dict:
     bl_count overflow repair — the standard published algorithm).
     freqs: sym -> count > 0, len(freqs) >= 2. Deterministic: ties
     break on symbol value."""
-    import heapq
-
     # Flat parent-pointer Huffman (r15): the recursive tree walk was
     # ~0.5s/thousand codes in the codec profile; depths fall out of one
     # reverse pass over the merge order instead (a parent is always
     # created AFTER its children, so iterating nodes root-first assigns
     # every depth in O(n)).
+    #
+    # r16: the heap became the encoder's hot spot at 16x16 tiles (162k
+    # heappops per 117-image profile). The classic TWO-QUEUE merge
+    # replaces it: leaves pre-sorted by (freq, index), internal nodes
+    # appended in creation order — both queues are non-decreasing under
+    # the heap's exact (freq, index) key (internal indices only grow
+    # and merged freqs never shrink), so popping the smaller front
+    # reproduces heapq's pop order — and its tie-breaks — bit for bit.
     syms = sorted(freqs)
     n = len(syms)
     parent = [0] * (2 * n - 1)
-    heap = [(freqs[s], i) for i, s in enumerate(syms)]
-    heapq.heapify(heap)
+    leaves = sorted((freqs[s], i) for i, s in enumerate(syms))
+    internal: list[tuple[int, int]] = []
+    li = ii = 0
     nxt = n
-    while len(heap) > 1:
-        f1, i1 = heapq.heappop(heap)
-        f2, i2 = heapq.heappop(heap)
+    for _ in range(n - 1):
+        if li < n and (ii >= len(internal) or leaves[li] <= internal[ii]):
+            f1, i1 = leaves[li]
+            li += 1
+        else:
+            f1, i1 = internal[ii]
+            ii += 1
+        if li < n and (ii >= len(internal) or leaves[li] <= internal[ii]):
+            f2, i2 = leaves[li]
+            li += 1
+        else:
+            f2, i2 = internal[ii]
+            ii += 1
         parent[i1] = nxt
         parent[i2] = nxt
-        heapq.heappush(heap, (f1 + f2, nxt))
+        internal.append((f1 + f2, nxt))
         nxt += 1
     root = nxt - 1
     depth = [0] * (2 * n - 1)
@@ -772,14 +789,20 @@ def _write_prefix_code(bw: _BitWriter, freqs: dict, alphabet_size: int):
     # use the max_symbol short form when it saves meaningful bits
     last_nz = max(s for s, l in enumerate(full) if l)
     cl_stream = []  # (cl_sym, extra_val, extra_bits)
-    i = 0
-    while i <= last_nz:
-        ln = full[i]
+    # r16: run boundaries in one numpy diff instead of per-symbol while
+    # loops (the cl serialization was the encoder's second hot spot at
+    # 16x16); the per-RUN splitting below is unchanged, so the emitted
+    # stream is byte-identical.
+    import numpy as _np
+
+    arr = _np.asarray(full[: last_nz + 1])
+    cuts = _np.flatnonzero(_np.diff(arr)) + 1
+    starts = [0, *cuts.tolist()]
+    ends = [*cuts.tolist(), last_nz + 1]
+    for st, en in zip(starts, ends):
+        ln = full[st]
+        run = en - st
         if ln == 0:
-            run = 1
-            while i + run <= last_nz and full[i + run] == 0:
-                run += 1
-            i += run
             while run >= 11:
                 r = min(run, 138)
                 cl_stream.append((18, r - 11, 7))
@@ -792,9 +815,6 @@ def _write_prefix_code(bw: _BitWriter, freqs: dict, alphabet_size: int):
                 cl_stream.append((0, 0, 0))
         else:
             cl_stream.append((ln, 0, 0))
-            run = 1
-            while i + run <= last_nz and full[i + run] == ln:
-                run += 1
             rep = run - 1
             while rep >= 3:
                 r = min(rep, 6)
@@ -802,7 +822,6 @@ def _write_prefix_code(bw: _BitWriter, freqs: dict, alphabet_size: int):
                 rep -= r
             for _ in range(rep):
                 cl_stream.append((ln, 0, 0))
-            i += run
     cl_freqs = {}
     for s, _, _ in cl_stream:
         cl_freqs[s] = cl_freqs.get(s, 0) + 1
