@@ -440,22 +440,37 @@ def nb_lang_scores(
         id_col, F.col(label_col).alias("__label"), toks_expr.alias("__toks")
     )
     train = base.filter(F.col("__label").isNotNull())
+
+    # r16 (guide §2, the wedge_partitions self-sizing precedent): in
+    # the HASHED variant the whole model side is bounded BY CONTRACT —
+    # every frame below is <= n_buckets x |labels| rows no matter the
+    # corpus — so its reduce stages at the session's shuffle
+    # parallelism are pure scheduling overhead at ANY scale (932 tasks
+    # per 2 bench runs, most in 32-task stages over <=100-row frames).
+    # coalesce() AFTER each aggregate is the hand-rolled AQE coalesce:
+    # a narrow merge of reduce partitions that keeps the map-side
+    # partial aggregation and the per-key completeness intact (each
+    # task just reads several shuffle partitions). The DENSE variant's
+    # vocabulary grows with corpus content, so its stages keep the
+    # session parallelism — the knob derives from the operator's own
+    # boundedness contract, not from the local core count.
+    def _bounded(df: DataFrame) -> DataFrame:
+        return df.coalesce(1) if n_buckets is not None else df
+
     # (label, token) occurrence counts — vocab-bounded, and read FOUR
     # times downstream (vocab, |V|, per-label totals, the model grid's
     # left join), so cache it: uncached, each reference re-runs the
     # corpus explode+shuffle (4 corpus passes instead of 1 at 100 TB).
     # Scoped release via result._cached_frames / release_cached.
-    lt = (
+    lt = _bounded(
         train.select("__label", F.explode("__toks").alias("__tok"))
         .groupBy("__label", "__tok")
         .agg(F.count("*").alias("__c"))
-        .persist()
-    )
-    vocab = lt.groupBy("__tok").agg(F.lit(1).alias("__one")).drop("__one")
+    ).persist()
+    vocab = _bounded(lt.groupBy("__tok").agg(F.lit(1).alias("__one")).drop("__one"))
     vsize = vocab.agg(F.count("*").alias("__v"))
     priors = (
-        train.groupBy("__label")
-        .agg(F.count("*").alias("__nd"))
+        _bounded(train.groupBy("__label").agg(F.count("*").alias("__nd")))
         .crossJoin(F.broadcast(train.agg(F.count("*").alias("__n"))))
         .select(
             "__label", F.log(F.col("__nd") / F.col("__n")).alias("__lprior")
@@ -470,7 +485,11 @@ def nb_lang_scores(
     # to the differential gate because the oracle shared the flaw.
     ltot = (
         priors.select("__label")
-        .join(lt.groupBy("__label").agg(F.sum("__c").alias("__t")), "__label", "left")
+        .join(
+            _bounded(lt.groupBy("__label").agg(F.sum("__c").alias("__t"))),
+            "__label",
+            "left",
+        )
         .select("__label", F.coalesce(F.col("__t"), F.lit(0)).alias("__tot"))
     )
     # Dense |V| x |labels| grid so zero counts get the smoothed value.
