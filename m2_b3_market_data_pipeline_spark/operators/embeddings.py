@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import as_double, cosine, dot, lsh_signatures, norm
+from .similarity import as_double, cosine, lsh_signatures, norm
 
 
 def l2_normalize(
