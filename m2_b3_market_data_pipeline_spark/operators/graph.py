@@ -409,11 +409,18 @@ def triangle_counts(
     rounded to 9dp so distributed arithmetic hash-matches a single-node
     oracle.
     """
-    # Canonical undirected edge set: (a, b) with a < b, deduped.
+    # Canonical undirected edge set: (a, b) with a < b, deduped. The
+    # dedup's exchange is KEYED ON "a" (r16, the CC edge-build rule:
+    # hash(a) satisfies the distinct's (a, b) clustering, so the
+    # repartition and the distinct share one exchange) — the persisted
+    # edge cache then sits partitioned on exactly the key the rank
+    # attach probes it with (e ⋈ ranks on "a"), so at scale that join
+    # shuffles only the node-sized rank vector, not the edge list.
     a, b = F.col(src_col), F.col(dst_col)
     e = (
         edges.filter(a != b)
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .repartition(F.col("a"))
         .distinct()
         .persist()
     )

@@ -71,6 +71,13 @@ def pagerank_cosuppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "__ok")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
+        # r16 (the CC edge-build rule): key the dedup's one exchange on
+        # src — hash(src) satisfies the distinct's (src, dst)
+        # clustering, so no exchange is added, and pagerank's persisted
+        # edge cache sits partitioned on the key every iteration's
+        # probe join uses (at scale: the per-iteration shuffle is the
+        # node-sized rank vector, never the edge list).
+        .repartition(F.col("src"))
         .distinct()
     )
     pr = pagerank(edges, damping=PR_DAMPING, iters=PR_ITERS)
@@ -132,6 +139,13 @@ def pagerank_cosuppliers_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame
         a.join(b, "__ok")
         .filter(F.col("src") != F.col("dst"))
         .select("src", "dst")
+        # r16 (the CC edge-build rule): key the dedup's one exchange on
+        # src — hash(src) satisfies the distinct's (src, dst)
+        # clustering, so no exchange is added, and pagerank's persisted
+        # edge cache sits partitioned on the key every iteration's
+        # probe join uses (at scale: the per-iteration shuffle is the
+        # node-sized rank vector, never the edge list).
+        .repartition(F.col("src"))
         .distinct()
     )
     pr = pagerank(edges, damping=PR_DAMPING, iters=PR_ITERS)

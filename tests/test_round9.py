@@ -6,6 +6,7 @@ the structural pins that make the scaled variants trustworthy."""
 from __future__ import annotations
 
 import math
+import re
 
 import duckdb
 import pytest
@@ -302,7 +303,11 @@ def test_wedge_partitions_rule():
 
 def test_triangle_plan_unwidened_on_small_input(spark, sf_dir):
     """On small inputs the wedge rule must leave the plan untouched —
-    no RepartitionByExpression anywhere in triangle_coparts' plan."""
+    no RepartitionByExpression anywhere in triangle_coparts' plan.
+    (The r16 a-keyed canonicalize dedup exchange executes below the
+    persisted edge cache, so it appears only as the cache's physical
+    Exchange — asserted by key below — never as a logical widening
+    node in the final frame's plan.)"""
     from m2_b3_market_data_pipeline_spark.plans.graph_queries import (
         triangle_coparts,
     )
@@ -312,6 +317,9 @@ def test_triangle_plan_unwidened_on_small_input(spark, sf_dir):
     for f in getattr(df, "_cached_frames", []):
         f.unpersist()
     assert "RepartitionByExpression" not in plan, plan[:1500]
+    # the edge cache's dedup exchange is keyed on "a" alone (r16): the
+    # rank-attach join probes stationary edges at scale
+    assert re.search(r"Exchange hashpartitioning\(a#\d+L?(,\s*\d+)?\)", plan), plan[:2000]
 
 
 def test_semdedup_lsh_cells_are_signature_prefix(spark, sf_dir):
