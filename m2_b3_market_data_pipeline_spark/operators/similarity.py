@@ -176,36 +176,34 @@ def _probe_order_cmp(l: Column, r: Column) -> Column:
     )
 
 
-def ivf_assign(
-    corpus: DataFrame,
-    centroids: DataFrame,
-    *,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    nprobe: int = 1,
-) -> DataFrame:
-    """Assign each vector to its ``nprobe`` nearest centroids by cosine
-    (IVF coarse quantization). Cosine is rounded to 6dp before ranking
-    (with the centroid id as tiebreak) so the argmax is reproducible
-    across engines.
+def _cent_array_row(centroids: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """ONE-row frame holding the whole centroid list as an array —
+    the projection-form coarse assign's only non-corpus input.
+    ``coalesce(1)`` folds the centroid scan into the gather's final
+    task: the merge to one row is single-task EITHER WAY (the row must
+    fit one executor — the same bound its broadcast already imposes),
+    so the parallel partial-gather stage and its SinglePartition
+    exchange bought nothing but two extra serialized stages (measured
+    same-session: ivf_topk 1.41 → 1.19 s best-of-4 with the fold)."""
+    return (
+        centroids.coalesce(1)
+        .select(
+            F.struct(
+                F.col(id_col).alias("cid"), as_double(vec_col).alias("cvec")
+            ).alias("__c")
+        )
+        .agg(F.collect_list("__c").alias("__cents"))
+    )
 
-    r16 (guide §2.4): the argmax is a pure PROJECTION against the
-    centroid list collected into ONE broadcast row — per corpus row,
-    score the centroid array with ``transform``, ``array_sort`` with a
-    comparator that reproduces the old window's (ccos desc, cid asc)
-    order bit-for-bit, slice ``nprobe``, explode. The previous
-    row_number form shuffled the |corpus| × |cells| scored relation
-    (full vectors riding every row) into a per-vector sort — at 100 TB
-    an exchange of cells× the corpus width; now the corpus never
-    shuffles at all and the only non-corpus input is one
-    |cells|-element array."""
-    cent_row = centroids.select(
-        F.struct(
-            F.col(id_col).alias("cid"), as_double(vec_col).alias("cvec")
-        ).alias("__c")
-    ).agg(F.collect_list("__c").alias("__cents"))
+
+def _assign_probes(
+    df: DataFrame, cent_row: DataFrame, *, vec_col: str, nprobe: int
+) -> DataFrame:
+    """Coarse-assign ``df`` against a prebuilt ``_cent_array_row``
+    frame (shared by callers that assign both a corpus and a query
+    side, so the gather subtree exists once)."""
     scored = (
-        corpus.withColumn("__v", as_double(vec_col))
+        df.withColumn("__v", as_double(vec_col))
         .crossJoin(F.broadcast(cent_row))
         .withColumn(
             "__probes",
@@ -232,6 +230,37 @@ def ivf_assign(
     ).drop("__v", "__cents", "__probes")
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by cosine
+    (IVF coarse quantization). Cosine is rounded to 6dp before ranking
+    (with the centroid id as tiebreak) so the argmax is reproducible
+    across engines.
+
+    r16 (guide §2.4): the argmax is a pure PROJECTION against the
+    centroid list collected into ONE broadcast row — per corpus row,
+    score the centroid array with ``transform``, ``array_sort`` with a
+    comparator that reproduces the old window's (ccos desc, cid asc)
+    order bit-for-bit, slice ``nprobe``, explode. The previous
+    row_number form shuffled the |corpus| × |cells| scored relation
+    (full vectors riding every row) into a per-vector sort — at 100 TB
+    an exchange of cells× the corpus width; now the corpus never
+    shuffles at all and the only non-corpus input is one
+    |cells|-element array."""
+    return _assign_probes(
+        corpus,
+        _cent_array_row(centroids, id_col, vec_col),
+        vec_col=vec_col,
+        nprobe=nprobe,
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -251,12 +280,13 @@ def ivf_topk(
     instead of the full corpus. Centroids stay broadcast at both steps.
     Deterministic given fixed centroids — unlike trained k-means — so
     the whole path is oracle-checkable."""
-    cells = ivf_assign(
-        ensure_parallelism(corpus), centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+    cent_row = _cent_array_row(centroids, id_col, vec_col)  # one gather, both sides
+    cells = _assign_probes(
+        ensure_parallelism(corpus), cent_row, vec_col=vec_col, nprobe=1
     ).select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec"), "cid"
     )
-    probes = ivf_assign(queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe).select(
+    probes = _assign_probes(queries, cent_row, vec_col=vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec"), "cid"
     )
     scored = (
@@ -642,18 +672,23 @@ def _pq_cent_row(
     """ONE-row broadcastable frame: the whole sub-codebook as
     ``__pcents`` = array of struct(code, subs) where subs[m-1] is the
     code's m-th slice — the projection-form code assignment's only
-    non-corpus input (r16)."""
-    return codebook_source.select(
-        F.struct(
-            F.col(id_col).alias("code"),
-            F.array(
-                *[
-                    F.slice(as_double(vec_col), (m - 1) * sub_len + 1, sub_len)
-                    for m in range(1, n_sub + 1)
-                ]
-            ).alias("subs"),
-        ).alias("__c")
-    ).agg(F.collect_list("__c").alias("__pcents"))
+    non-corpus input (r16). ``coalesce(1)`` folds the codebook scan
+    into the gather's final task — see ``_cent_array_row``."""
+    return (
+        codebook_source.coalesce(1)
+        .select(
+            F.struct(
+                F.col(id_col).alias("code"),
+                F.array(
+                    *[
+                        F.slice(as_double(vec_col), (m - 1) * sub_len + 1, sub_len)
+                        for m in range(1, n_sub + 1)
+                    ]
+                ).alias("subs"),
+            ).alias("__c")
+        )
+        .agg(F.collect_list("__c").alias("__pcents"))
+    )
 
 
 def _pq_code_structs(v: Column, n_sub: int, sub_len: int) -> Column:
@@ -838,8 +873,9 @@ def ivfpq_topk(
     # -- index build: cells + codes in one map-side pass (r16: the code
     # argmin is a projection over the one-row broadcast codebook array —
     # no shuffle, no SortAggregate; see pq_codes) ---------------------
-    cells = ivf_assign(
-        ensure_parallelism(corpus), centroids, id_col=id_col, vec_col=vec_col, nprobe=1
+    coarse_row = _cent_array_row(centroids, id_col, vec_col)  # shared: cells + probes
+    cells = _assign_probes(
+        ensure_parallelism(corpus), coarse_row, vec_col=vec_col, nprobe=1
     )
     cent = _pq_slices(codebook_source, id_col, vec_col, "cvec", n_sub, sub_len).withColumnRenamed(
         id_col, "code"
@@ -860,8 +896,8 @@ def ivfpq_topk(
     )
 
     # -- search: broadcast probes + broadcast ADC table --------------
-    probes = ivf_assign(
-        queries, centroids, id_col=id_col, vec_col=vec_col, nprobe=nprobe
+    probes = _assign_probes(
+        queries, coarse_row, vec_col=vec_col, nprobe=nprobe
     ).select(F.col(id_col).alias("query_id"), "cid")
     q = _pq_slices(queries, id_col, vec_col, "qvec", n_sub, sub_len).withColumnRenamed(
         id_col, "query_id"

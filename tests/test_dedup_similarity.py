@@ -254,19 +254,16 @@ def test_pq_codes_single_exchange_plan(spark, sf_dir):
     """r16 projection form: the code argmin is a map pass against the
     one-row broadcast codebook array — the CORPUS never shuffles at all
     (the r15 form shuffled |corpus| x n_sub partial-argmin rows into a
-    SortAggregate). The only non-broadcast exchange left is the
-    SinglePartition gather that collects the CODEBOOK into its one
-    broadcast row (codebook-sized — the same bytes the old form's
-    BroadcastExchange already moved); no SortMergeJoin, no sort-based
-    aggregate, no hashpartitioning exchange anywhere. The embeddings
-    scan's conditional parallelism-floor RoundRobin
-    (operators/parallelism.py) is excluded — it is absent on a
-    multi-split corpus."""
+    SortAggregate), and the codebook gather's scan is coalesce(1)-folded
+    into its single final task (the one-row merge is single-task either
+    way — the broadcast bound), so there is NO non-broadcast exchange
+    anywhere in the plan: no hashpartitioning, no SinglePartition, no
+    SortMergeJoin, no sort-based aggregate."""
     from m2_b3_market_data_pipeline_spark.plans.all_queries import QUERIES
 
     plan = QUERIES["pq_codes"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
-    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "SortAggregate" not in plan, plan
 
